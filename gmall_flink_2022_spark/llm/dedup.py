@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines (100 TB posture).
+
+All pure JVM-side expressions (no Python UDFs in the hot path):
+- exact: hash-groupBy on a content digest — one shuffle on the digest.
+- n-gram Jaccard: shingle explode -> self-join on shingle -> pair counts.
+  The shingle join is the classic inverted-index trick: only documents
+  sharing at least one shingle ever meet, so the quadratic blow-up is
+  bounded by shingle frequency. At 100 TB you additionally cap hot
+  shingles (drop shingles with document-frequency above a threshold —
+  they only generate pairs that other shingles already generate).
+- MinHash + LSH: per-seed signatures via min(md5(seed || shingle))
+  (deterministic, engine-portable), banded into buckets; only
+  bucket-colliding pairs are verified with exact Jaccard. This is the
+  scale path: candidate generation is linear in corpus size.
+- SimHash: 64-bit signature from per-token hashes; near-dups = small
+  Hamming distance (bit-bucket join on rotated prefixes at scale).
+- Embedding near-dup: cosine over an array<float> column within coarse
+  buckets (label/partition) to bound the pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.tokenize import tokenize_col
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content digest. Returns one row per
+    distinct content: (digest, keep_id = min id, dup_ct)."""
+    return (
+        df.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_ct"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Tokens via the engine tokenizer; shingle = n consecutive tokens
+    joined by a single space."""
+    toks = tokenize_col(text_col)
+    # guard: sequence() counts down when stop < start, so gate on size>=n;
+    # docs with fewer than n tokens produce no shingles (explode drops them).
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard similarity of shingle sets >=
+    threshold. ``max_shingle_df`` drops ultra-common shingles from
+    candidate generation (scale guard; off by default so the result is
+    exact and oracle-comparable)."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand_src = sh
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_ct"))
+        cand_src = sh.join(
+            hot.filter(F.col("df_ct") <= max_shingle_df), "shingle", "left_semi"
+        )
+    a = cand_src.alias("a")
+    b = cand_src.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_cols(num_hashes: int) -> list:
+    """One MinHash value per seed: min over shingles of the 8-hex-char
+    prefix of md5(seed || '|' || shingle). Lexicographic min over a
+    fixed-width hex string == numeric min of the 32-bit value, and md5 is
+    identical across engines (portable to the DuckDB oracle)."""
+    return [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 8)).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signature per document."""
+    sh = shingles(df, id_col, text_col, n)
+    return sh.groupBy("id").agg(*_minhash_cols(num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Signatures are banded (num_hashes/bands rows per band); documents
+    sharing any band bucket become candidates; candidates are verified
+    with exact Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+    """
+    rows = num_hashes // bands
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sig = sh.groupBy("id").agg(*_minhash_cols(num_hashes))
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(str(b)), *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+        ).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bucket")
+    ).distinct()
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to the candidate pairs — the
+    # LSH contract: candidate generation is linear, verification touches
+    # only bucket collisions, never the quadratic pair space.
+    sha = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("id_b2"), F.col("shingle").alias("sh_b"))
+    common = (
+        cands.join(sha, "id_a")
+        .join(shb, (F.col("id_b") == F.col("id_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash signature per document (default 16 bits for SQL-oracle
+    portability; 64 at scale). Bit i of the signature is the sign of
+    sum over distinct tokens of (+1 if bit i of md5(token) else -1).
+    Token bit i is derived from hex digit i of the md5 (low bit of the
+    digit) — deterministic and expressible in both engines."""
+    toks = F.explode(F.array_distinct(tokenize_col(text_col)))
+    tok = df.select(F.col(id_col).alias("id"), toks.alias("token")).withColumn(
+        "h", F.md5(F.col("token"))
+    )
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int") % 2 == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    votes = tok.groupBy("id").agg(*bit_votes)
+    sig = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, "1").otherwise("0") for i in range(bits)]
+    )
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation
+    buckets on signature halves (a pair within Hamming distance d must
+    agree exactly on at least one of d+1 equal splits — here 2 splits
+    catches d<=1 exactly and more probabilistically; at scale use
+    max_hamming+1 splits). Distance verified exactly on the bit string."""
+    sig = simhash_signatures(df, id_col, text_col, bits).persist()
+    half = bits // 2
+    parts = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat(F.lit("L"), F.substring("simhash", 1, half)),
+                F.concat(F.lit("R"), F.substring("simhash", half + 1, half)),
+            )
+        ).alias("bucket"),
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("a.simhash"), ""),
+            F.split(F.col("b.simhash"), ""),
+            lambda x, y: (x != y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

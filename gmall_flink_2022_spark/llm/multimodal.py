@@ -1,0 +1,117 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real (schemas, partitioning, Arrow-batched
+``mapInPandas`` signatures, deterministic batch shapes); the actual codec
+work is STUBBED because image/audio libraries are not in this container —
+``decode_fn`` defaults to a clearly-marked deterministic fake and raises
+``NotImplementedError`` when a real codec is requested. Swap in a PIL /
+torchaudio decoder on a real cluster; nothing else changes.
+
+Scale notes: binary payloads ride in parquet as-is (no base64 inflation);
+``mapInPandas`` keeps the per-batch memory bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; feature extraction is a
+narrow map — no shuffle — so it scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a codec+encoder: bytes -> pseudo-feature.
+    Stable across runs/partitions (pure function of the payload)."""
+    if payload is None:
+        return [0.0] * dim
+    acc = [0] * dim
+    for i, byte in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] + byte) % 997
+    return [float(x) / 997.0 for x in acc]
+
+
+def extract_features(
+    media: DataFrame, decode: str = "fake", dim: int = 8
+) -> DataFrame:
+    """Decode/feature-extract each media row via Arrow-batched mapInPandas.
+
+    decode='fake' -> deterministic byte-fold feature (tests); any other
+    value requires a real codec -> NotImplementedError (container has no
+    image/audio libs; see module docstring).
+    """
+    if decode != "fake":
+        raise NotImplementedError(
+            f"decoder '{decode}' needs codec libraries not present in this "
+            "container; plug a real decoder in here on a cluster"
+        )
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "digest": pdf["payload"].map(
+                        lambda p: hashlib.md5(p or b"").hexdigest()
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda p: _fake_decode(p, dim)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    offset (payload decode stubbed — offsets derive from duration_ms).
+    Shows the fan-out shape (explode inside mapInPandas) without codecs."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = int(r["duration_ms"] or 0)
+                d = hashlib.md5(r["payload"] or b"").hexdigest()
+                for off in range(0, max(dur, 1), every_ms):
+                    rows.append((int(r["media_id"]), off, d))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_ms", "digest"])
+
+    return media.filter("kind = 'video'").mapInPandas(batches, out_schema)

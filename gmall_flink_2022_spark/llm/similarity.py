@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast nested-loop of the
+query set against the corpus, entirely JVM-side (``zip_with`` dot
+product inside whole-stage codegen; no Python in the loop). At 100 TB
+the corpus side stays partitioned and only the (small) query side is
+broadcast, so the scan is embarrassingly parallel and the per-partition
+top-k is combined by a final TakeOrdered — no full shuffle.
+
+Scale path: bucketed LSH (random-hyperplane signs) — candidates only
+within matching buckets, trading recall for a ~buckets× cut in dot
+products. Hyperplanes are generated from a fixed seed so results are
+reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, computed in
+    double, sequential accumulation (deterministic, oracle-portable)."""
+    def _dbl(c: Column) -> Column:
+        return F.transform(c, lambda x: x.cast("double"))
+
+    a, b = _dbl(a), _dbl(b)
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector.
+
+    (query_id, neighbor_id, sim, rank); self-matches excluded; ties broken
+    by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one bit per plane = sign of <v, p>."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.transform(vec_col, lambda x: x.cast("double")),
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            >= 0,
+            "1",
+        ).otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    ~2^n_planes× fewer dot products at the cost of recall; same output
+    shape as knn_bruteforce."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse buckets
+    (IVF-style: the bucket column bounds the pair space; at scale the
+    bucket is a k-means cell id)."""
+    a = embs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    b = embs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col(bucket_col).alias("b_bucket"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "bucket", "sim")
+    )

@@ -1,0 +1,357 @@
+"""LLM training-data pipeline queries (dedup / similarity / text analysis)
+with DuckDB oracles.
+
+Float-parity convention: every floating-point result is produced by the
+SAME sequence of double operations on both engines — DuckDB's
+``list_reduce`` left-fold matches Spark's ``F.aggregate`` with a 0.0 seed
+bit-for-bit, integer counts divide in one double op — so hash comparison
+is exact with no rounding fudge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..llm import dedup, similarity, text
+from ..sources.io import read_table
+from .registry import register
+
+# ---------------------------------------------------------------- SQL shards
+TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+# word-3-gram shingle CTE over `documents` (mirrors llm.dedup.shingles)
+SHINGLE_CTE = f"""
+tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+    FROM tk, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+    WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------- exact dedup
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_ct
+    FROM documents GROUP BY md5(text)
+    """,
+    survey_ref="extension: exact dedup (hash-groupBy)",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ------------------------------------------------------- n-gram Jaccard dedup
+@register(
+    "llm_dedup_ngram",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
+           CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+    """,
+    survey_ref="extension: n-gram Jaccard near-dup (inverted-index pair gen)",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+_NH, _BANDS = 8, 2
+_MH_COLS = ",\n           ".join(
+    f"MIN(substr(md5('{i}|' || shingle), 1, 8)) AS mh{i}" for i in range(_NH)
+)
+_R = _NH // _BANDS
+_BANDS_SQL = ", ".join(
+    "concat_ws('_', '%d', %s)" % (b, ", ".join(f"mh{b * _R + r}" for r in range(_R)))
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "llm_dedup_minhash",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bk AS (
+        SELECT DISTINCT doc_id, bucket
+        FROM (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.4
+    """,
+    survey_ref="extension: MinHash+LSH near-dup (banded buckets, verified)",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=_NH,
+        bands=_BANDS,
+        threshold=0.4,
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+_SBITS = 16
+_HEXPOS = "strpos('0123456789abcdef', substr(h, %d, 1)) - 1"
+_VOTES = ",\n           ".join(
+    f"SUM(CASE WHEN ({_HEXPOS % (i + 1)}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_SBITS)
+)
+_SIG = ", ".join(f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(_SBITS))
+_HAMMING = " + ".join(
+    f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(_SBITS)
+)
+
+
+@register(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST({TOKS}) AS token FROM documents
+    ),
+    hs AS (SELECT doc_id, md5(token) AS h FROM tok),
+    votes AS (
+        SELECT doc_id,
+           {_VOTES}
+        FROM hs GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, concat({_SIG}) AS simhash FROM votes),
+    parts AS (
+        SELECT doc_id, simhash, UNNEST([
+            'L' || substr(simhash, 1, {_SBITS // 2}),
+            'R' || substr(simhash, {_SBITS // 2 + 1}, {_SBITS // 2})
+        ]) AS bucket
+        FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           {_HAMMING} AS hamming
+    FROM parts a JOIN parts b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE {_HAMMING} <= 3
+    """,
+    survey_ref="extension: SimHash near-dup (bit-bucket candidate gen)",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", bits=_SBITS, max_hamming=3
+    )
+
+
+# ------------------------------------------------- embedding near-dup pairs
+@register(
+    "llm_dedup_embed",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS bucket,
+           {_dot("a.embedding", "b.embedding")}
+             / ({_norm("a.embedding")} * {_norm("b.embedding")}) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dot("a.embedding", "b.embedding")}
+             / ({_norm("a.embedding")} * {_norm("b.embedding")}) >= 0.9
+    """,
+    survey_ref="extension: embedding-cosine near-dup (bucketed pair space)",
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dups(
+        _embs(spark, sf_dir), "vec_id", "embedding", "label", threshold=0.9
+    )
+
+
+# ----------------------------------------------------- brute-force cosine kNN
+@register(
+    "llm_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_dot("qv", "cv")} / ({_norm("qv")} * {_norm("cv")}) AS sim
+        FROM c, q WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    survey_ref="extension: exact ANN baseline (broadcast top-k)",
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    out = similarity.knn_bruteforce(embs, queries, "vec_id", "embedding", k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+# --------------------------------------------------------- LSH-bucketed kNN
+@register(
+    "llm_knn_lsh",
+    oracle=None,  # approximate by construction; driver rows-only check
+    survey_ref="extension: ANN scale path (random-hyperplane LSH buckets)",
+    tags=("llm", "similarity"),
+)
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.knn_lsh(embs, queries, "vec_id", "embedding", k=5)
+
+
+# ------------------------------------------------------------- text analysis
+@register(
+    "llm_token_stats",
+    oracle=f"""
+    SELECT doc_id AS id,
+           len({TOKS}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    survey_ref="extension: token counting (whitespace + BPE-ish regex)",
+    tags=("llm", "text"),
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "llm_quality_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id AS id,
+           len(toks) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+           CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS mean_token_len
+    FROM tk WHERE len(toks) > 0
+    """,
+    survey_ref="extension: quality scoring (length/stopword/uniqueness)",
+    tags=("llm", "text"),
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_LANGS = sorted(text.LANG_MARKERS)
+_SCORES = ",\n           ".join(
+    "len(list_filter(toks, t -> list_contains([%s], t))) AS score_%s"
+    % (", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang]), lang)
+    for lang in _LANGS
+)
+_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+_PRED = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(f"WHEN score_{lang} = {_BEST} THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+
+@register(
+    "llm_lang_id",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id,
+           {_SCORES}
+        FROM tk
+    )
+    SELECT doc_id AS id,
+           {", ".join(f"score_{lang}" for lang in _LANGS)},
+           {_PRED} AS pred_lang
+    FROM scored
+    """,
+    survey_ref="extension: language-ID (marker-word heuristic)",
+    tags=("llm", "text"),
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "llm_fingerprint",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id AS id,
+           md5(array_to_string(toks, ' ')) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
+    FROM tk
+    """,
+    survey_ref="extension: document fingerprinting",
+    tags=("llm", "text"),
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir), "doc_id", "text")

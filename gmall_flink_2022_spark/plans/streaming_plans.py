@@ -1,0 +1,126 @@
+"""Streaming-mode registry entries.
+
+Each runs a genuine Structured Streaming query (file source ->
+availableNow trigger -> memory sink) and returns the settled result as a
+batch DataFrame, so the driver's correctness gate exercises the real
+streaming code path — state stores, watermarks, stream-stream join — and
+still hash-compares against a plain SQL oracle. This mirrors how every
+reference job is a forever-Kafka-job with the same operators
+(SURVEY §3.1/§3.2); only the endpoints differ in tests.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.io import read_stream_table
+from ..streaming.runner import run_stream_to_table
+from ..streaming.uv_state import unique_visit_stateful
+from .registry import register
+
+DEC = "decimal(18,2)"
+
+
+def _uniq(name: str) -> str:
+    return f"{name}_{uuid.uuid4().hex[:8]}"
+
+
+@register(
+    "stream_visitor_stats",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           COUNT(DISTINCT user_id) AS uv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    survey_ref="§2.4 A1 + §2.6 W1/W3 (streaming tumbling-window agg)",
+    tags=("streaming", "agg"),
+)
+def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_stream_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.size(F.collect_set("user_id")).alias("uv_ct"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("dur_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), fmt).alias("stt"),
+            "event_type",
+            "pv_ct",
+            "uv_ct",
+            "dur_sum",
+        )
+    )
+    return run_stream_to_table(agg, _uniq("visitor_stats"), output_mode="complete")
+
+
+@register(
+    "stream_payment_wide",
+    oracle="""
+    SELECT p.event_id AS pay_event_id, v.event_id AS view_event_id,
+           p.user_id, p.ts AS pay_ts, v.ts AS view_ts
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 900 SECOND
+     AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    survey_ref="§2.3 J2 + §2.6 W1 (stream-stream interval join w/ watermarks)",
+    tags=("streaming", "join"),
+)
+def stream_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_stream_table(spark, sf_dir, "events")
+    pay = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pay_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("pay_ts"),
+        )
+        .withWatermark("pay_ts", "5 seconds")
+    )
+    view = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "5 seconds")
+    )
+    joined = pay.join(
+        view,
+        (pay["user_id"] == view["v_user_id"])
+        & (view["view_ts"] >= pay["pay_ts"] - F.expr("INTERVAL 900 SECONDS"))
+        & (view["view_ts"] <= pay["pay_ts"]),
+        "inner",
+    ).select("pay_event_id", "view_event_id", "user_id", "pay_ts", "view_ts")
+    return run_stream_to_table(joined, _uniq("payment_wide"), output_mode="append")
+
+
+@register(
+    "stream_unique_visit",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, MIN(ts) AS first_ts
+    FROM events
+    GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    """,
+    survey_ref="§2.4 A5 + §2.6 W4 (applyInPandasWithState exact-TTL dedup)",
+    tags=("streaming", "stateful"),
+)
+def stream_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_stream_table(spark, sf_dir, "events").select("user_id", "ts")
+    out = unique_visit_stateful(ev, key="user_id").withColumn(
+        "dt", F.date_format("dt", "yyyy-MM-dd")
+    )
+    return run_stream_to_table(out, _uniq("unique_visit"), output_mode="append")

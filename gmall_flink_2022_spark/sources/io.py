@@ -1,0 +1,71 @@
+"""Source/sink abstraction.
+
+The reference wires every layer through Kafka topics
+(gmall-realtime/.../utils/MyKafkaUtil.java:18-58). Here the message bus is a
+pluggable format: tests use parquet dirs / memory sinks, production uses
+Kafka — same transformation code either way (Structured Streaming's
+batch/stream parity).
+
+Scale note: ``read_table`` is a plain ``spark.read.parquet`` so Catalyst
+pushes filters/projections into the scan (check ``PushedFilters`` in
+``.explain``); no caching/collecting happens here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+# rejects; read nanos as long and truncate to micros (same floor semantics
+# as DuckDB's ns->us read, so oracles agree bit-for-bit).
+_NANOS_TABLES = {"events": "ts"}
+
+
+def _path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _fix_nanos(df: DataFrame, name: str) -> DataFrame:
+    col = _NANOS_TABLES.get(name)
+    if col and dict(df.dtypes).get(col) == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch read of one driver-testdata table."""
+    if name in _NANOS_TABLES:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _fix_nanos(spark.read.parquet(_path(sf_dir, name)), name)
+
+
+def read_stream_table(
+    spark: SparkSession, sf_dir: str, name: str, schema=None
+) -> DataFrame:
+    """Streaming read of the same table (file source, used with
+    availableNow triggers in tests; swap for format('kafka') in prod)."""
+    if name in _NANOS_TABLES:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(_path(sf_dir, name)).schema
+    # the file stream source lists a DIRECTORY; select just this table's
+    # file with a glob filter
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
+        .load(sf_dir)
+    )
+    return _fix_nanos(sdf, name)
+
+
+def write_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Batch parquet sink (the test-mode stand-in for the reference's
+    ClickHouse JDBC batch sink, utils/ClickHouseUtil.java:17-57)."""
+    df.write.mode(mode).parquet(path)

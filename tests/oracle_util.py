@@ -1,0 +1,59 @@
+"""Exact Spark-vs-DuckDB comparison used by the parity tests — a local
+mirror of the driver's correctness gate (row count + schema shape +
+order-insensitive exact value comparison)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+import pandas as pd
+
+from gmall_flink_2022_spark.sources.io import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows)
+
+
+def compare(spark_df, sql: str, con: duckdb.DuckDBPyConnection) -> None:
+    got = spark_df.toPandas()
+    want = con.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"column mismatch: spark={sorted(got.columns)} duckdb={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"
+    g, w = canonical_rows(got), canonical_rows(want)
+    mism = [(a, b) for a, b in zip(g, w) if a != b]
+    assert not mism, f"value mismatch ({len(mism)} rows), first: {mism[0]}"
