@@ -49,7 +49,8 @@ def _apply(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
 
 def unique_visit_stateful(events: DataFrame, key: str = "user_id") -> DataFrame:
     """events(user_id, ts, ...) -> first event per key per day, emitted
-    incrementally with per-key state. Works on streaming and batch DFs."""
+    incrementally with per-key state (streaming DFs only; the batch
+    equivalent is operators.dwm.first_event_per_key_per_day)."""
     return events.groupBy(key).applyInPandasWithState(
         _apply,
         outputStructType=OUT_SCHEMA,

@@ -1,0 +1,184 @@
+"""Operator unit tests on gmall-shaped JSON fixtures (FIXTURES.md §1-§5) —
+the reference semantics the TPC-H-ish star schema cannot express: dirty
+split, display explode, CDC routing + column pruning, interval-join bounds,
+new/old visitor fix."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row, functions as F
+
+from gmall_flink_2022_spark.operators.dwd import (
+    prune_columns,
+    route_cdc,
+    split_log_streams,
+)
+from gmall_flink_2022_spark.operators.dwm import interval_join
+from gmall_flink_2022_spark.sources.cdc import filter_deletes, parse_cdc
+from gmall_flink_2022_spark.sources.logs import clean_logs, dirty_logs, parse_logs
+
+LOG_LINES = [
+    # start log
+    json.dumps(
+        {
+            "common": {"mid": "mid_1", "is_new": "1", "ch": "appstore", "ar": "110000", "vc": "v2"},
+            "start": {"entry": "icon", "open_ad_id": 3, "loading_time": 1200},
+            "ts": 1718000000000,
+        }
+    ),
+    # page log with displays
+    json.dumps(
+        {
+            "common": {"mid": "mid_1", "is_new": "0", "ch": "web", "ar": "110000", "vc": "v2"},
+            "page": {"page_id": "good_detail", "last_page_id": "search", "item": "11",
+                     "item_type": "sku_id", "during_time": 12000},
+            "displays": [
+                {"display_type": "promotion", "item": "3", "item_type": "sku_id", "order": 1, "pos_id": 2},
+                {"display_type": "query", "item": "5", "item_type": "sku_id", "order": 2, "pos_id": 1},
+            ],
+            "ts": 1718000005000,
+        }
+    ),
+    # page log without displays
+    json.dumps(
+        {
+            "common": {"mid": "mid_2", "is_new": "1", "ch": "web", "ar": "310000", "vc": "v3"},
+            "page": {"page_id": "home", "last_page_id": None, "during_time": 3000},
+            "ts": 1718000007000,
+        }
+    ),
+    "{broken json!!",  # dirty
+]
+
+
+def test_log_parse_dirty_split_and_fanout(spark):
+    raw = spark.createDataFrame([Row(value=s) for s in LOG_LINES])
+    parsed = parse_logs(raw)
+    clean, dirty = clean_logs(parsed), dirty_logs(parsed)
+    assert clean.count() == 3
+    assert dirty.count() == 1  # the broken line routed to the dirty sink
+
+    streams = split_log_streams(clean)
+    assert streams["start"].count() == 1
+    assert streams["page"].count() == 2
+    disp = streams["display"].orderBy("order").collect()
+    assert len(disp) == 2  # exploded per display item
+    assert disp[0]["page_id"] == "good_detail"  # display enriched w/ page_id
+    assert disp[0]["item"] == "3" and disp[1]["item"] == "5"
+
+
+CDC_LINES = [
+    json.dumps({"database": "gmall-flink", "tableName": "order_info",
+                "before": {}, "after": {"id": "1", "user_id": "7", "total_amount": "99.50",
+                                         "secret": "x"}, "type": "create"}),
+    json.dumps({"database": "gmall-flink", "tableName": "order_info",
+                "before": {}, "after": {"id": "2", "user_id": "8", "total_amount": "10.00"},
+                "type": "delete"}),
+    json.dumps({"database": "gmall-flink", "tableName": "user_info",
+                "before": {}, "after": {"id": "7", "gender": "F", "birthday": "1990-01-01"},
+                "type": "insert"}),
+    json.dumps({"database": "gmall-flink", "tableName": "unrouted_tbl",
+                "before": {}, "after": {"id": "9"}, "type": "insert"}),
+]
+
+CONFIG_ROWS = [
+    ("order_info", "insert", "kafka", "dwd_order_info", "id,user_id,total_amount", "id", None),
+    ("user_info", "insert", "hbase", "dim_user_info", "id,gender,birthday", "id", None),
+]
+
+
+def test_cdc_route_prune(spark):
+    raw = spark.createDataFrame([Row(value=s) for s in CDC_LINES])
+    cdc = parse_cdc(raw)
+    # create normalized to insert (CustomerDeserialization.java:56-58)
+    assert cdc.filter(F.col("type") == "create").count() == 0
+    live = filter_deletes(cdc)
+    assert live.count() == 3
+
+    cfg = spark.createDataFrame(
+        CONFIG_ROWS,
+        "source_table string, operate_type string, sink_type string, "
+        "sink_table string, sink_columns string, sink_pk string, sink_extend string",
+    )
+    routed = route_cdc(live, cfg)
+    rows = {r["tableName"]: r for r in routed.collect()}
+    assert set(rows) == {"order_info", "user_info"}  # unrouted dropped
+    assert rows["order_info"]["sink_type"] == "kafka"
+    assert rows["user_info"]["sink_table"] == "dim_user_info"
+
+    pruned = prune_columns(routed)
+    oi = pruned.filter(F.col("tableName") == "order_info").collect()[0]
+    # 'secret' not in sink_columns -> pruned (TableProcessFunction.java:133-139)
+    assert set(oi["after"].keys()) == {"id", "user_id", "total_amount"}
+
+
+def test_interval_join_bounds(spark):
+    oi = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:01:00")],
+        "id long, create_time string",
+    ).withColumn("o_ts", F.to_timestamp("create_time"))
+    od = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 00:00:07"),  # -3s: inside [-5, +5]
+            (11, 1, "2024-01-01 00:00:15"),  # +5s boundary: inside
+            (12, 1, "2024-01-01 00:00:16"),  # +6s: outside -> dropped
+            (13, 2, "2024-01-01 00:00:54"),  # -6s: outside -> dropped
+        ],
+        "id long, order_id long, create_time string",
+    ).withColumn("d_ts", F.to_timestamp("create_time"))
+    joined = interval_join(
+        oi, od, oi["id"] == od["order_id"], oi["o_ts"], od["d_ts"], -5, 5
+    )
+    got = sorted(r[0] for r in joined.select(od["id"]).collect())
+    assert got == [10, 11]
+
+
+def test_new_old_visitor_fix(spark):
+    """W4: the reference marks a claimed-new visitor as old if its mid was
+    seen before (BaseLogApp.java:48-71). Batch rendering: first-ever event
+    per mid keeps is_new, later events force is_new='0'."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [("m1", "1", 1000), ("m1", "1", 2000), ("m2", "0", 1500), ("m3", "1", 900)],
+        "mid string, is_new string, ts long",
+    )
+    w = W.partitionBy("mid").orderBy("ts")
+    fixed = df.withColumn(
+        "is_new_fixed",
+        F.when(F.row_number().over(w) == 1, F.col("is_new")).otherwise(F.lit("0")),
+    )
+    got = {(r["mid"], r["ts"]): r["is_new_fixed"] for r in fixed.collect()}
+    assert got[("m1", 1000)] == "1" and got[("m1", 2000)] == "0"
+    assert got[("m2", 1500)] == "0" and got[("m3", 900)] == "1"
+
+
+def test_multimodal_plumbing(spark):
+    from gmall_flink_2022_spark.llm.multimodal import extract_features, frame_sample
+
+    rows = [
+        (1, "image", b"\x01\x02\x03fakejpg", "image/jpeg", 4, 4, None),
+        (2, "video", b"\x09fakemp4", "video/mp4", 16, 16, 3500),
+        (3, "audio", None, "audio/wav", None, None, 2000),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == 3
+    assert feats[1]["n_bytes"] == 10 and len(feats[1]["feature"]) == 8
+    assert feats[3]["n_bytes"] == 0  # null payload -> zero bytes, md5 of b""
+    # determinism: same payload -> same feature
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["feature"] == again[1]["feature"]
+
+    frames = frame_sample(media, every_ms=1000).collect()
+    assert [f["frame_ms"] for f in frames] == [0, 1000, 2000, 3000]  # 3.5s video
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode="pil")

@@ -1,0 +1,65 @@
+"""Physical-plan assertions — the 100 TB posture, checked at test scale.
+
+For each core query: filters reach the parquet scan (PushedFilters),
+projection prunes to the needed columns (ReadSchema), small dims broadcast
+(BroadcastHashJoin, not sort-merge), and no row-at-a-time Python evaluation
+(BatchEvalPython) sneaks into JVM-only pipelines."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from gmall_flink_2022_spark import plans
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_flagship(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dws_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the 6 needed lineitem columns are read
+    assert "l_comment" not in p
+    assert "l_partkey" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dwm_order_wide")
+    assert p.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+
+
+def test_route_config_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dwd_db_route")
+    assert "BroadcastHashJoin" in p
+
+
+def test_no_python_in_jvm_pipelines(spark, sf_dir):
+    for name in (
+        "dws_pricing_summary",
+        "dwm_order_wide",
+        "dws_product_stats",
+        "dws_keyword_stats",
+        "llm_dedup_minhash",
+        "llm_knn_bruteforce",
+        "llm_quality_score",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p, f"{name} fell off the JVM fast path"
+        assert "ArrowEvalPython" not in p, f"{name} uses a pandas UDF needlessly"
+
+
+def test_wholestage_codegen_everywhere(spark, sf_dir):
+    # execute first: with AQE the codegen annotations appear on the final plan
+    df = plans.REGISTRY["dws_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # count() would plan a new query; collect executes THIS one
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "codegen id" in buf.getvalue()

@@ -1,0 +1,113 @@
+"""Streaming-semantics tests: the stateful operators must match their batch
+oracles on fixtures with out-of-order data, day rollovers, and bounce
+timeouts (SURVEY §5 item 4)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_2022_spark.operators.dwm import bounce_detect_batch
+from gmall_flink_2022_spark.streaming.bounce_state import bounce_detect_stateful
+from gmall_flink_2022_spark.streaming.runner import run_stream_to_table
+from gmall_flink_2022_spark.streaming.uv_state import unique_visit_stateful
+
+# (event_id, user_id, ts, event_type): u1 bounces at :00 (next view at :05
+# within gap -> strict-next view = bounce) and at :05 (next event is a click
+# 40 min later -> timeout bounce); u2's view at :10 is followed by a click
+# 10 s later -> NOT a bounce; u3's trailing view never gets a successor ->
+# timeout bounce (fires only because the sentinel advances the watermark).
+FIXTURE = [
+    (1, 1, "2024-01-01 10:00:00", "view"),
+    (2, 1, "2024-01-01 10:00:05", "view"),
+    (3, 1, "2024-01-01 10:40:05", "click"),
+    (4, 2, "2024-01-01 10:00:10", "view"),
+    (5, 2, "2024-01-01 10:00:20", "click"),
+    (6, 3, "2024-01-01 10:30:00", "view"),
+]
+SENTINEL = [(999, 99, "2024-01-02 00:00:00", "click")]
+GAP = 1800
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, create_time string, event_type string"
+    ).withColumn("ts", F.to_timestamp("create_time")).drop("create_time")
+
+
+def test_bounce_batch_semantics(spark):
+    df = _events_df(spark, FIXTURE)
+    out = bounce_detect_batch(
+        df, "user_id", "ts", F.col("event_type") == "view", GAP, tiebreak="event_id"
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 6]
+
+
+def test_bounce_stateful_matches_batch(spark, tmp_path):
+    # write fixture + sentinel as two files so the watermark advances past
+    # the trailing pending entries (the CEP timeout branch)
+    in_dir = str(tmp_path / "in")
+    _events_df(spark, FIXTURE).coalesce(1).write.parquet(in_dir)
+    _events_df(spark, SENTINEL).coalesce(1).write.mode("append").parquet(in_dir)
+
+    sdf = (
+        spark.readStream.schema(_events_df(spark, FIXTURE).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withColumn("is_entry", F.col("event_type") == "view")
+        .select("user_id", "event_id", "ts", "is_entry")
+    )
+    out = bounce_detect_stateful(sdf, gap_seconds=GAP, watermark_delay="1 seconds")
+    got = run_stream_to_table(out, "bounce_t", checkpoint=str(tmp_path / "ckpt"))
+    got_ids = sorted(r["event_id"] for r in got.collect())
+    # sentinel user 99's click is not an entry -> never emitted
+    assert got_ids == [1, 2, 6]
+
+
+def test_uv_stateful_day_rollover(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 23:59:00"),
+        (1, "2024-01-01 08:00:00"),  # earlier same day -> the one emitted
+        (1, "2024-01-02 00:01:00"),  # new day -> emitted
+        (2, "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, create_time string").withColumn(
+        "ts", F.to_timestamp("create_time")
+    ).select("user_id", "ts")
+    in_dir = str(tmp_path / "uv_in")
+    df.write.parquet(in_dir)
+    sdf = spark.readStream.schema(df.schema).parquet(in_dir)
+    out = run_stream_to_table(
+        unique_visit_stateful(sdf), "uv_roll", checkpoint=str(tmp_path / "uvc")
+    ).collect()
+    got = {(r["user_id"], str(r["dt"])): r["first_ts"] for r in out}
+    assert len(out) == 3
+    assert str(got[(1, "2024-01-01")]) == "2024-01-01 08:00:00"
+    assert (1, "2024-01-02") in got and (2, "2024-01-01") in got
+
+
+def test_stream_batch_parity_visitor_stats(spark, sf_dir, tmp_path):
+    """The same aggregation code path must produce identical results in
+    batch and streaming (Structured Streaming's core contract)."""
+    from gmall_flink_2022_spark.sources.io import read_stream_table, read_table
+
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv_ct"))
+        .select(F.col("w.start").alias("stt"), "event_type", "pv_ct")
+    )
+    stream = (
+        read_stream_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv_ct"))
+        .select(F.col("w.start").alias("stt"), "event_type", "pv_ct")
+    )
+    got = run_stream_to_table(
+        stream, "vs_parity", output_mode="complete", checkpoint=str(tmp_path / "c")
+    )
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s
