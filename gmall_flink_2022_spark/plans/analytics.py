@@ -1,0 +1,312 @@
+"""Engine-completeness queries beyond the reference's literal surface:
+multi-stream union normalization (P8), analytic window functions, rollup,
+pivot, semi/anti joins, the SQL-text UDTF path, and approx-distinct scale
+variants. The reference has none of these as first-class ops (SURVEY §2.5),
+but a complete analytics engine at 100 TB does — Catalyst gives them all
+natively; we pin semantics with oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.io import read_table
+from .registry import register
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# P8 — per-stream normalize-to-stats + unionByName + aggregate: the
+# ProductStatsApp pattern (7 source streams each mapped to one measure set,
+# dws/ProductStatsApp.java:104-193) rendered over event types.
+# --------------------------------------------------------------------------
+@register(
+    "dws_union_stats",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, 1 AS click_ct, 0 AS view_ct,
+               CAST(0 AS DECIMAL(18,2)) AS amount
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, 0, 1, CAST(0 AS DECIMAL(18,2))
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, 0, 0, CAST(value AS DECIMAL(18,2))
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(SUM(click_ct) AS BIGINT) AS click_ct,
+           CAST(SUM(view_ct) AS BIGINT) AS view_ct,
+           CAST(SUM(amount) AS DOUBLE) AS order_amount
+    FROM u GROUP BY user_id
+    """,
+    survey_ref="§2.2 P8 (normalize-to-stats maps), §2.5 union",
+    tags=("dws", "union", "agg"),
+)
+def dws_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    zero_amt = F.lit(0).cast(DEC)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.lit(1).alias("click_ct"),
+        F.lit(0).alias("view_ct"),
+        zero_amt.alias("amount"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.lit(0).alias("click_ct"),
+        F.lit(1).alias("view_ct"),
+        zero_amt.alias("amount"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(0).alias("click_ct"),
+        F.lit(0).alias("view_ct"),
+        F.col("value").cast(DEC).alias("amount"),
+    )
+    u = clicks.unionByName(views).unionByName(buys)
+    return u.groupBy("user_id").agg(
+        F.sum("click_ct").alias("click_ct"),
+        F.sum("view_ct").alias("view_ct"),
+        F.sum("amount").cast("double").alias("order_amount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic window function: top-N per group (serving-layer generalization
+# of A7; ranking ties broken deterministically).
+# --------------------------------------------------------------------------
+@register(
+    "ads_topn_per_brand",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand, l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_partkey
+    ),
+    ranked AS (
+        SELECT p_brand, l_partkey, rev_dec,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY rev_dec DESC, l_partkey) AS rnk
+        FROM rev
+    )
+    SELECT p_brand, l_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    survey_ref="§2.5 (ranking window fn; engine completeness)",
+    tags=("ads", "window_fn"),
+)
+def ads_topn_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev_dec"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("rev_dec"), F.asc("l_partkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "p_brand", "l_partkey", F.col("rev_dec").cast("double").alias("revenue"), "rnk"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP (subtotal hierarchy) — Catalyst-native grouping sets.
+# --------------------------------------------------------------------------
+@register(
+    "ads_rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ref="engine completeness: grouping sets / rollup",
+    tags=("ads", "rollup"),
+)
+def ads_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT — wide-format conditional aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "ads_pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ref="engine completeness: pivot",
+    tags=("ads", "pivot"),
+)
+def ads_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins — EXISTS / NOT EXISTS surface.
+# --------------------------------------------------------------------------
+@register(
+    "dwd_semi_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+    """,
+    survey_ref="engine completeness: left-semi join (EXISTS)",
+    tags=("join", "semi"),
+)
+def dwd_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "dwd_anti_idle_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+    survey_ref="engine completeness: left-anti join (NOT EXISTS)",
+    tags=("join", "anti"),
+)
+def dwd_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order (non-empty at every sf, so the
+    hash gate exercises real rows rather than an empty set)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# U1 via SQL text — the LATERAL TABLE(split_words(...)) declarative path
+# (dws/KeywordStatsApp.java:40-45) as Spark SQL LATERAL VIEW explode.
+# --------------------------------------------------------------------------
+@register(
+    "dws_keywords_sql_lateral",
+    oracle="""
+    SELECT lang, word, COUNT(*) AS ct
+    FROM (SELECT lang, UNNEST(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 t -> t <> '')) AS word
+          FROM documents)
+    GROUP BY lang, word
+    """,
+    survey_ref="§2.7 U1 (UDTF via SQL LATERAL), §3.3 declarative path",
+    tags=("dws", "sql", "udtf"),
+)
+def dws_keywords_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT lang, word, COUNT(*) AS ct
+        FROM documents
+        LATERAL VIEW explode(
+            filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')) w AS word
+        GROUP BY lang, word
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Scale variants — approx_count_distinct (HLL) replacing exact distinct
+# sets, per SURVEY §4 "distinct-count strategy" (the 100 TB posture; approx
+# by construction -> rows-only check, benched to show the cost delta).
+# --------------------------------------------------------------------------
+@register(
+    "dws_product_stats_approx",
+    oracle=None,
+    survey_ref="§2.4 A2 scale path (HLL distinct), §4 distinct-count strategy",
+    tags=("dws", "agg", "approx"),
+    bench=True,
+)
+def dws_product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.date_trunc("day", F.col("l_shipdate")).alias("dt"), "l_partkey"
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("order_amount"),
+        F.approx_count_distinct("l_orderkey").alias("order_ct_approx"),
+    )
+
+
+@register(
+    "dws_province_stats_approx",
+    oracle=None,
+    survey_ref="§2.4 A3 scale path (streaming-safe approx distinct)",
+    tags=("dws", "agg", "approx"),
+)
+def dws_province_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.approx_count_distinct("o_orderkey").alias("order_count_approx"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("order_amount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 exact serving shape: scalar GMV for one month (the /api/sugar/gmv
+# query with its date filter, SugarController.java:23-36).
+# --------------------------------------------------------------------------
+@register(
+    "ads_gmv_month",
+    oracle="""
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+           COUNT(*) AS order_ct
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+    """,
+    survey_ref="§2.4 A6 (scalar serving GMV), §2.8",
+    tags=("ads", "serving"),
+)
+def ads_gmv_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.date_format("o_orderdate", "yyyy-MM") == "1995-03").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("gmv"),
+        F.count(F.lit(1)).alias("order_ct"),
+    )

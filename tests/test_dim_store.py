@@ -1,0 +1,95 @@
+"""Dim-store upsert pipeline (S7/S8): CDC envelope stream -> broadcast
+route -> foreachBatch upsert into parquet dim tables, then a broadcast
+dim-enrichment join reading the settled store (the J3 path end-to-end)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row, functions as F
+
+from gmall_flink_2022_spark.operators.dwd import route_cdc
+from gmall_flink_2022_spark.sources.cdc import filter_deletes, parse_cdc
+from gmall_flink_2022_spark.sources.dim_store import DimStore
+
+
+def _cdc_df(spark, rows):
+    return parse_cdc(spark.createDataFrame([Row(value=json.dumps(r)) for r in rows]))
+
+
+CFG = [
+    ("user_info", "insert", "hbase", "dim_user_info", "id,gender,birthday", "id", None),
+    ("user_info", "update", "hbase", "dim_user_info", "id,gender,birthday", "id", None),
+]
+
+
+def _cfg_df(spark):
+    return spark.createDataFrame(
+        CFG,
+        "source_table string, operate_type string, sink_type string, "
+        "sink_table string, sink_columns string, sink_pk string, sink_extend string",
+    )
+
+
+def test_upsert_create_then_update(spark, tmp_path):
+    store = DimStore(spark, str(tmp_path / "dims"))
+    b1 = spark.createDataFrame(
+        [("1", "F", "1990-01-01"), ("2", "M", "1985-05-05")],
+        "id string, gender string, birthday string",
+    )
+    store.upsert("dim_user_info", b1)  # DDL-on-demand: first write creates
+    assert store.read("dim_user_info").count() == 2
+
+    b2 = spark.createDataFrame(
+        [("2", "F", "1985-05-05"), ("3", "M", "2000-12-31")],
+        "id string, gender string, birthday string",
+    )
+    store.upsert("dim_user_info", b2)  # update id=2, insert id=3
+    got = {r["id"]: r["gender"] for r in store.read("dim_user_info").collect()}
+    assert got == {"1": "F", "2": "F", "3": "M"}
+
+
+def test_streaming_cdc_to_dim_store_to_join(spark, tmp_path):
+    events = [
+        {"database": "g", "tableName": "user_info", "before": {},
+         "after": {"id": "7", "gender": "F", "birthday": "1990-01-01", "noise": "x"},
+         "type": "create"},
+        {"database": "g", "tableName": "user_info", "before": {},
+         "after": {"id": "8", "gender": "M", "birthday": "1970-06-15"},
+         "type": "insert"},
+        {"database": "g", "tableName": "user_info", "before": {},
+         "after": {"id": "7", "gender": "M", "birthday": "1990-01-01"},
+         "type": "update"},
+    ]
+    in_dir = str(tmp_path / "cdc_in")
+    spark.createDataFrame(
+        [Row(value=json.dumps(e)) for e in events]
+    ).coalesce(1).write.json(in_dir)
+
+    raw = spark.readStream.schema("value string").json(in_dir)
+    routed = route_cdc(filter_deletes(parse_cdc(raw)), _cfg_df(spark))
+    dims = routed.filter(F.col("sink_type") == "hbase")
+
+    store = DimStore(spark, str(tmp_path / "dims"))
+    q = (
+        dims.writeStream.foreachBatch(
+            store.foreach_batch_upserter({"dim_user_info": "id"})
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dim = store.read("dim_user_info")
+    got = {r["id"]: r["gender"] for r in dim.collect()}
+    # one row per pk; within-batch dedupe keeps one of the id=7 versions
+    assert set(got) == {"7", "8"}
+
+    # J3: broadcast enrichment against the settled store
+    facts = spark.createDataFrame([(100, "7"), (101, "9")], "order_id long, user_id string")
+    wide = facts.join(
+        F.broadcast(dim), facts["user_id"] == dim["id"], "left"
+    ).select("order_id", "user_id", "gender")
+    rows = {r["order_id"]: r["gender"] for r in wide.collect()}
+    assert rows[100] in ("F", "M") and rows[101] is None  # miss -> null (W7)
