@@ -28,7 +28,8 @@ def parse_logs(raw: DataFrame, value_col: str = "value") -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ),
     )
-    return parsed.select(
+    out = parsed.select(
+        F.col(value_col).alias("_raw"),
         F.col("j.common").alias("common"),
         F.col("j.page").alias("page"),
         F.col("j.displays").alias("displays"),
@@ -36,11 +37,25 @@ def parse_logs(raw: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("j.ts").alias("ts"),
         F.col("j._corrupt").alias("_corrupt"),
     )
+    # PERMISSIVE quirk: empty/whitespace input parses to an all-null row
+    # with NO corrupt marker — the reference's JSON.parseObject would throw
+    # (dirty). Flag whole-null parses as dirty too.
+    null_parse = (
+        F.col("common").isNull()
+        & F.col("page").isNull()
+        & F.col("start").isNull()
+        & F.col("ts").isNull()
+    )
+    return out.withColumn(
+        "_dirty", F.col("_corrupt").isNotNull() | null_parse
+    )
 
 
 def clean_logs(parsed: DataFrame) -> DataFrame:
-    return parsed.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    return parsed.filter(~F.col("_dirty")).drop("_raw", "_corrupt", "_dirty")
 
 
 def dirty_logs(parsed: DataFrame) -> DataFrame:
-    return parsed.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+    """The dirty side-output, carrying the original raw line
+    (BaseLogApp routes the unparsed string, :43)."""
+    return parsed.filter(F.col("_dirty")).select(F.col("_raw").alias("value"))
