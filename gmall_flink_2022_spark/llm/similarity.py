@@ -57,7 +57,7 @@ def knn_bruteforce(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
@@ -89,6 +89,16 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _table_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """array of 'tableIdx:bits' bucket keys, one per hash table."""
+    return F.array(
+        *[
+            F.concat(F.lit(f"{t}:"), lsh_bucket(vec, planes))
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,27 +106,43 @@ def knn_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    ~2^n_planes× fewer dot products at the cost of recall; same output
-    shape as knn_bruteforce."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Approximate top-k via multi-table random-hyperplane LSH: ``n_tables``
+    independent hash tables of ``n_planes`` bits; a corpus vector is a
+    candidate if it collides with the query in ANY table (recall
+    1-(1-p^k)^L vs a single table's p^k). Candidates deduped before
+    scoring, so each dot product runs once. Same output shape as
+    knn_bruteforce."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), planes))
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        F.explode(_table_buckets(F.col("c_vec"), tables)).alias("bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), planes))
-    scored = (
+    ).select(
+        "query_id",
+        "q_vec",
+        F.explode(_table_buckets(F.col("q_vec"), tables)).alias("bucket"),
+    )
+    cands = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cands.withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )

@@ -35,9 +35,9 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bpe = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
-        F.size(bpe).alias("n_bpe_tokens"),
-        F.length(text_col).alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
     )
 
 
@@ -55,7 +55,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col).alias("id"),
-        n.alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
         (n_uniq.cast("double") / n.cast("double")).alias("uniq_ratio"),
         (n_stop.cast("double") / n.cast("double")).alias("stopword_ratio"),
         (total_len.cast("double") / n.cast("double")).alias("mean_token_len"),
@@ -74,7 +74,9 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = tokenize_col(text_col)
     out = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     for lang in sorted(LANG_MARKERS):
-        out = out.withColumn(f"score_{lang}", _lang_score(F.col("_toks"), lang))
+        out = out.withColumn(
+            f"score_{lang}", _lang_score(F.col("_toks"), lang).cast("long")
+        )
     best = F.greatest(*[F.col(f"score_{l}") for l in sorted(LANG_MARKERS)])
     pred = F.when(best == 0, F.lit("und"))
     for lang in sorted(LANG_MARKERS):  # first max wins -> code-order tiebreak

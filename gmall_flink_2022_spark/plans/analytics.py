@@ -91,8 +91,8 @@ def dws_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT p_brand, l_partkey, rev_dec,
-               ROW_NUMBER() OVER (PARTITION BY p_brand
-                                  ORDER BY rev_dec DESC, l_partkey) AS rnk
+               CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY rev_dec DESC, l_partkey) AS BIGINT) AS rnk
         FROM rev
     )
     SELECT p_brand, l_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk
@@ -111,7 +111,7 @@ def ads_topn_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("p_brand").orderBy(F.desc("rev_dec"), F.asc("l_partkey"))
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select(
             "p_brand", "l_partkey", F.col("rev_dec").cast("double").alias("revenue"), "rnk"

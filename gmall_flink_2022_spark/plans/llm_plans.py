@@ -190,7 +190,7 @@ _HAMMING = " + ".join(
         FROM sig
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           {_HAMMING} AS hamming
+           CAST({_HAMMING} AS BIGINT) AS hamming
     FROM parts a JOIN parts b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     WHERE {_HAMMING} <= 3
     """,
@@ -238,8 +238,8 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT query_id, neighbor_id, sim,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, neighbor_id) AS rnk
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
         FROM scored
     )
     SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5

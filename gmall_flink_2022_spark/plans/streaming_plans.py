@@ -48,7 +48,7 @@ def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("pv_ct"),
-            F.size(F.collect_set("user_id")).alias("uv_ct"),
+            F.size(F.collect_set("user_id")).cast("long").alias("uv_ct"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("dur_sum"),
         )
         .select(
@@ -106,6 +106,38 @@ def stream_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("pay_event_id", "view_event_id", "user_id", "pay_ts", "view_ts")
     return run_stream_to_table(joined, _uniq("payment_wide"), output_mode="append")
+
+
+@register(
+    "stream_product_stats",
+    oracle="""
+    SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS dt,
+           l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+           COUNT(DISTINCT l_orderkey) AS order_ct
+    FROM lineitem
+    GROUP BY date_trunc('day', l_shipdate), l_partkey
+    """,
+    survey_ref="§2.4 A2 streaming (collect_set exact distinct — the "
+    "streaming-legal rendering of the reference's HashSet accumulator)",
+    tags=("streaming", "agg"),
+)
+def stream_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_stream_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy(F.window("l_shipdate", "1 day").alias("w"), "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("order_amount"),
+            F.size(F.collect_set("l_orderkey")).cast("long").alias("order_ct"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("dt"),
+            "l_partkey",
+            "order_amount",
+            "order_ct",
+        )
+    )
+    return run_stream_to_table(agg, _uniq("product_stats"), output_mode="complete")
 
 
 @register(

@@ -38,8 +38,17 @@ def _fix_nanos(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs every query depends on, applied defensively
+    because the driver harness builds its own session: UTC so
+    date_format/unix_timestamp match the DuckDB oracle on naive
+    timestamps; nanosAsLong so events.parquet (TIMESTAMP NANOS) loads."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch read of one driver-testdata table."""
+    _pin_session_confs(spark)
     if name in _NANOS_TABLES:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _fix_nanos(spark.read.parquet(_path(sf_dir, name)), name)
@@ -50,6 +59,7 @@ def read_stream_table(
 ) -> DataFrame:
     """Streaming read of the same table (file source, used with
     availableNow triggers in tests; swap for format('kafka') in prod)."""
+    _pin_session_confs(spark)
     if name in _NANOS_TABLES:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:

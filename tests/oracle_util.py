@@ -47,12 +47,27 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _norm_dtype(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"
+    return s
+
+
 def compare(spark_df, sql: str, con: duckdb.DuckDBPyConnection) -> None:
     got = spark_df.toPandas()
     want = con.execute(sql).fetchdf()
     assert sorted(got.columns) == sorted(want.columns), (
         f"column mismatch: spark={sorted(got.columns)} duckdb={sorted(want.columns)}"
     )
+    # dtype parity: int-width / float-vs-decimal drift would break a
+    # driver-side hash even when stringified values agree
+    dt_mism = {
+        c: (str(got[c].dtype), str(want[c].dtype))
+        for c in got.columns
+        if _norm_dtype(got[c].dtype) != _norm_dtype(want[c].dtype)
+    }
+    assert not dt_mism, f"dtype mismatch: {dt_mism}"
     assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"
     g, w = canonical_rows(got), canonical_rows(want)
     mism = [(a, b) for a, b in zip(g, w) if a != b]
