@@ -310,3 +310,98 @@ def ads_gmv_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("gmv"),
         F.count(F.lit(1)).alias("order_ct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (engine completeness; absent from the
+# reference per SURVEY §2.5).
+# --------------------------------------------------------------------------
+@register(
+    "set_intersect_buyers",
+    oracle="""
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    survey_ref="engine completeness: INTERSECT",
+    tags=("setop",),
+)
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c")
+    )
+    return urgent.intersect(low)
+
+
+@register(
+    "set_except_buyers",
+    oracle="""
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    survey_ref="engine completeness: EXCEPT",
+    tags=("setop",),
+)
+def set_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c")
+    )
+    return urgent.subtract(low)  # EXCEPT (set semantics), not EXCEPT ALL
+
+
+# --------------------------------------------------------------------------
+# §2.8 — the /api/sugar/tm reshape: top-N trademark GMV pivoted into
+# parallel ordered arrays (categories/series), exactly the dashboard JSON
+# the reference's SugarController builds (SugarController.java:38-68).
+# --------------------------------------------------------------------------
+@register(
+    "ads_tm_reshape",
+    oracle="""
+    WITH top AS (
+        SELECT p.p_brand,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS amt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+        ORDER BY amt DESC, p.p_brand LIMIT 5
+    )
+    SELECT array_to_string(list(p_brand ORDER BY amt DESC, p_brand), ',') AS categories,
+           array_to_string(list(CAST(amt AS VARCHAR) ORDER BY amt DESC, p_brand), ',') AS series
+    FROM top
+    """,
+    survey_ref="§2.8 serving reshape (SugarController categories/series)",
+    tags=("ads", "serving"),
+)
+def ads_tm_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    top = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("decimal(28,2)")
+            .alias("amt")
+        )
+        .orderBy(F.desc("amt"), F.asc("p_brand"))
+        .limit(5)
+    )
+    pairs = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("amt")).alias("neg"), "p_brand", "amt"))
+        ).alias("s")
+    )
+    return pairs.select(
+        F.concat_ws(",", F.transform("s", lambda x: x["p_brand"])).alias("categories"),
+        F.concat_ws(
+            ",", F.transform("s", lambda x: x["amt"].cast("string"))
+        ).alias("series"),
+    )

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): rewrite equivalences and operator
+invariants hold on arbitrary inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from gmall_flink_2022_spark.operators.dwm import bounce_detect_batch, interval_join
+from gmall_flink_2022_spark.operators.skew import salted_agg
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key (few keys -> collisions)
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows_strategy)
+def test_salted_agg_equivalence(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v long")
+    direct = {
+        (r["k"], r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["k"], r["s"], r["n"])
+        for r in salted_agg(df, ["k"], {"v": "s"}, count_alias="n", buckets=4).collect()
+    }
+    assert direct == salted
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=100),  # ts seconds
+        st.booleans(),  # is_entry
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(events_strategy)
+def test_bounce_invariants(spark, events):
+    rows = [
+        (i, u, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}", e)
+        for i, (u, t, e) in enumerate(events)
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, u long, cts string, is_entry boolean")
+        .withColumn("ts", F.to_timestamp("cts"))
+        .drop("cts")
+    )
+    out = bounce_detect_batch(
+        df, "u", "ts", F.col("is_entry"), gap_seconds=10, tiebreak="event_id"
+    ).collect()
+    emitted = {r["event_id"] for r in out}
+    by_id = {i: (u, t, e) for i, (u, t, e) in enumerate(events)}
+    # every emitted event is an entry event
+    assert all(by_id[i][2] for i in emitted)
+    # the last entry event of every user is always emitted (no successor)
+    per_user_order = {}
+    for i, (u, t, e) in enumerate(events):
+        per_user_order.setdefault(u, []).append((t, i, e))
+    for u, evs in per_user_order.items():
+        evs.sort()
+        entries = [i for _, i, e in evs if e]
+        if entries and evs[-1][1] == entries[-1]:
+            assert entries[-1] in emitted
+
+
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 59)), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs_strategy, pairs_strategy)
+def test_interval_join_equals_naive(spark, left, right):
+    l = spark.createDataFrame(
+        [(i, k, f"2024-01-01 00:00:{t:02d}") for i, (k, t) in enumerate(left)],
+        "lid long, k long, cts string",
+    ).withColumn("lts", F.to_timestamp("cts")).drop("cts")
+    r = spark.createDataFrame(
+        [(i, k, f"2024-01-01 00:00:{t:02d}") for i, (k, t) in enumerate(right)],
+        "rid long, rk long, cts string",
+    ).withColumn("rts", F.to_timestamp("cts")).drop("cts")
+    joined = interval_join(
+        l, r, l["k"] == r["rk"], l["lts"], r["rts"], -5, 5
+    ).select("lid", "rid")
+    got = {(x["lid"], x["rid"]) for x in joined.collect()}
+    want = {
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and lt - 5 <= rt <= lt + 5
+    }
+    assert got == want
