@@ -11,11 +11,15 @@ reference job is a forever-Kafka-job with the same operators
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.io import read_stream_table
+from ..sources.io import read_stream_table, read_table
+from ..streaming.bounce_state import bounce_detect_stateful
 from ..streaming.runner import run_stream_to_table
 from ..streaming.uv_state import unique_visit_stateful
 from .registry import register
@@ -138,6 +142,67 @@ def stream_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, _uniq("product_stats"), output_mode="complete")
+
+
+@register(
+    "stream_user_jump",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, ts, event_type,
+               LEAD(ts)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_type
+        FROM events
+    )
+    SELECT event_id, user_id, ts
+    FROM seq
+    WHERE event_type = 'view'
+      AND (nxt_ts IS NULL OR nxt_type = 'view'
+           OR nxt_ts > ts + INTERVAL 1800 SECOND)
+    """,
+    survey_ref="§2.6 W6 — the stateful CEP operator run as a REAL streaming "
+    "job (event-time timeouts fired by a sentinel watermark advance), "
+    "hash-matched against the batch lead() oracle",
+    tags=("streaming", "stateful", "cep"),
+)
+def stream_user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timeout branch of the CEP pattern only fires when the watermark
+    passes a pending entry's deadline; a far-future sentinel event (from a
+    user id outside the data's range) is appended as a second file so
+    trailing pending entries flush. Both engines exclude the sentinel."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    stage = tempfile.mkdtemp(prefix="gmall_uj_in_")
+    try:
+        ev.coalesce(4).write.parquet(os.path.join(stage, "data"), mode="overwrite")
+        sentinel = spark.createDataFrame(
+            [(999999999, -1, "2030-01-01 00:00:00", "click")],
+            "event_id long, user_id long, cts string, event_type string",
+        ).select(
+            "event_id",
+            "user_id",
+            F.to_timestamp("cts").alias("ts"),
+            "event_type",
+        )
+        in_dir = os.path.join(stage, "in")
+        spark.read.parquet(os.path.join(stage, "data")).coalesce(1).write.parquet(
+            in_dir, mode="overwrite"
+        )
+        sentinel.coalesce(1).write.parquet(in_dir, mode="append")
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .withColumn("is_entry", F.col("event_type") == "view")
+            .select("user_id", "event_id", "ts", "is_entry")
+        )
+        out = bounce_detect_stateful(sdf, gap_seconds=1800, watermark_delay="1 seconds")
+        settled = run_stream_to_table(out, _uniq("user_jump"), output_mode="append")
+        return settled.filter(F.col("user_id") >= 0).select(
+            "event_id", "user_id", "ts"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @register(
