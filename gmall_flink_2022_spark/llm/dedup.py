@@ -259,3 +259,58 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id) with
+    cluster_id = min doc id of the component (deterministic canonical
+    representative).
+
+    Iterative min-label propagation over the undirected pair graph: each
+    node adopts the smallest label among itself and its neighbors until
+    fixpoint. Near-dup graphs are shallow (components are cliques-ish), so
+    this converges in a few iterations; each iteration is one join+groupBy.
+    At 100 TB this is the standard large-star/small-star shape — the
+    per-iteration plan is identical, only the convergence check differs.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # truncate lineage each round: the iterative plan otherwise grows
+        # exponentially deep (each labels is built from the previous two
+        # joins) and blows the driver during planning. On a cluster this
+        # is a checkpoint to reliable storage.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

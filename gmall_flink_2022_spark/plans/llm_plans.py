@@ -19,9 +19,11 @@ from .registry import register
 # ---------------------------------------------------------------- SQL shards
 TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
-# word-3-gram shingle CTE over `documents` (mirrors llm.dedup.shingles)
-SHINGLE_CTE = f"""
-tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+
+def shingle_cte(source: str = "documents") -> str:
+    """word-3-gram shingle CTEs over ``source`` (mirrors llm.dedup.shingles)."""
+    return f"""
+tk AS (SELECT doc_id, {TOKS} AS toks FROM {source}),
 sh AS (
     SELECT DISTINCT doc_id,
            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
@@ -30,6 +32,9 @@ sh AS (
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
+
+
+SHINGLE_CTE = shingle_cte("documents")
 
 
 def _dot(a: str, b: str) -> str:
@@ -355,3 +360,94 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------- composed curation
+def _minhash_pair_ctes() -> str:
+    """sig/bk/cand/common CTEs over the shingle CTEs already in scope
+    (same fragments as llm_dedup_minhash)."""
+    return f"""
+    sig AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bk AS (
+        SELECT DISTINCT doc_id, bucket
+        FROM (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )"""
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+_CURATE_ORACLE = f"""
+    WITH tq AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    q AS (
+        SELECT doc_id, text FROM tq
+        WHERE len(toks) > 0
+          AND len(toks) >= 10
+          AND CAST(len(list_filter(toks, t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) <= 0.5
+          AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) >= 0.2
+    ),
+    ek AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    ed AS (SELECT q.doc_id, q.text FROM q JOIN ek ON q.doc_id = ek.doc_id),
+    {shingle_cte("ed").lstrip()},
+    {_minhash_pair_ctes()},
+    near AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.4
+    )
+    SELECT ed.doc_id AS id FROM ed
+    WHERE ed.doc_id NOT IN (SELECT doc_id FROM near)
+"""
+
+
+@register(
+    "llm_corpus_curation",
+    oracle=_CURATE_ORACLE,
+    survey_ref="extension: composed curation pipeline (quality gate -> "
+    "exact dedup -> MinHash near-dup removal) — the end-to-end "
+    "training-data flow, one oracle",
+    tags=("llm", "pipeline"),
+    bench=True,
+)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import curate
+
+    return curate(
+        _docs(spark, sf_dir),
+        min_tokens=10,
+        max_stopword_ratio=0.5,
+        min_uniq_ratio=0.2,
+        jaccard_threshold=0.4,
+    )
+
+
+@register(
+    "llm_dup_clusters",
+    oracle=None,  # iterative fixpoint; batch-tested against a fixture graph
+    survey_ref="extension: near-dup connected components (min-label "
+    "propagation; canonical representative per cluster)",
+    tags=("llm", "dedup", "iterative"),
+)
+def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.4
+    )
+    return dedup.dup_clusters(pairs)

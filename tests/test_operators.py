@@ -182,3 +182,26 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, decode="pil")
+
+
+def test_dup_clusters_fixture(spark):
+    from gmall_flink_2022_spark.llm.dedup import dup_clusters
+
+    # components: {1,2,3} via 1-2, 2-3; {7,9}; singleton edges only appear
+    # in the pair list, so isolated docs are out of scope by construction
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9)], "id_a long, id_b long"
+    )
+    got = {(r["id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_dup_clusters_chain(spark):
+    from gmall_flink_2022_spark.llm.dedup import dup_clusters
+
+    # long chain needs multiple propagation rounds: 10-9-8-...-1
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a long, id_b long"
+    )
+    got = {r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1}
