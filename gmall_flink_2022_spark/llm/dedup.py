@@ -69,12 +69,19 @@ def ngram_jaccard_pairs(
     exact and oracle-comparable)."""
     sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand_src = sh
-    if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_ct"))
-        cand_src = sh.join(
-            hot.filter(F.col("df_ct") <= max_shingle_df), "shingle", "left_semi"
-        )
+    # df=1 shingles can never be shared by a pair — drop them from the join
+    # sides (NOT from `sizes`); pure pruning, identical result. On skewed
+    # corpora this removes the long tail of unique shingles before the
+    # self-join shuffle.
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_ct"))
+    lo = 2
+    hi_pred = (
+        (F.col("df_ct") <= max_shingle_df)
+        if max_shingle_df is not None
+        else F.lit(True)
+    )
+    keep = freq.filter((F.col("df_ct") >= lo) & hi_pred)
+    cand_src = sh.join(keep.select("shingle"), "shingle", "left_semi")
     a = cand_src.alias("a")
     b = cand_src.alias("b")
     common = (
@@ -164,8 +171,18 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification restricted to the candidate pairs — the
     # LSH contract: candidate generation is linear, verification touches
     # only bucket collisions, never the quadratic pair space.
-    sha = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    shb = sh.select(F.col("id").alias("id_b2"), F.col("shingle").alias("sh_b"))
+    # prune df=1 shingles from the common-count join (never shared; sizes
+    # and signatures still use the full shingle set)
+    shared = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_ct"))
+        .filter(F.col("df_ct") >= 2)
+        .select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    sha = shared.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    shb = shared.select(F.col("id").alias("id_b2"), F.col("shingle").alias("sh_b"))
     common = (
         cands.join(sha, "id_a")
         .join(shb, (F.col("id_b") == F.col("id_b2")) & (F.col("sh_a") == F.col("sh_b")))

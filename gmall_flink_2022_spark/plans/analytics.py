@@ -405,3 +405,50 @@ def ads_tm_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("s", lambda x: x["amt"].cast("string"))
         ).alias("series"),
     )
+
+
+# --------------------------------------------------------------------------
+# Native session windows — F.session_window (gap-merged, streaming-capable)
+# vs the lag+cumsum SQL formulation: same sessions, proven by oracle.
+# Spark's session end = last event + gap; the oracle mirrors that.
+# --------------------------------------------------------------------------
+@register(
+    "dws_session_window_native",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 1800 SECOND
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL 1800 SECOND AS sess_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    survey_ref="§2.6 W3 extension: session windows (native session_window "
+    "== batch lag+cumsum oracle)",
+    tags=("dws", "window", "session"),
+)
+def dws_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1800 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )

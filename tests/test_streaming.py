@@ -111,3 +111,31 @@ def test_stream_batch_parity_visitor_stats(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, batch.collect()))
     s = sorted(map(tuple, got.collect()))
     assert b == s
+
+
+def test_uv_tws_gated_or_matches(spark, tmp_path):
+    """transformWithStateInPandas variant: runs (and matches the
+    applyInPandasWithState semantics) when the runtime supports it;
+    otherwise raises a clear gate error."""
+    from gmall_flink_2022_spark.streaming.uv_tws import (
+        tws_runtime_available,
+        unique_visit_tws,
+    )
+
+    rows = [(1, "2024-01-01 08:00:00"), (1, "2024-01-02 00:01:00")]
+    df = spark.createDataFrame(rows, "user_id long, cts string").withColumn(
+        "ts", F.to_timestamp("cts")
+    ).select("user_id", "ts")
+    in_dir = str(tmp_path / "tws_in")
+    df.write.parquet(in_dir)
+    sdf = spark.readStream.schema(df.schema).parquet(in_dir)
+    if tws_runtime_available():
+        out = run_stream_to_table(
+            unique_visit_tws(sdf), "uv_tws_t", checkpoint=str(tmp_path / "c")
+        )
+        assert out.count() == 2
+    else:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            unique_visit_tws(sdf)
