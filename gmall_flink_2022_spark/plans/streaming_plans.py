@@ -221,3 +221,29 @@ def stream_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dt", F.date_format("dt", "yyyy-MM-dd")
     )
     return run_stream_to_table(out, _uniq("unique_visit"), output_mode="append")
+
+
+@register(
+    "stream_order_enrich",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+           COUNT(*) AS line_ct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    survey_ref="§2.3 J3 streaming (stream-static broadcast dim join — the "
+    "reference's async Phoenix lookup path, re-read per micro-batch)",
+    tags=("streaming", "join"),
+)
+def stream_order_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_stream_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")  # static side, re-read per batch
+    enriched = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left"
+    )
+    agg = enriched.groupBy("p_brand").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("order_amount"),
+        F.count(F.lit(1)).alias("line_ct"),
+    )
+    return run_stream_to_table(agg, _uniq("order_enrich"), output_mode="complete")
