@@ -38,12 +38,45 @@ def _fix_nanos(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS. Stateful pandas
+    operators (applyInPandasWithState fns) pickle by module reference; a
+    driver that merely sys.path-inserted the repo leaves workers unable to
+    import the module. Shipping a zip via addPyFile puts the package on
+    every worker's path regardless of the driver's cwd/env."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parent = os.path.dirname(pkg_root)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"gmall_pkg_{os.getpid()}_{id(sc)}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_root):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
 def _pin_session_confs(spark: SparkSession) -> None:
     """Runtime-settable confs every query depends on, applied defensively
     because the driver harness builds its own session: UTC so
     date_format/unix_timestamp match the DuckDB oracle on naive
-    timestamps; nanosAsLong so events.parquet (TIMESTAMP NANOS) loads."""
+    timestamps; nanosAsLong so events.parquet (TIMESTAMP NANOS) loads;
+    package shipped to workers for the stateful pandas operators."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
