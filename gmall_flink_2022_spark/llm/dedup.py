@@ -62,26 +62,35 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    prune_rare: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard similarity of shingle sets >=
-    threshold. ``max_shingle_df`` drops ultra-common shingles from
-    candidate generation (scale guard; off by default so the result is
-    exact and oracle-comparable)."""
+    threshold.
+
+    Scale options (both result-identical or candidate-limiting, off by
+    default so the lean path has no extra shuffle):
+    - ``prune_rare``: drop df=1 shingles from the join sides (they can
+      never be shared by a pair; `sizes` keeps the full set). Pure
+      pruning — identical result — worth one extra aggregation on real
+      long-tail corpora, pure overhead on corpora where every shingle
+      repeats.
+    - ``max_shingle_df``: also drop ultra-common shingles from candidate
+      generation (changes recall; a df=k shingle contributes O(k^2)
+      pairs that rarer shingles usually already produce).
+    """
     sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # df=1 shingles can never be shared by a pair — drop them from the join
-    # sides (NOT from `sizes`); pure pruning, identical result. On skewed
-    # corpora this removes the long tail of unique shingles before the
-    # self-join shuffle.
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_ct"))
-    lo = 2
-    hi_pred = (
-        (F.col("df_ct") <= max_shingle_df)
-        if max_shingle_df is not None
-        else F.lit(True)
-    )
-    keep = freq.filter((F.col("df_ct") >= lo) & hi_pred)
-    cand_src = sh.join(keep.select("shingle"), "shingle", "left_semi")
+    cand_src = sh
+    if prune_rare or max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_ct"))
+        lo = 2 if prune_rare else 1
+        hi_pred = (
+            (F.col("df_ct") <= max_shingle_df)
+            if max_shingle_df is not None
+            else F.lit(True)
+        )
+        keep = freq.filter((F.col("df_ct") >= lo) & hi_pred)
+        cand_src = sh.join(keep.select("shingle"), "shingle", "left_semi")
     a = cand_src.alias("a")
     b = cand_src.alias("b")
     common = (
@@ -171,18 +180,8 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification restricted to the candidate pairs — the
     # LSH contract: candidate generation is linear, verification touches
     # only bucket collisions, never the quadratic pair space.
-    # prune df=1 shingles from the common-count join (never shared; sizes
-    # and signatures still use the full shingle set)
-    shared = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_ct"))
-        .filter(F.col("df_ct") >= 2)
-        .select("shingle"),
-        "shingle",
-        "left_semi",
-    )
-    sha = shared.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    shb = shared.select(F.col("id").alias("id_b2"), F.col("shingle").alias("sh_b"))
+    sha = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("id_b2"), F.col("shingle").alias("sh_b"))
     common = (
         cands.join(sha, "id_a")
         .join(shb, (F.col("id_b") == F.col("id_b2")) & (F.col("sh_a") == F.col("sh_b")))

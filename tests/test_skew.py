@@ -46,3 +46,19 @@ def test_salt_is_deterministic(spark, sf_dir):
     b = with_salt(li, 8).select("_salt").groupBy("_salt").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(0 <= r["_salt"] < 8 for r in a)
+
+def test_prune_rare_is_result_identical(spark, sf_dir):
+    from gmall_flink_2022_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = sorted(
+        (r["id_a"], r["id_b"], r["common"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    )
+    pruned = sorted(
+        (r["id_a"], r["id_b"], r["common"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, prune_rare=True
+        ).collect()
+    )
+    assert base == pruned
