@@ -247,3 +247,77 @@ def stream_order_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("line_ct"),
     )
     return run_stream_to_table(agg, _uniq("order_enrich"), output_mode="complete")
+
+
+@register(
+    "stream_payment_wide_outer",
+    oracle="""
+    SELECT p.event_id AS pay_event_id, v.event_id AS view_event_id,
+           p.user_id, p.ts AS pay_ts, v.ts AS view_ts
+    FROM events p
+    LEFT JOIN events v
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 900 SECOND
+     AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    survey_ref="§2.3 J2 outer variant — stream-stream LEFT OUTER interval "
+    "join; unmatched rows emit with nulls only when the watermark passes "
+    "their state boundary (sentinel rows on both sides force the flush)",
+    tags=("streaming", "join", "outer"),
+)
+def stream_payment_wide_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    stage = tempfile.mkdtemp(prefix="gmall_pwo_in_")
+    try:
+        in_dir = os.path.join(stage, "in")
+        ev.coalesce(1).write.parquet(in_dir, mode="overwrite")
+        sentinels = spark.createDataFrame(
+            [
+                (999999998, -1, "2030-01-01 00:00:00", "purchase"),
+                (999999999, -1, "2030-01-01 00:00:00", "view"),
+            ],
+            "event_id long, user_id long, cts string, event_type string",
+        ).select(
+            "event_id", "user_id", F.to_timestamp("cts").alias("ts"), "event_type"
+        )
+        sentinels.coalesce(1).write.parquet(in_dir, mode="append")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        pay = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("pay_event_id"),
+                F.col("user_id"),
+                F.col("ts").alias("pay_ts"),
+            )
+            .withWatermark("pay_ts", "1 seconds")
+        )
+        view = (
+            src.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_event_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 seconds")
+        )
+        joined = pay.join(
+            view,
+            (pay["user_id"] == view["v_user_id"])
+            & (view["view_ts"] >= pay["pay_ts"] - F.expr("INTERVAL 900 SECONDS"))
+            & (view["view_ts"] <= pay["pay_ts"]),
+            "leftOuter",
+        ).select("pay_event_id", "view_event_id", "user_id", "pay_ts", "view_ts")
+        settled = run_stream_to_table(
+            joined, _uniq("payment_wide_outer"), output_mode="append"
+        )
+        return settled.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
