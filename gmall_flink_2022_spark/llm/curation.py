@@ -1,14 +1,25 @@
 """Corpus curation: the composed training-data pipeline — quality filter
 -> exact dedup -> near-dup removal -> clean corpus. Each stage is one of
 the engine's operators; the composition is itself an operator (and, being
-pure DataFrame algebra, fully SQL-expressible for the oracle)."""
+pure DataFrame algebra, fully SQL-expressible for the oracle).
+
+Single-materialization design: the corpus is scanned and tokenized ONCE;
+the quality gate, the exact-dedup digest, and the shingle table all derive
+from that one pass. The quality+exact survivors are persisted (on a
+cluster: a checkpoint to reliable storage) because three downstream
+consumers read them — MinHash signatures, Jaccard verification, and the
+final anti-join. Before this restructuring each stage re-read the parquet
+and re-ran the tokenizer regex (~4 corpus scans); now it is one scan plus
+in-memory reuse, which is also the 100 TB-correct shape: tokenization is
+the dominant CPU cost and must not be repeated per stage."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import exact_dedup, minhash_lsh_pairs
-from .text import quality_score
+from ..functions.tokenize import tokenize_col
+from .dedup import minhash_lsh_pairs_from_shingles, shingles
+from .text import STOPWORDS
 
 
 def curate(
@@ -29,22 +40,33 @@ def curate(
     conventional MinHash-dedup policy: every surviving pair has
     Jaccard < threshold.
     """
-    quality = quality_score(docs, id_col, text_col).filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("stopword_ratio") <= max_stopword_ratio)
-        & (F.col("uniq_ratio") >= min_uniq_ratio)
+    # one scan, one tokenize: quality ratios are computed inline from the
+    # shared token array (same expressions as llm.text.quality_score).
+    toks = F.col("_toks")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    qdocs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_text"),
+            tokenize_col(text_col).alias("_toks"),
+        )
+        .filter(
+            (n >= min_tokens)
+            & (n_stop.cast("double") / n.cast("double") <= max_stopword_ratio)
+            & (n_uniq.cast("double") / n.cast("double") >= min_uniq_ratio)
+        )
     )
-    qdocs = docs.join(
-        quality.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    # exact dedup on the content digest, min-id representative kept
+    keep_exact = (
+        qdocs.groupBy(F.md5("_text").alias("digest"))
+        .agg(F.min("id").alias("id"))
+        .select("id")
     )
-    keep_exact = exact_dedup(qdocs, id_col, text_col).select(
-        F.col("keep_id").alias(id_col)
-    )
-    edocs = qdocs.join(keep_exact, id_col, "left_semi")
-    pairs = minhash_lsh_pairs(
-        edocs, id_col, text_col, threshold=jaccard_threshold
-    )
-    drop_near = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return edocs.join(drop_near, id_col, "left_anti").select(
-        F.col(id_col).alias("id")
-    )
+    edocs = qdocs.join(keep_exact, "id", "left_semi").persist()
+    sh = shingles(edocs, "id", "_text", tokens_col="_toks").persist()
+    pairs = minhash_lsh_pairs_from_shingles(sh, threshold=jaccard_threshold)
+    drop_near = pairs.select(F.col("id_b").alias("id")).distinct()
+    return edocs.join(drop_near, "id", "left_anti").select("id")

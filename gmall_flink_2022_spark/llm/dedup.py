@@ -35,11 +35,19 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tokens_col: str | None = None,
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
     Tokens via the engine tokenizer; shingle = n consecutive tokens
-    joined by a single space."""
-    toks = tokenize_col(text_col)
+    joined by a single space. Pass ``tokens_col`` to reuse an existing
+    array<string> token column instead of re-tokenizing (one regex pass
+    per corpus scan saved in composed pipelines)."""
+    toks = F.col(tokens_col) if tokens_col else tokenize_col(text_col)
     # guard: sequence() counts down when stop < start, so gate on size>=n;
     # docs with fewer than n tokens produce no shingles (explode drops them).
     grams = F.when(
@@ -154,10 +162,29 @@ def minhash_lsh_pairs(
     sharing any band bucket become candidates; candidates are verified
     with exact Jaccard >= threshold. Returns (id_a, id_b, jaccard).
     """
-    rows = num_hashes // bands
     sh = shingles(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sig = sh.groupBy("id").agg(*_minhash_cols(num_hashes))
+    return minhash_lsh_pairs_from_shingles(sh, num_hashes, bands, threshold)
+
+
+def minhash_lsh_pairs_from_shingles(
+    sh: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Same contract as :func:`minhash_lsh_pairs` over a precomputed
+    (id, shingle) table — lets composed pipelines (curation) materialize
+    shingles once and share them between signature generation and
+    exact-Jaccard verification instead of re-scanning + re-tokenizing
+    the corpus per stage."""
+    rows = num_hashes // bands
+    # one aggregation computes both the signature and the set size — the
+    # shuffle key is the same, so a separate sizes pass would be a second
+    # full exchange over the shingle table for no reason.
+    sig = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"), *_minhash_cols(num_hashes)
+    ).persist()  # one small row per doc; read by both buckets and sizes
+    sizes = sig.select("id", "n_sh")
     band_cols = [
         F.concat_ws(
             "_", F.lit(str(b)), *[F.col(f"mh{b * rows + r}") for r in range(rows)]
