@@ -38,9 +38,49 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("digest", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # double precision: the fake encoder divides exact integer
+        # accumulators by 997.0 — one float64 op, bit-identical to the
+        # SQL oracle's CAST(.. AS DOUBLE)/997.0 (float32 would drift)
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the `documents` corpus —
+    the driver testdata ships no binary table, so payloads are the UTF-8
+    bytes of `text` (pure ASCII in the corpus, so byte == char), kind
+    cycles image/audio/video by id, and duration/size metadata derive
+    from `n_chars`. Every downstream value (digest, n_bytes, features,
+    frame offsets) is therefore SQL-expressible for the DuckDB oracle
+    while the Spark side exercises the real binary-column plumbing."""
+    from pyspark.sql import functions as F
+
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    mime = (
+        F.when(kind == "image", "image/png")
+        .when(kind == "audio", "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        mime.alias("mime"),
+        F.when(kind == "image", (64 + F.col("n_chars") % 256).cast("int")).alias(
+            "width"
+        ),
+        F.when(kind == "image", (64 + (F.col("n_chars") * 7) % 256).cast("int")).alias(
+            "height"
+        ),
+        F.when(kind != "image", (F.col("n_chars") * 37).cast("long")).alias(
+            "duration_ms"
+        ),
+    )
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:

@@ -451,3 +451,127 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.4
     )
     return dedup.dup_clusters(pairs)
+
+
+# --------------------------------------------------------------- multimodal
+# Media table derived deterministically from `documents` (payload = UTF-8
+# bytes of text; the corpus is pure ASCII so DuckDB's char ops see the
+# same bytes) — the binary-column plumbing (mapInPandas over Arrow
+# batches) is real; only the codec inside is the documented fake.
+_MEDIA_CTE = """
+media AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           text,
+           n_chars * 37 AS duration_ms
+    FROM documents
+)"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import media_from_documents
+
+    return media_from_documents(_docs(spark, sf_dir))
+
+
+@register(
+    "mm_media_features",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    ch AS (
+        SELECT media_id, (i - 1) % 8 AS j, ord(substr(text, i, 1)) AS byte
+        FROM media, UNNEST(generate_series(1, strlen(text))) AS t(i)
+    ),
+    votes AS (
+        SELECT media_id, j, SUM(byte) AS s FROM ch GROUP BY media_id, j
+    ),
+    slots AS (
+        SELECT m.media_id, d.j, COALESCE(v.s, 0) AS s
+        FROM media m
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS j) d
+        LEFT JOIN votes v ON v.media_id = m.media_id AND v.j = d.j
+    ),
+    feats AS (
+        SELECT media_id,
+               list(CAST(s % 997 AS DOUBLE) / 997.0 ORDER BY j) AS feature
+        FROM slots GROUP BY media_id
+    )
+    SELECT m.media_id, m.kind,
+           CAST(strlen(m.text) AS BIGINT) AS n_bytes,
+           md5(m.text) AS digest,
+           {", ".join(f"f.feature[{i + 1}] AS f{i}" for i in range(8))}
+    FROM media m JOIN feats f ON m.media_id = f.media_id
+    """,
+    survey_ref="extension: multimodal decode/feature-extract over opaque "
+    "binary payloads (Arrow-batched mapInPandas; codec stubbed, "
+    "plumbing + batch shape real)",
+    tags=("llm", "multimodal"),
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import extract_features
+
+    # the full feature array is computed inside the mapInPandas batch;
+    # scalar projections keep the parity hash free of list-vs-ndarray
+    # representation drift between the two engines' pandas outputs
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "digest",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id,
+           CAST(UNNEST(range(0, greatest(duration_ms, 1), 1000)) AS BIGINT)
+               AS frame_ms,
+           md5(text) AS digest
+    FROM media WHERE kind = 'video'
+    """,
+    survey_ref="extension: video frame-sampling fan-out (explode inside "
+    "mapInPandas; offsets from duration metadata, decode stubbed)",
+    tags=("llm", "multimodal"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import frame_sample
+
+    return frame_sample(_media(spark, sf_dir), every_ms=1000)
+
+
+@register(
+    "mm_frame_dedup",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    frames AS (
+        SELECT media_id,
+               CAST(UNNEST(range(0, greatest(duration_ms, 1), 1000)) AS BIGINT)
+                   AS frame_ms,
+               md5(text) AS digest
+        FROM media WHERE kind = 'video'
+    )
+    SELECT digest,
+           CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           MIN(media_id) AS keep_media
+    FROM frames GROUP BY digest
+    """,
+    survey_ref="extension: sampled-frame dedup by payload digest "
+    "(multimodal x dedup composition)",
+    tags=("llm", "multimodal", "dedup"),
+)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import frame_sample
+
+    frames = frame_sample(_media(spark, sf_dir), every_ms=1000)
+    return frames.groupBy("digest").agg(
+        F.countDistinct("media_id").alias("n_media"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("media_id").alias("keep_media"),
+    )
