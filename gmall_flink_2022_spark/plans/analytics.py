@@ -452,3 +452,47 @@ def dws_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "set_intersect_all_buyers",
+    oracle="""
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    survey_ref="engine completeness: INTERSECT ALL (multiset semantics — "
+    "each custkey kept min(urgent_ct, low_ct) times)",
+    tags=("setop",),
+)
+def set_intersect_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c")
+    )
+    return urgent.intersectAll(low)
+
+
+@register(
+    "set_except_all_buyers",
+    oracle="""
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    survey_ref="engine completeness: EXCEPT ALL (multiset semantics — "
+    "urgent_ct - low_ct surviving copies per custkey)",
+    tags=("setop",),
+)
+def set_except_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c")
+    )
+    return urgent.exceptAll(low)

@@ -769,3 +769,138 @@ def events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    survey_ref="§4 (CTE/view + scalar-max subquery, Q15 shape; the max "
+    "comparison stays in exact DECIMAL so both engines pick the "
+    "identical winner)",
+    tags=("sql", "cte", "agg"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(price * (F.lit(1) - disc)).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev["total_rev"] == top["max_rev"])
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey, COUNT(*) AS cnt,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+    JOIN per_part pp ON pp.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.cnt < pp.sum_qty
+    """,
+    survey_ref="§4 (correlated avg subquery decorrelated to a per-key "
+    "aggregate join, Q17 shape; `qty < 0.2*avg(qty)` rewritten "
+    "`5*qty*cnt < sum` so the comparison is exact DECIMAL — no "
+    "order-dependent double average)",
+    tags=("sql", "subquery", "agg"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(per_part.withColumnRenamed("l_partkey", "pp_key"),
+              F.col("pp_key") == li["l_partkey"])
+        .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("cnt") < F.col("sum_qty"))
+    )
+    return joined.agg(
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias(
+            "avg_yearly"
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH pos AS (
+        SELECT COUNT(*) AS cnt,
+               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.cnt > pos.sum_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    """,
+    survey_ref="§4 (global scalar subquery + NOT EXISTS anti join, Q22 "
+    "shape; `bal > avg(bal)` rewritten `bal*cnt > sum` for exact "
+    "DECIMAL comparison)",
+    tags=("sql", "subquery", "anti", "agg"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_bal"),
+    )
+    cand = (
+        c.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("cnt") > F.col("sum_bal"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )
