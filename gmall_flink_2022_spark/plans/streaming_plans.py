@@ -321,3 +321,80 @@ def stream_payment_wide_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return settled.filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "stream_stats_upsert_sink",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    survey_ref="§2.1 S9 + §2.4 A1 — update-mode windowed agg flowing "
+    "through a foreachBatch keyed-upsert stats store (the ClickHouse "
+    "JDBC batch sink shape: each micro-batch writes its changed rows; "
+    "replay overwrites the same keys, so at-least-once delivery still "
+    "converges to exactly the complete aggregate)",
+    tags=("streaming", "agg", "sink"),
+)
+def stream_stats_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.dim_store import DimStore
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    agg = (
+        ev.withWatermark("ts", "1 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("dur_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), fmt).alias("stt"),
+            "event_type",
+            "pv_ct",
+            "dur_sum",
+        )
+        # surrogate upsert key = the group-by key (stt, event_type)
+        .withColumn("_k", F.concat_ws("|", "stt", "event_type"))
+    )
+    root = tempfile.mkdtemp(prefix="gmall_stats_store_")
+    store = DimStore(spark, root)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        store.upsert("visitor_stats", batch, pk="_k")
+
+    ckpt = tempfile.mkdtemp(prefix="gmall_ckpt_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read("visitor_stats").drop("_k")
+
+
+@register(
+    "stream_uv_dropdup",
+    oracle="""
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS dt
+    FROM events
+    """,
+    survey_ref="§2.4 A5 alternative rendering — streaming dropDuplicates "
+    "per (user, day): the watermarkless unbounded-state variant "
+    "(SURVEY maps the exact-TTL variant to applyInPandasWithState — "
+    "see stream_unique_visit; this one is the dropDuplicates mapping)",
+    tags=("streaming", "dedup"),
+)
+def stream_uv_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_stream_table(spark, sf_dir, "events")
+    uv = (
+        ev.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .dropDuplicates(["user_id", "dt"])
+    )
+    return run_stream_to_table(uv, _uniq("uv_dropdup"), output_mode="append")

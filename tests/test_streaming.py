@@ -139,3 +139,56 @@ def test_uv_tws_gated_or_matches(spark, tmp_path):
 
         with pytest.raises(NotImplementedError, match="protobuf"):
             unique_visit_tws(sdf)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling (SURVEY §2.6 W7): rows arriving after the
+    watermark has passed their window's end are silently dropped — the
+    reference has no allowedLateness anywhere, and Spark's default is the
+    same drop. Three files + maxFilesPerTrigger=1 force three
+    micro-batches (the file-replay watermark is applied one commit after
+    it advances): batch 0 sees 11:00 data, batch 1 commits that watermark,
+    so batch 2's 09:00 straggler is filtered while its in-time 11:00 row
+    still lands. The final empty batch evicts and emits closed windows."""
+    f1 = _events_df(
+        spark,
+        [
+            (1, 1, "2024-01-01 09:00:01", "view"),
+            (2, 1, "2024-01-01 11:00:00", "view"),
+        ],
+    )
+    f2 = _events_df(spark, [(9, 1, "2024-01-01 11:00:05", "click")])
+    f3 = _events_df(
+        spark,
+        [
+            (3, 1, "2024-01-01 09:00:02", "view"),   # beyond watermark: dropped
+            (4, 1, "2024-01-01 11:00:01", "view"),   # window still open: kept
+            (5, 1, "2024-01-01 13:30:00", "click"),  # advances final watermark
+        ],
+    )
+    import time
+
+    in_dir = str(tmp_path / "in")
+    f1.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    time.sleep(1.2)  # unambiguous file mtime order = replay order
+    f2.coalesce(1).write.parquet(in_dir, mode="append")
+    time.sleep(1.2)
+    f3.coalesce(1).write.parquet(in_dir, mode="append")
+    src = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "ct")
+    )
+    got = {
+        r["h"]: r["ct"]
+        for r in run_stream_to_table(agg, "late_drop_test", "append").collect()
+    }
+    # 09:00 closed with only the on-time row (straggler dropped); 11:00
+    # kept all three in-time rows; the 13:00 window never finalized
+    assert got == {"09:00": 1, "11:00": 3}
