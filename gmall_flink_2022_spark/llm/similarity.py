@@ -174,3 +174,83 @@ def embedding_near_dups(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "bucket", "sim")
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer partitions the corpus
+    into ``n_cells`` inverted lists; each query probes its ``n_probe``
+    nearest centroids and scores only those cells' vectors.
+
+    Scale shape: training samples the corpus (k-means state is tiny),
+    the cell assignment is a narrow map, and the probe join hits
+    ~n_probe/n_cells of the corpus — at 100 TB the inverted lists are
+    what you'd persist partitioned-by-cell so a probe is a partition-
+    pruned scan, not a full pass. Approximate by construction (centroid
+    placement decides recall): no SQL oracle; recall vs knn_bruteforce
+    is asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    feat = c.select(
+        "neighbor_id",
+        array_to_vector(
+            F.transform("c_vec", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(feat)
+    assigned = (
+        km.transform(feat)
+        .select("neighbor_id", F.col("prediction").alias("cell"))
+        .join(c, "neighbor_id")
+    )
+    centers = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())
+    ]
+    cdf = queries.sparkSession.createDataFrame(
+        centers, "cell int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # probe ranking by euclidean distance (the quantizer's own geometry)
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.transform("q_vec", lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda x, c_: (x - c_) * (x - c_),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cands.withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

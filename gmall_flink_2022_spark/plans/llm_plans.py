@@ -273,6 +273,23 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh(embs, queries, "vec_id", "embedding", k=5)
 
 
+# -------------------------------------------------- IVF (k-means) bucketed kNN
+@register(
+    "llm_knn_ivf",
+    oracle=None,  # approximate by construction (centroid placement); recall
+    # vs brute force asserted in tests/test_operators.py
+    survey_ref="extension: ANN scale path #2 — IVF inverted lists from a "
+    "k-means coarse quantizer (Spark ML), n_probe cell scan",
+    tags=("llm", "similarity"),
+)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.knn_ivf(
+        embs, queries, "vec_id", "embedding", k=5, n_cells=10, n_probe=3
+    )
+
+
 # ------------------------------------------------------------- text analysis
 @register(
     "llm_token_stats",

@@ -205,3 +205,24 @@ def test_dup_clusters_chain(spark):
     )
     got = {r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == {1}
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    """IVF ANN has no SQL oracle (centroid placement is the approximation);
+    the contract is recall against the exact brute-force top-k."""
+    from gmall_flink_2022_spark.llm.similarity import knn_bruteforce, knn_ivf
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(embs, queries, "vec_id", "embedding", k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(
+            embs, queries, "vec_id", "embedding", k=5, n_cells=10, n_probe=3
+        ).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.7  # probing 3/10 cells
