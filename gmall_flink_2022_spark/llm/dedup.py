@@ -233,11 +233,13 @@ def minhash_lsh_pairs_from_shingles(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
-    """SimHash signature per document (default 16 bits for SQL-oracle
-    portability; 64 at scale). Bit i of the signature is the sign of
-    sum over distinct tokens of (+1 if bit i of md5(token) else -1).
-    Token bit i is derived from hex digit i of the md5 (low bit of the
-    digit) — deterministic and expressible in both engines."""
+    """SimHash signature per document (16 or 64 bits; both SQL-oracle
+    portable). Bit i of the signature is the sign of sum over distinct
+    tokens of (+1 if bit i of md5(token) else -1). Token bit i derives
+    from hex digit (i mod 32) of the md5, shifted by (i div 32) — bits
+    0-31 are each digit's low bit, 32-63 the next bit — deterministic
+    and expressible identically in both engines."""
+    assert bits <= 64
     toks = F.explode(F.array_distinct(tokenize_col(text_col)))
     tok = df.select(F.col(id_col).alias("id"), toks.alias("token")).withColumn(
         "h", F.md5(F.col("token"))
@@ -245,7 +247,14 @@ def simhash_signatures(
     bit_votes = [
         F.sum(
             F.when(
-                F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int") % 2 == 1,
+                F.shiftright(
+                    F.conv(F.substring(F.col("h"), (i % 32) + 1, 1), 16, 10).cast(
+                        "int"
+                    ),
+                    i // 32,
+                )
+                % 2
+                == 1,
                 1,
             ).otherwise(-1)
         ).alias(f"v{i}")
@@ -259,24 +268,29 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_splits: int = 2,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidate generation
-    buckets on signature halves (a pair within Hamming distance d must
-    agree exactly on at least one of d+1 equal splits — here 2 splits
-    catches d<=1 exactly and more probabilistically; at scale use
-    max_hamming+1 splits). Distance verified exactly on the bit string."""
+    buckets on ``n_splits`` equal signature slices: a pair within
+    Hamming distance d must agree exactly on at least one slice when
+    n_splits > d (pigeonhole) — so ``n_splits = max_hamming + 1`` is
+    the exact-recall setting; fewer splits trade recall for fewer,
+    bigger buckets. Distance verified exactly on the bit string."""
     sig = simhash_signatures(df, id_col, text_col, bits).persist()
-    half = bits // 2
+    width = bits // n_splits
+    slices = [
+        F.concat(F.lit(f"s{k}_"), F.substring("simhash", k * width + 1, width))
+        for k in range(n_splits)
+    ]
     parts = sig.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                F.concat(F.lit("L"), F.substring("simhash", 1, half)),
-                F.concat(F.lit("R"), F.substring("simhash", half + 1, half)),
-            )
-        ).alias("bucket"),
+        F.explode(F.array(*slices)).alias("bucket"),
     )
     a = parts.alias("a")
     b = parts.alias("b")

@@ -254,3 +254,50 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def embedding_near_dups_lsh(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with LSH candidate blocking —
+    no side-channel bucket column (cf. :func:`embedding_near_dups`,
+    which blocks on a provided coarse label): candidates are pairs
+    colliding in ANY of ``n_tables`` random-hyperplane tables, then
+    verified with exact cosine >= threshold. For cos >= 0.9 the
+    per-plane collision prob is ~0.86, so 8 planes x 8 tables gives
+    ~0.94 pair recall while scanning a tiny fraction of the O(n^2)
+    pair space. Candidate generation is linear in corpus size — the
+    100 TB shape."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bucketed = e.select(
+        "id", "vec", F.explode(_table_buckets(F.col("vec"), tables)).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

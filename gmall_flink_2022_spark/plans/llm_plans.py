@@ -290,6 +290,20 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_dedup_embed_lsh",
+    oracle=None,  # LSH blocking is approximate; pair recall vs the exact
+    # all-pairs threshold scan asserted in tests/test_operators.py
+    survey_ref="extension: embedding near-dup with LSH blocking (no "
+    "ground-truth bucket column; linear candidate generation)",
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dups_lsh(
+        _embs(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+    )
+
+
 # ------------------------------------------------------------- text analysis
 @register(
     "llm_token_stats",
@@ -591,4 +605,70 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("media_id").alias("n_media"),
         F.count(F.lit(1)).alias("n_frames"),
         F.min("media_id").alias("keep_media"),
+    )
+
+
+# ------------------------------------------------------- SimHash 64-bit
+# Scale variant: 64-bit signatures, pigeonhole blocking on 4 slices of 16
+# bits (exact recall for hamming <= 3). Bit i = bit (i div 32) of md5 hex
+# digit (i mod 32) — the same arithmetic both engines can express.
+_S64 = 64
+_S64_SPLITS = 4
+
+
+def _bit64_sql(i: int) -> str:
+    digit = f"strpos('0123456789abcdef', substr(h, {i % 32 + 1}, 1)) - 1"
+    return f"(({digit}) // {2 ** (i // 32)}) % 2"
+
+
+_VOTES64 = ",\n           ".join(
+    f"SUM(CASE WHEN {_bit64_sql(i)} = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_S64)
+)
+_SIG64 = ", ".join(f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(_S64))
+_HAMMING64 = " + ".join(
+    f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(_S64)
+)
+_W64 = _S64 // _S64_SPLITS
+_SLICES64 = ", ".join(
+    f"'s{k}_' || substr(simhash, {k * _W64 + 1}, {_W64})" for k in range(_S64_SPLITS)
+)
+
+
+@register(
+    "llm_dedup_simhash64",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST({TOKS}) AS token FROM documents
+    ),
+    hs AS (SELECT doc_id, md5(token) AS h FROM tok),
+    votes AS (
+        SELECT doc_id,
+           {_VOTES64}
+        FROM hs GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, concat({_SIG64}) AS simhash FROM votes),
+    parts AS (
+        SELECT doc_id, simhash, UNNEST([{_SLICES64}]) AS bucket FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({_HAMMING64} AS BIGINT) AS hamming
+    FROM parts a JOIN parts b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE {_HAMMING64} <= 3
+    """,
+    survey_ref="extension: SimHash scale variant — 64-bit signatures, "
+    "pigeonhole blocking (4 x 16-bit slices = exact recall for "
+    "hamming <= 3)",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        bits=_S64,
+        max_hamming=3,
+        n_splits=_S64_SPLITS,
     )

@@ -226,3 +226,32 @@ def test_knn_ivf_recall(spark, sf_dir):
         ).collect()
     }
     assert len(bf & ivf) / len(bf) >= 0.7  # probing 3/10 cells
+
+
+def test_embedding_near_dups_lsh_recall(spark, sf_dir):
+    """LSH-blocked embedding dedup: pair recall vs the exact all-pairs
+    scan at the same cosine threshold (blocking is the approximation;
+    every emitted pair is exactly verified, so precision is 1.0)."""
+    from gmall_flink_2022_spark.llm.similarity import (
+        cosine,
+        embedding_near_dups_lsh,
+    )
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.9)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(embs, threshold=0.9).collect()
+    }
+    assert got <= exact  # exact verification -> no false positives
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.8
