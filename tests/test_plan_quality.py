@@ -63,3 +63,30 @@ def test_wholestage_codegen_everywhere(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "codegen id" in buf.getvalue()
+
+
+def test_new_tpch_shapes_plan_quality(spark, sf_dir):
+    # Q15: the scalar-max side is a one-row aggregate -> must broadcast
+    p = _plan(spark, sf_dir, "tpch_q15_top_supplier")
+    assert "BroadcastHashJoin" in p
+    # shipdate range filter reaches the scan
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+
+    # Q17: brand-filtered part dim broadcasts; brand predicate pushed down
+    p = _plan(spark, sf_dir, "tpch_q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(p_brand,Brand#23)" in p
+
+    # Q22: one-row global aggregate and nation dim broadcast; the orders
+    # anti join should NOT materialize o_* payload columns beyond the key
+    p = _plan(spark, sf_dir, "tpch_q22_global_sales_opportunity")
+    assert "BroadcastHashJoin" in p
+    assert "o_totalprice" not in p
+
+
+def test_multimodal_plan_prunes_input(spark, sf_dir):
+    # mapInPandas must not drag unused document columns into Arrow batches
+    p = _plan(spark, sf_dir, "mm_frame_sample")
+    read = p.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read and "n_chars" in read
+    assert "lang" not in read and "source" not in read
