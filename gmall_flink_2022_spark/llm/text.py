@@ -99,3 +99,94 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.concat_ws(" ", toks)).alias("fp_exact"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp_bag"),
     )
+
+
+def ngram_familiarity(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Perplexity-proxy quality feature: how familiar a document's token
+    bigrams are under the corpus's own bigram statistics.
+
+    score = (sum_i ct(w_{i-1} w_i) + P) / (sum_i ct(w_{i-1}) + P*V)
+
+    over the P positional bigrams of the doc, with V = corpus vocabulary
+    size — a Laplace-smoothed aggregate ratio. Deliberately NOT a mean of
+    per-position log-probs: every accumulation here is an exact integer
+    sum with ONE final double division, so the result is bit-identical
+    across engines and partitionings (per-position double sums would be
+    order-dependent; libm log() differs across engines). Low scores =
+    rare/unnatural token transitions (gibberish, boilerplate soup) — the
+    conventional LM-perplexity filter signal, computed corpus-relative.
+    """
+    toks = tokenize_col(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    pos = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i).alias("prev"),
+                        F.concat_ws(
+                            " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+                        ).alias("bigram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,bigram:string>>"))
+        ).alias("p"),
+    ).select("id", "p.prev", "p.bigram")
+    big_ct = pos.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    uni = base.select(F.explode("_toks").alias("token"))
+    uni_ct = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.select(F.countDistinct("token").alias("v"))
+    scored = (
+        pos.join(big_ct, "bigram")
+        .join(uni_ct, pos["prev"] == uni_ct["token"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c2").alias("sum_bigram_ct"),
+            F.sum("c1").alias("sum_prev_ct"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(vocab)).select(
+        "id",
+        "n_bigrams",
+        "sum_bigram_ct",
+        "sum_prev_ct",
+        (
+            (F.col("sum_bigram_ct") + F.col("n_bigrams")).cast("double")
+            / (F.col("sum_prev_ct") + F.col("n_bigrams") * F.col("v")).cast("double")
+        ).alias("familiarity"),
+    )
+
+
+# rolling-hash parameters: base/mod chosen so h*B + v stays well inside
+# int64 (M < 2^31, B = 256 -> max intermediate < 2^39)
+_RH_BASE = 256
+_RH_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint: a left fold
+    h = (h * B + v(tok)) mod M over the token stream, with v(tok) = the
+    first 8 md5 hex chars as an int. Position-sensitive (unlike the
+    md5-of-joined-tokens fp_exact): equal prefixes share hash prefixes,
+    and the same fold over any token window gives the shingle hashes a
+    winnowing fingerprinter would keep. Integer-exact -> oracle-exact."""
+    toks = tokenize_col(text_col)
+    vals = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    h = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * _RH_BASE + v) % _RH_MOD,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        h.alias("fp_roll"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

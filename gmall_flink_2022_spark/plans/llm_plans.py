@@ -672,3 +672,66 @@ def llm_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         n_splits=_S64_SPLITS,
     )
+
+
+# ---------------------------------------------- perplexity-proxy familiarity
+@register(
+    "llm_ngram_familiarity",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, toks[i] AS prev, toks[i] || ' ' || toks[i+1] AS bigram
+        FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 2
+    ),
+    big_ct AS (SELECT bigram, COUNT(*) AS c2 FROM pos GROUP BY bigram),
+    uni AS (SELECT UNNEST(toks) AS token FROM tk),
+    uni_ct AS (SELECT token, COUNT(*) AS c1 FROM uni GROUP BY token),
+    vocab AS (SELECT COUNT(DISTINCT token) AS v FROM uni),
+    scored AS (
+        SELECT p.doc_id AS id, COUNT(*) AS n_bigrams,
+               CAST(SUM(b.c2) AS BIGINT) AS sum_bigram_ct,
+               CAST(SUM(u.c1) AS BIGINT) AS sum_prev_ct
+        FROM pos p
+        JOIN big_ct b ON p.bigram = b.bigram
+        JOIN uni_ct u ON p.prev = u.token
+        GROUP BY p.doc_id
+    )
+    SELECT id, n_bigrams, sum_bigram_ct, sum_prev_ct,
+           CAST(sum_bigram_ct + n_bigrams AS DOUBLE)
+             / CAST(sum_prev_ct + n_bigrams * v AS DOUBLE) AS familiarity
+    FROM scored CROSS JOIN vocab
+    """,
+    survey_ref="extension: perplexity-proxy quality feature (corpus-"
+    "relative bigram familiarity; exact-integer accumulation, one "
+    "final double division)",
+    tags=("llm", "text"),
+)
+def llm_ngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_familiarity(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ------------------------------------------------- rolling-hash fingerprint
+@register(
+    "llm_fingerprint_rolling",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id AS id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, t ->
+                       list_reduce(list_transform(generate_series(1, 8), i ->
+                           CAST(strpos('0123456789abcdef',
+                                       substr(md5(t), i, 1)) - 1 AS BIGINT)),
+                           (a, d) -> a * 16 + d))),
+               (acc, v) -> (acc * 256 + v) % 1000000007
+           ) AS fp_roll,
+           len(toks) AS n_tokens
+    FROM tk
+    """,
+    survey_ref="extension: Rabin-Karp rolling-hash fingerprint (position-"
+    "sensitive; the fold a winnowing fingerprinter applies per window)",
+    tags=("llm", "text"),
+)
+def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rolling_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
