@@ -155,3 +155,80 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_ms", "digest"])
 
     return media.filter("kind = 'video'").mapInPandas(batches, out_schema)
+
+
+def image_resize_meta(media: DataFrame, box: int = 256) -> DataFrame:
+    """Image resize plumbing: fit-into-box metadata math (longest side ->
+    ``box``, integer arithmetic) computed alongside the stubbed pixel
+    work inside mapInPandas. The batch shape is what a real PIL/opencv
+    resize would use; only the pixel transform is faked (payload digest
+    stands in for the resized bytes)."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("new_w", T.IntegerType()),
+            T.StructField("new_h", T.IntegerType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h = int(r["width"]), int(r["height"])
+                long_side = max(w, h, 1)
+                rows.append(
+                    (
+                        int(r["media_id"]),
+                        w,
+                        h,
+                        (w * box) // long_side,
+                        (h * box) // long_side,
+                        hashlib.md5(r["payload"] or b"").hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "new_w", "new_h", "digest"],
+            )
+
+    return media.filter("kind = 'image'").mapInPandas(batches, out_schema)
+
+
+def audio_frame_windows(
+    media: DataFrame, window_ms: int = 2000, hop_ms: int = 1000
+) -> DataFrame:
+    """Audio framing plumbing: overlapping analysis windows (window/hop),
+    one row per frame whose full extent fits in the clip — the shape an
+    FFT/feature pass consumes. Decode stubbed; offsets derive from
+    duration metadata."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_start_ms", T.LongType()),
+            T.StructField("frame_end_ms", T.LongType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = int(r["duration_ms"] or 0)
+                d = hashlib.md5(r["payload"] or b"").hexdigest()
+                for start in range(0, max(dur - window_ms + 1, 0), hop_ms):
+                    rows.append((int(r["media_id"]), start, start + window_ms, d))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_start_ms", "frame_end_ms", "digest"],
+            )
+
+    return media.filter("kind = 'audio'").mapInPandas(batches, out_schema)

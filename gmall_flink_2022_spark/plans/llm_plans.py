@@ -735,3 +735,51 @@ def llm_ngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "mm_image_resize",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS media_id,
+               CAST(64 + n_chars % 256 AS INT) AS width,
+               CAST(64 + (n_chars * 7) % 256 AS INT) AS height,
+               md5(text) AS digest
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, width, height,
+           CAST((width * 256) // greatest(width, height) AS INT) AS new_w,
+           CAST((height * 256) // greatest(width, height) AS INT) AS new_h,
+           digest
+    FROM img
+    """,
+    survey_ref="extension: image resize stub — fit-into-box metadata math "
+    "(integer exact) around the stubbed pixel transform",
+    tags=("llm", "multimodal"),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import image_resize_meta
+
+    return image_resize_meta(_media(spark, sf_dir), box=256)
+
+
+@register(
+    "mm_audio_frames",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id,
+           CAST(UNNEST(range(0, greatest(duration_ms - 2000 + 1, 0), 1000))
+                AS BIGINT) AS frame_start_ms,
+           CAST(UNNEST(range(0, greatest(duration_ms - 2000 + 1, 0), 1000))
+                + 2000 AS BIGINT) AS frame_end_ms,
+           md5(text) AS digest
+    FROM media WHERE kind = 'audio'
+    """,
+    survey_ref="extension: audio analysis-frame windows (window/hop "
+    "fan-out inside mapInPandas; decode stubbed)",
+    tags=("llm", "multimodal"),
+)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import audio_frame_windows
+
+    return audio_frame_windows(_media(spark, sf_dir), window_ms=2000, hop_ms=1000)
