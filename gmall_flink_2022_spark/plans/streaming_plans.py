@@ -398,3 +398,48 @@ def stream_uv_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "dt"])
     )
     return run_stream_to_table(uv, _uniq("uv_dropdup"), output_mode="append")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 1800 SECOND
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL 1800 SECOND AS sess_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    survey_ref="§2.6 W3 extension: SESSION windows in a real streaming job "
+    "(merging session state store), hash-matched against the batch "
+    "lag+cumsum oracle",
+    tags=("streaming", "agg", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 seconds")
+        .groupBy(F.session_window("ts", "1800 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+    return run_stream_to_table(agg, _uniq("session_window"), output_mode="complete")
