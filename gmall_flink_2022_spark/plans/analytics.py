@@ -496,3 +496,79 @@ def set_except_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c")
     )
     return urgent.exceptAll(low)
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS asof_ts, v.view_id AS asof_view_id
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    survey_ref="§2.3 J1/J2 generalization: AS-OF join (latest state "
+    "at-or-before event time; merge-join rendering, one shuffle) — "
+    "oracle is DuckDB's native ASOF JOIN",
+    tags=("join", "asof"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["view_id"],
+    )
+
+
+@register(
+    "orders_range_band_join",
+    oracle="""
+    WITH bands AS (
+        SELECT i AS band_id, i * 25000.0 AS lo, i * 25000.0 + 50000.0 AS hi
+        FROM (SELECT UNNEST(generate_series(0, 19)) AS i)
+    )
+    SELECT band_id,
+           COUNT(*) AS order_ct,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+    survey_ref="§2.3 extension: RANGE join via fixed-width bucketing — "
+    "interval containment becomes an equi-join on bucket + residual "
+    "filter instead of Catalyst's BroadcastNestedLoopJoin",
+    tags=("join", "range"),
+)
+def orders_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_bucket_join
+
+    o = read_table(spark, sf_dir, "orders")
+    bands = spark.range(20).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 25000.0).alias("lo"),
+        (F.col("id") * 25000.0 + 50000.0).alias("hi"),
+    )
+    joined = range_bucket_join(
+        o, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi",
+        bucket_width=25000,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+    )

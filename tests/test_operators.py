@@ -255,3 +255,51 @@ def test_embedding_near_dups_lsh_recall(spark, sf_dir):
     assert got <= exact  # exact verification -> no false positives
     if exact:
         assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_asof_join_semantics(spark):
+    from gmall_flink_2022_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 200), (3, "k", 50), (4, "z", 10)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 100, "at100"), ("k", 150, "at150")], "k string, ts long, v string"
+    )
+    out = {
+        r["lid"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_payload=["v"]
+        ).collect()
+    }
+    assert out[1] == (100, "at100")   # inclusive: equal ts matches
+    assert out[2] == (150, "at150")   # latest prior, not first
+    assert out[3] == (None, None)     # nothing at-or-before -> null (left join)
+    assert out[4] == (None, None)     # key never seen on right
+    inner = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_payload=["v"], how="inner",
+    ).count()
+    assert inner == 2
+
+
+def test_range_bucket_join_semantics(spark):
+    from gmall_flink_2022_spark.operators.joins import range_bucket_join
+
+    fact = spark.createDataFrame(
+        [(1, 5.0), (2, 24999.9), (3, 25000.0), (4, 99999.0)],
+        "fid long, val double",
+    )
+    bands = spark.createDataFrame(
+        [(0, 0.0, 25000.0), (1, 25000.0, 50000.0)],
+        "band_id int, lo double, hi double",
+    )
+    got = {
+        (r["fid"], r["band_id"])
+        for r in range_bucket_join(
+            fact, bands, "val", "lo", "hi", bucket_width=10000
+        ).collect()
+    }
+    # half-open bands: 24999.9 in band 0, 25000.0 exactly in band 1, 99999 in none
+    assert got == {(1, 0), (2, 0), (3, 1)}

@@ -90,3 +90,17 @@ def test_multimodal_plan_prunes_input(spark, sf_dir):
     read = p.split("ReadSchema")[1].split("\n")[0]
     assert "text" in read and "n_chars" in read
     assert "lang" not in read and "source" not in read
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    # the whole point of the bucketed rendering: no O(n*m) nested loop
+    p = _plan(spark, sf_dir, "orders_range_band_join")
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # merge-join shape: the only wide ops are the union-side scans feeding
+    # ONE window sort by key (plus AQE reads); no join node at all
+    p = _plan(spark, sf_dir, "events_asof_join")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Window" in p
