@@ -190,3 +190,36 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         h.alias("fp_roll"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer et
+    al. SIGMOD'03): hash every token k-gram with the Rabin-Karp fold,
+    slide a w-window over the hash sequence, keep the minimum per window,
+    dedupe. Guarantees every shared substring of length >= k+w-1 tokens
+    contributes at least one common fingerprint — the local-similarity
+    complement to the whole-document fingerprints. One row per (doc,
+    selected hash); all integer arithmetic, oracle-exact, JVM-side."""
+    toks = tokenize_col(text_col)
+    vals = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("id"), vals.alias("_v"))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_v") - k + 1, F.lit(0))),
+        lambda i: F.aggregate(
+            F.slice("_v", i, k),
+            F.lit(0).cast("long"),
+            lambda a, x: (a * _RH_BASE + x) % _RH_MOD,
+        ),
+    )
+    g = base.select("id", gram.alias("_g")).filter(F.size("_g") >= w)
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_g") - w + 1),
+            lambda p: F.array_min(F.slice("_g", p, w)),
+        )
+    )
+    return g.select("id", F.explode(sel).alias("fp"))

@@ -783,3 +783,39 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.multimodal import audio_frame_windows
 
     return audio_frame_windows(_media(spark, sf_dir), window_ms=2000, hop_ms=1000)
+
+
+# --------------------------------------------------- winnowing fingerprints
+_HEX2INT = (
+    "list_reduce(list_transform(generate_series(1, 8), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)), "
+    "(a, d) -> a * 16 + d)"
+)
+
+
+@register(
+    "llm_fingerprint_winnow",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    vs AS (
+        SELECT doc_id, list_transform(toks, t -> {_HEX2INT}) AS v FROM tk
+    ),
+    gs AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(v) - 2, 0)), i ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), v[i:i+2]),
+                               (a, x) -> (a * 256 + x) % 1000000007)) AS g
+        FROM vs
+    )
+    SELECT doc_id AS id,
+           UNNEST(list_distinct(list_transform(generate_series(1, len(g) - 3),
+                  p -> list_min(g[p:p+3])))) AS fp
+    FROM gs WHERE len(g) >= 4
+    """,
+    survey_ref="extension: winnowing fingerprints (MOSS; per-window min of "
+    "k-gram rolling hashes — guarantees shared substrings >= k+w-1 "
+    "tokens share a fingerprint)",
+    tags=("llm", "text", "dedup"),
+)
+def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text", k=3, w=4)
