@@ -572,3 +572,55 @@ def orders_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("order_ct"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "dim_scd2_asof",
+    oracle="""
+    WITH cl AS (
+        SELECT user_id, ts, max_by(value, event_id) AS profile_v
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    hist AS (
+        SELECT user_id, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               profile_v
+        FROM cl
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           h.valid_from AS asof_valid_from, h.profile_v AS asof_profile_v
+    FROM p LEFT JOIN hist h
+      ON p.user_id = h.user_id AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+    survey_ref="S7 extension: SCD2 dim history (valid_from/valid_to from "
+    "a changelog) + point-in-time lookup via the as-of merge join — "
+    "the warehouse-grade upgrade of the reference's overwrite-only "
+    "Phoenix dims",
+    tags=("dim", "scd2", "asof"),
+)
+def dim_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+    from ..sources.dim_store import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    changelog = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(value, event_id)").alias("profile_v"))
+    )
+    hist = scd2_history(changelog, "user_id", "ts", ["profile_v"])
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        hist.select("user_id", "valid_from", "profile_v"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_payload=["profile_v"],
+    )

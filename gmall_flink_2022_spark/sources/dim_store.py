@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 
 class DimStore:
@@ -111,3 +111,27 @@ class DimStore:
                 self.upsert(t, flat, pk=pk_by_table.get(t, "id"))
 
         return fn
+
+
+def scd2_history(
+    changelog: DataFrame, key: str, ts_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Build an SCD2 (slowly-changing-dimension type 2) history from a
+    per-key changelog: each change becomes a version row with
+    ``valid_from`` = its timestamp and ``valid_to`` = the next change's
+    timestamp (null for the current version). The reference keeps only
+    latest-state dims (Phoenix upsert overwrites,
+    function/DimSinkFunction.java:29-66); SCD2 is the warehouse-grade
+    extension that makes point-in-time dim joins possible — pair with
+    ``operators.joins.asof_join`` on ``valid_from`` for the lookup.
+    Changelog rows must be unique per (key, ts): pre-aggregate ties.
+
+    One window over one shuffle by key; at 100 TB this is the standard
+    sessionless lead() pass, persisted partitioned by key range."""
+    w = W.partitionBy(key).orderBy(F.col(ts_col))
+    return changelog.select(
+        F.col(key),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        *[F.col(c) for c in payload_cols],
+    )
