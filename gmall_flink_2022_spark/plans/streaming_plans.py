@@ -443,3 +443,84 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, _uniq("session_window"), output_mode="complete")
+
+
+@register(
+    "stream_two_hop_pipeline",
+    oracle="""
+    WITH pv AS (
+        SELECT p.event_id AS pay_event_id, v.event_id AS view_event_id,
+               p.user_id, p.ts AS pay_ts
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 900 SECOND AND v.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT strftime(date_trunc('hour', pay_ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           COUNT(*) AS pair_ct,
+           COUNT(DISTINCT view_event_id) AS view_ct
+    FROM pv GROUP BY date_trunc('hour', pay_ts)
+    """,
+    survey_ref="§7.3 #4 / §3.2 — the reference's layered Kafka-hop "
+    "topology as TWO chained streaming jobs: stream-stream interval "
+    "join lands in a hop dir (the 'topic'), a second streaming job "
+    "windows and aggregates the hop output; oracle composes both "
+    "stages in one SQL",
+    tags=("streaming", "join", "agg", "pipeline"),
+)
+def stream_two_hop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_schema = read_table(spark, sf_dir, "events").schema
+    stage = tempfile.mkdtemp(prefix="gmall_hop_")
+    src = read_stream_table(spark, sf_dir, "events")
+    pay = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pay_event_id"),
+            "user_id",
+            F.col("ts").alias("pay_ts"),
+        )
+        .withWatermark("pay_ts", "5 seconds")
+    )
+    view = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "5 seconds")
+    )
+    joined = pay.join(
+        view,
+        (pay["user_id"] == view["v_user_id"])
+        & (view["view_ts"] >= pay["pay_ts"] - F.expr("INTERVAL 900 SECONDS"))
+        & (view["view_ts"] <= pay["pay_ts"]),
+    ).select("pay_event_id", "view_event_id", "user_id", "pay_ts")
+    hop = os.path.join(stage, "hop_pay_view")
+    q1 = (
+        joined.writeStream.format("parquet")
+        .option("path", hop)
+        .option("checkpointLocation", os.path.join(stage, "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    # second job re-reads the hop exactly like PaymentWideApp re-reads
+    # the dwm_order_wide topic
+    hop_stream = spark.readStream.schema(
+        spark.read.parquet(hop).schema
+    ).parquet(hop)
+    agg = (
+        hop_stream.groupBy(F.window("pay_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.size(F.collect_set("view_event_id")).cast("long").alias("view_ct"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "pair_ct",
+            "view_ct",
+        )
+    )
+    return run_stream_to_table(agg, _uniq("two_hop"), output_mode="complete")
