@@ -104,3 +104,59 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "events_asof_join")
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "Window" in p
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """The co-located join story at 100 TB: persist both fact tables
+    bucketed by the join key and the join needs NO Exchange on either
+    side — the reference gets this implicitly from Kafka partitioning
+    (keyBy before every stateful op); Spark gets it from bucketBy."""
+    import uuid
+
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    suffix = uuid.uuid4().hex[:8]
+    o_tbl, l_tbl = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    (
+        read_table(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "orders_b"))
+        .saveAsTable(o_tbl)
+    )
+    (
+        read_table(spark, sf_dir, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "lineitem_b"))
+        .saveAsTable(l_tbl)
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        import contextlib
+        import io as _io
+
+        # force the sort-merge path: the point is the bucket layout, not
+        # a broadcast rescue of the small test tables
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table(o_tbl)
+            .join(
+                spark.table(l_tbl),
+                spark.table(o_tbl)["o_orderkey"] == spark.table(l_tbl)["l_orderkey"],
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # exactly ONE exchange total (the groupBy after the join; the
+        # formatted plan names each node twice — tree + details). The
+        # unbucketed plan has three (both join inputs + groupBy).
+        assert plan.count("Exchange") == 2
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
