@@ -62,3 +62,51 @@ def test_prune_rare_is_result_identical(spark, sf_dir):
         ).collect()
     )
     assert base == pruned
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """The other half of the skew story (SURVEY §4 'salting or AQE'):
+    with AQE's skew-join handling, a hot key's oversized shuffle
+    partition is split at runtime — the executed plan carries
+    SortMergeJoin(skew=true). Salting (operators/skew.py) is the
+    compile-time answer; this is the runtime one."""
+    import contextlib
+    import io
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = (
+            spark.range(200000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("payload"))
+            .union(
+                spark.range(5000).select(
+                    (F.col("id") % 999 + 1).alias("k"), F.col("id").alias("payload")
+                )
+            )
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k")
+        j.collect()  # AQE decides at runtime; explain the EXECUTED plan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "skew=true" in buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
