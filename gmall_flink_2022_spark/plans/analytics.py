@@ -540,7 +540,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_range_band_join",
     oracle="""
     WITH bands AS (
-        SELECT i AS band_id, i * 25000.0 AS lo, i * 25000.0 + 50000.0 AS hi
+        SELECT CAST(i AS BIGINT) AS band_id,
+               i * 25000.0 AS lo, i * 25000.0 + 50000.0 AS hi
         FROM (SELECT UNNEST(generate_series(0, 19)) AS i)
     )
     SELECT band_id,
@@ -560,7 +561,7 @@ def orders_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     bands = spark.range(20).select(
-        F.col("id").cast("int").alias("band_id"),
+        F.col("id").alias("band_id"),
         (F.col("id") * 25000.0).alias("lo"),
         (F.col("id") * 25000.0 + 50000.0).alias("hi"),
     )
