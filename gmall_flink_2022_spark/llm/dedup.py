@@ -335,56 +335,94 @@ def simhash_near_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
     cluster_id = min doc id of the component (deterministic canonical
     representative).
 
-    Iterative min-label propagation over the undirected pair graph: each
-    node adopts the smallest label among itself and its neighbors until
-    fixpoint. Near-dup graphs are shallow (components are cliques-ish), so
-    this converges in a few iterations; each iteration is one join+groupBy.
-    At 100 TB this is the standard large-star/small-star shape — the
-    per-iteration plan is identical, only the convergence check differs.
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is one
+    large-star (attach every strictly-larger neighbor of u to the minimum
+    of u's closed neighborhood) followed by one small-star (direct each
+    edge from its larger endpoint, attach the smaller endpoints and u
+    itself to the neighborhood minimum). Converges in O(log n) rounds on
+    ANY graph shape — min-label propagation advances one hop per round
+    and crawls on chain-shaped components; this halves chains every
+    round. At fixpoint the edge set is a star forest: every non-minimum
+    node points at its component minimum.
+
+    Raises RuntimeError on iteration exhaustion instead of returning a
+    silently-unconverged labeling. Lineage is truncated per round with
+    localCheckpoint (cluster deployments: checkpoint to reliable
+    storage); the convergence probe is a single tiny (count, hash-sum)
+    aggregate per round.
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    prev_sig = None
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
+        # large-star over both edge directions
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+        large = (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        # truncate lineage each round: the iterative plan otherwise grows
-        # exponentially deep (each labels is built from the previous two
-        # joins) and blows the driver during planning. On a cluster this
-        # is a checkpoint to reliable storage.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # small-star: direct each edge from the larger endpoint (large-star
+        # output already satisfies u > v; greatest/least is cheap insurance)
+        dire = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        labels = new_labels
-        if changed == 0:
+        mins2 = dire.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            dire.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        # convergence signature: (count, xor of edge hashes) — xor is
+        # order-independent and cannot overflow under ANSI mode (a sum of
+        # xxhash64 values does)
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["c"], row["h"])
+        if sig == prev_sig:
+            converged = True
             break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+        prev_sig = sig
+    dup_clusters.last_rounds = rounds
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iters} large/small-star "
+            "rounds — graph is pathological or max_iters too small"
+        )
+    # star forest: edges point non-center nodes at the component minimum;
+    # centers never appear on the left side.
+    centers = (
+        e.select(F.col("v").alias("id"))
+        .distinct()
+        .join(e.select(F.col("u").alias("id")).distinct(), "id", "left_anti")
+    )
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+        .union(centers.select("id", F.col("id").alias("cluster_id")))
+        .distinct()
+    )

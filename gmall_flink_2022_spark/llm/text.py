@@ -207,14 +207,21 @@ def winnow_fingerprints(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
     base = df.select(F.col(id_col).alias("id"), vals.alias("_v"))
-    gram = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_v") - k + 1, F.lit(0))),
-        lambda i: F.aggregate(
-            F.slice("_v", i, k),
-            F.lit(0).cast("long"),
-            lambda a, x: (a * _RH_BASE + x) % _RH_MOD,
+    # guard like shingles(): sequence() counts DOWN when stop < start, so a
+    # doc with fewer than k tokens would build [1, 0] and slice(_v, 0, k)
+    # throws INVALID_PARAMETER_VALUE.START. Gate on size >= k instead —
+    # short docs produce no k-grams and fall out at the size(_g) >= w filter.
+    gram = F.when(
+        F.size("_v") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_v") - k + 1),
+            lambda i: F.aggregate(
+                F.slice("_v", i, k),
+                F.lit(0).cast("long"),
+                lambda a, x: (a * _RH_BASE + x) % _RH_MOD,
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
     g = base.select("id", gram.alias("_g")).filter(F.size("_g") >= w)
     sel = F.array_distinct(
         F.transform(

@@ -95,7 +95,18 @@ def range_bucket_join(
     lands in O(1) buckets and each fact meets only bands sharing its
     bucket. Skewed value distributions fall back to AQE skew splitting
     on the bucket key.
+
+    ``how`` is 'inner' or 'left'. A post-join residual filter would
+    silently turn 'left' into 'inner' (unmatched fact rows have null
+    lo/hi and fail the inequality), so the left variant runs the inner
+    join and unions back the facts that matched no band, null-padded.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_bucket_join supports how='inner'|'left', got {how!r}: "
+            "a residual range predicate cannot be applied post-join for "
+            "right/full without dropping unmatched band rows"
+        )
     b = bands.withColumn(
         "__bucket",
         F.explode(
@@ -106,7 +117,18 @@ def range_bucket_join(
         ),
     )
     f = fact.withColumn("__bucket", F.floor(F.col(value_col) / bucket_width))
-    joined = f.join(b, "__bucket", how).filter(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    if how == "left":
+        f = f.withColumn("__fid", F.monotonically_increasing_id())
+    inner = (
+        f.join(b, "__bucket", "inner")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("__bucket")
     )
-    return joined.drop("__bucket")
+    if how == "inner":
+        return inner
+    unmatched = f.drop("__bucket").join(
+        inner.select("__fid").distinct(), "__fid", "left_anti"
+    )
+    return inner.unionByName(unmatched, allowMissingColumns=True).drop("__fid")

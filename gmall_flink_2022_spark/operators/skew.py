@@ -66,7 +66,17 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: small side exploded ``buckets``×, big side
     salted deterministically; the join key becomes (key, salt) so one hot
-    key spreads over ``buckets`` tasks."""
+    key spreads over ``buckets`` tasks.
+
+    Only 'inner' and 'left' are correct: with 'right'/'full', small-side
+    rows that match nothing were already replicated ``buckets``× before
+    the join and would surface as ``buckets`` null-padded duplicates."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            f"exploded small side would emit {buckets} duplicate rows per "
+            "unmatched key under right/full outer joins"
+        )
     salted_big = with_salt(big, buckets, big_salt_cols)
     exploded_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

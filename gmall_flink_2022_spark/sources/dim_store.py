@@ -98,12 +98,19 @@ class DimStore:
             tables = [r["sink_table"] for r in batch.select("sink_table").distinct().collect()]
             for t in tables:
                 rows = batch.filter(F.col("sink_table") == t)
+                # key union computed distributed-side: explode+distinct
+                # collects one row PER DISTINCT COLUMN NAME (a handful),
+                # never one per CDC row — collecting every row's map_keys
+                # to the driver is an OOM at 100 TB CDC volume. (Reference
+                # builds the column list per record in
+                # function/DimSinkFunction.java:29-66, never centrally.)
                 keys = sorted(
-                    {
-                        k
-                        for r in rows.select(F.map_keys("after").alias("ks")).collect()
-                        for k in (r["ks"] or [])
-                    }
+                    r["k"]
+                    for r in rows.select(
+                        F.explode(F.map_keys("after")).alias("k")
+                    )
+                    .distinct()
+                    .collect()
                 )
                 flat = rows.select(
                     *[F.col("after").getItem(k).alias(k) for k in keys]

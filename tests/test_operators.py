@@ -303,3 +303,83 @@ def test_range_bucket_join_semantics(spark):
     }
     # half-open bands: 24999.9 in band 0, 25000.0 exactly in band 1, 99999 in none
     assert got == {(1, 0), (2, 0), (3, 1)}
+
+
+def test_range_bucket_join_left_keeps_unmatched(spark):
+    import pytest
+
+    from gmall_flink_2022_spark.operators.joins import range_bucket_join
+
+    fact = spark.createDataFrame(
+        [(1, 5.0), (2, 24999.9), (3, 25000.0), (4, 99999.0)],
+        "fid long, val double",
+    )
+    bands = spark.createDataFrame(
+        [(0, 0.0, 25000.0), (1, 25000.0, 50000.0)],
+        "band_id int, lo double, hi double",
+    )
+    out = range_bucket_join(
+        fact, bands, "val", "lo", "hi", bucket_width=10000, how="left"
+    )
+    got = {(r["fid"], r["band_id"]) for r in out.collect()}
+    # fid=4 matches no band: a naive post-join residual filter would drop
+    # it entirely; the left variant must keep it null-padded exactly once
+    assert got == {(1, 0), (2, 0), (3, 1), (4, None)}
+    with pytest.raises(ValueError):
+        range_bucket_join(fact, bands, "val", "lo", "hi", 10000, how="full")
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from gmall_flink_2022_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", "k", buckets=4, how="full")
+
+
+def test_dup_clusters_long_path_log_convergence(spark):
+    """Large-star/small-star halves chains every round: a 200-node path
+    must converge in O(log n) rounds, where min-label propagation would
+    need ~200."""
+    from gmall_flink_2022_spark.llm.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "id_a long, id_b long"
+    )
+    got = {(r["id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+    assert got == {(i, 1) for i in range(1, 201)}
+    assert dup_clusters.last_rounds < 10
+
+
+def test_dup_clusters_exhaustion_raises(spark):
+    import pytest
+
+    from gmall_flink_2022_spark.llm.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 100)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(pairs, max_iters=2)
+
+
+def test_winnow_short_docs_no_crash(spark):
+    """Docs with fewer than k tokens must yield zero fingerprints, not
+    throw (sequence() counts down when stop < start -> slice(_v, 0, k)
+    raised INVALID_PARAMETER_VALUE.START before the guard)."""
+    from gmall_flink_2022_spark.llm.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two"),
+            (2, "x"),
+            (3, ""),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    assert {r["id"] for r in out} == {4}
+    assert len(out) > 0
