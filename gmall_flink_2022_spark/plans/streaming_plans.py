@@ -524,3 +524,94 @@ def stream_two_hop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, _uniq("two_hop"), output_mode="complete")
+
+
+def visitor_stats_scale_agg(ev: DataFrame) -> DataFrame:
+    """The scale-safe UV aggregation plan: watermarked update-mode window
+    agg whose only distinct-ish state is an HLL sketch. Exposed for the
+    plan gate (test_streaming) which rejects any reintroduction of
+    unbounded collect_set state."""
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.withWatermark("ts", "1 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            # HLL sketch per open window: O(kilobytes) state per group vs
+            # collect_set's O(distinct users); rsd=0.02 -> <4% observed err
+            F.approx_count_distinct("user_id", 0.02).alias("uv_ct_approx"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("dur_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), fmt).alias("stt"),
+            "event_type",
+            "pv_ct",
+            "uv_ct_approx",
+            "dur_sum",
+        )
+        .withColumn("_k", F.concat_ws("|", "stt", "event_type"))
+    )
+
+
+@register(
+    "stream_visitor_stats_scale",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum,
+           TRUE AS uv_approx_ok
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    survey_ref="§2.4 A1/A2 scale path (dws/VisitorStatsApp.java:116-152 "
+    "semantics): UPDATE-mode windowed agg with approx_count_distinct UV — "
+    "the 100 TB-safe replacement for complete-mode collect_set (bounded "
+    "HLL sketch state, watermark-evicted windows, per-trigger upsert of "
+    "changed keys only). Exact pv/dur hash-checked; the HLL UV estimate "
+    "is checked against the exact batch count via a per-group tolerance "
+    "boolean (uv_approx_ok)",
+    tags=("streaming", "agg", "approx", "scale"),
+)
+def stream_visitor_stats_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.dim_store import DimStore
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    agg = visitor_stats_scale_agg(ev)
+    root = tempfile.mkdtemp(prefix="gmall_uvscale_store_")
+    store = DimStore(spark, root)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        store.upsert("visitor_stats_scale", batch, pk="_k")
+
+    ckpt = tempfile.mkdtemp(prefix="gmall_ckpt_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    settled = store.read("visitor_stats_scale").drop("_k")
+    # --- verification harness (batch side; NOT part of the pipeline) ---
+    # fold the HLL estimate into a per-group tolerance boolean against the
+    # exact batch count so the driver hash-checks approximation quality
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), fmt).alias("stt"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("uv_exact"))
+    )
+    return (
+        settled.join(exact, ["stt", "event_type"])
+        .withColumn(
+            "uv_approx_ok",
+            F.abs(F.col("uv_ct_approx") - F.col("uv_exact"))
+            <= F.greatest(F.lit(2.0), F.col("uv_exact") * F.lit(0.10)),
+        )
+        .select("stt", "event_type", "pv_ct", "dur_sum", "uv_approx_ok")
+    )

@@ -383,3 +383,33 @@ def test_winnow_short_docs_no_crash(spark):
     out = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
     assert {r["id"] for r in out} == {4}
     assert len(out) > 0
+
+
+def test_fmm_segmentation_pure():
+    """Dictionary longest-match semantics (no Spark needed): nested
+    lexicon entries resolve to the longest word; unknown chars fall back
+    to single-char tokens (the IK-analyzer-intended behavior of
+    utils/KeywordUtil.java:11-14, not the per-char regex degradation)."""
+    from gmall_flink_2022_spark.functions.tokenize import (
+        fmm_segment,
+        segment_mixed,
+    )
+
+    assert fmm_segment("小米平板电脑") == ["小米", "平板电脑"]   # not 平板+电脑
+    assert fmm_segment("华为手机壳") == ["华为", "手机", "壳"]   # 壳 not in lexicon
+    assert fmm_segment("X苹果") == ["X", "苹果"]
+    assert segment_mixed("小米phone 128G手机") == ["小米", "phone", "128g", "手机"]
+    assert segment_mixed("") == []
+    assert segment_mixed(None) == []
+
+
+def test_cjk_tokens_udf_mixed(spark):
+    from gmall_flink_2022_spark.functions.tokenize import cjk_tokens_udf
+
+    df = spark.createDataFrame(
+        [(1, "买小米平板电脑 best Price"), (2, None)], "id long, s string"
+    )
+    got = {r["id"]: r["toks"] for r in df.select(
+        "id", cjk_tokens_udf()(F.col("s")).alias("toks")).collect()}
+    assert got[1] == ["买", "小米", "平板电脑", "best", "price"]
+    assert got[2] == []

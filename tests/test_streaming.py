@@ -192,3 +192,19 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # 09:00 closed with only the on-time row (straggler dropped); 11:00
     # kept all three in-time rows; the 13:00 window never finalized
     assert got == {"09:00": 1, "11:00": 3}
+
+
+def test_uv_scale_plan_gate_no_collect_set(spark, sf_dir):
+    """The scale UV aggregation must never reintroduce unbounded
+    collect_set state: its only distinct-ish aggregate is the HLL
+    sketch, and the plan must be watermarked (update-mode eligible)."""
+    from gmall_flink_2022_spark.plans.streaming_plans import (
+        visitor_stats_scale_agg,
+    )
+    from gmall_flink_2022_spark.sources.io import read_stream_table
+
+    agg = visitor_stats_scale_agg(read_stream_table(spark, sf_dir, "events"))
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "collect_set" not in plan
+    assert "approx_count_distinct" in plan
+    assert "EventTimeWatermark" in plan
