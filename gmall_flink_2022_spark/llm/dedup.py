@@ -69,22 +69,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 64,
     prune_rare: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard similarity of shingle sets >=
     threshold.
 
-    Scale options (both result-identical or candidate-limiting, off by
-    default so the lean path has no extra shuffle):
-    - ``prune_rare``: drop df=1 shingles from the join sides (they can
-      never be shared by a pair; `sizes` keeps the full set). Pure
-      pruning — identical result — worth one extra aggregation on real
-      long-tail corpora, pure overhead on corpora where every shingle
-      repeats.
-    - ``max_shingle_df``: also drop ultra-common shingles from candidate
-      generation (changes recall; a df=k shingle contributes O(k^2)
-      pairs that rarer shingles usually already produce).
+    The hot-shingle cap is ON BY DEFAULT (``max_shingle_df=64``): a
+    shingle appearing in k documents expands k²/2 candidate structs in a
+    single task, so one boilerplate phrase shared by 1% of a 100 TB
+    corpus would serialize the whole job through one reducer. Capped
+    candidate generation bounds every task at df²/2 ≤ 2048 structs and
+    stays linear in corpus size. Recall delta: a pair is missed only if
+    EVERY shingle it shares has df > 64 — near-dup pairs share many
+    shingles at every frequency, so the planted-dup skew test
+    (tests/test_skew.py) observes 100% recall with the cap on. `common`
+    counts capped shingles only, so reported jaccard is a lower bound
+    for affected pairs. Pass ``max_shingle_df=None`` for the exact
+    worst-case all-pairs semantics (`llm_dedup_ngram_exact`).
+
+    - ``prune_rare``: additionally drop df=1 shingles from the join
+      sides (they can never be shared; `sizes` keeps the full set).
+      Pure pruning — identical result — worth one extra aggregation on
+      real long-tail corpora.
     """
     sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))

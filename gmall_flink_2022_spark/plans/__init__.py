@@ -22,7 +22,8 @@ _DRIVER_WINDOW_FIRST = [
     # new this round (registered in their modules; missing names are skipped)
     "dws_keyword_stats_cjk",
     "stream_visitor_stats_scale",
-    "llm_dedup_ngram_capped",
+    "llm_dedup_ngram",  # semantics changed: df-capped candidate gen default
+    "llm_dedup_ngram_exact",
     "stats_store_idempotent_upsert",
     # round-1 positions 51-82: no CORRECTNESS_r01 row
     "llm_dedup_simhash",

@@ -74,8 +74,42 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- n-gram Jaccard dedup
+# Headline variant: hot-shingle cap ON (df<=64 shingles generate
+# candidates; `common` counts capped shingles only) — the bounded-task
+# shape that survives skew at 100 TB. The uncapped exact worst case stays
+# available as llm_dedup_ngram_exact below.
 @register(
     "llm_dedup_ngram",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a
+        JOIN keep k ON a.shingle = k.shingle
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
+           CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+    """,
+    survey_ref="extension: n-gram Jaccard near-dup (inverted-index pair gen, "
+    "df-capped candidate generation — the skew-bounded 100 TB default)",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@register(
+    "llm_dedup_ngram_exact",
     oracle=f"""
     WITH {SHINGLE_CTE},
     pairs AS (
@@ -90,13 +124,15 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON id_b = sb.doc_id
     WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
     """,
-    survey_ref="extension: n-gram Jaccard near-dup (inverted-index pair gen)",
-    tags=("llm", "dedup"),
-    bench=True,
+    survey_ref="extension: n-gram Jaccard near-dup, UNCAPPED exact all-pairs "
+    "(the documented worst-case baseline; opt-in — one hot shingle expands "
+    "df^2/2 structs in a single task)",
+    tags=("llm", "dedup", "exact"),
 )
-def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=None,
     )
 
 

@@ -110,3 +110,42 @@ def test_aqe_skew_join_splits_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ngram_cap_bounds_hot_shingle_and_keeps_recall(spark):
+    """Hot-shingle skew fixture: one boilerplate phrase appears in 50% of
+    docs (df=150 >> cap=64). With the default cap the hot shingle is
+    excluded from candidate generation — every posting list is bounded
+    at 64 ids (max task expansion 64^2/2 structs instead of 150^2/2) —
+    while every planted near-dup pair is still found (they share many
+    RARE shingles)."""
+    from gmall_flink_2022_spark.llm.dedup import ngram_jaccard_pairs, shingles
+
+    rows = []
+    hot = "limited time offer today"  # 4 tokens -> 2 hot 3-gram shingles
+    for i in range(300):
+        body = f"document {i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        if i % 2 == 0:
+            body = hot + " " + body
+        rows.append((i, body))
+    # planted dups: 10 pairs (1000+i copies doc i's body exactly)
+    for i in range(10):
+        rows.append((1000 + i, rows[i][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingles(docs, "doc_id", "text", n=3)
+    freq = sh.groupBy("shingle").count()
+    assert freq.agg(F.max("count")).first()[0] >= 150  # skew is real
+    capped_max = (
+        freq.filter(F.col("count") <= 64).agg(F.max("count")).first()[0]
+    )
+    assert capped_max <= 64  # bounded posting list under the cap
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= got  # 100% recall on true near-dups despite the cap
