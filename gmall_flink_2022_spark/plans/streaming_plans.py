@@ -615,3 +615,78 @@ def stream_visitor_stats_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("stt", "event_type", "pv_ct", "dur_sum", "uv_approx_ok")
     )
+
+
+@register(
+    "stats_store_idempotent_upsert",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    survey_ref="§2.6 W8 — effective exactly-once foreachBatch sink "
+    "(utils/MyKafkaUtil.java:26-35 Semantic.EXACTLY_ONCE analog): "
+    "batch-id-keyed overwrite + commit markers; the query DELIBERATELY "
+    "replays its final micro-batch twice (committed no-op path AND "
+    "crash-before-commit rewrite path) before reading back — any "
+    "duplication would fail the rows/hash gate",
+    tags=("streaming", "sink", "eos"),
+)
+def stats_store_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.eos import IdempotentBatchStore
+
+    ev_schema = read_table(spark, sf_dir, "events").schema
+    stage = tempfile.mkdtemp(prefix="gmall_eos_in_")
+    try:
+        # stage the stream as 4 files -> 4 micro-batches, so cross-batch
+        # update semantics (same key re-emitted with new totals) are real
+        in_dir = os.path.join(stage, "in")
+        read_table(spark, sf_dir, "events").repartition(4).write.parquet(
+            in_dir, mode="overwrite"
+        )
+        src = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        agg = (
+            src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("pv_ct"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("dur_sum"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), fmt).alias("stt"),
+                "event_type",
+                "pv_ct",
+                "dur_sum",
+            )
+        )
+        store = IdempotentBatchStore(
+            spark, tempfile.mkdtemp(prefix="gmall_eos_store_")
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(store.write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(stage, "ck"))
+            .start()
+        )
+        q.awaitTermination()
+        # --- replay the final micro-batch, both failure modes ---
+        last = store.committed_ids()[-1]
+        # materialize before the overwrite-replay (same files would
+        # otherwise be deleted out from under the lazy scan)
+        replayed = spark.read.parquet(
+            os.path.join(store.data_dir, f"batch={last}")
+        ).localCheckpoint(eager=True)
+        store.write_batch(replayed, last)  # committed -> must no-op
+        os.remove(os.path.join(store.commit_dir, str(last)))  # crash sim
+        store.write_batch(replayed, last)  # uncommitted -> overwrite, no dupes
+        return store.read_latest(["stt", "event_type"])
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

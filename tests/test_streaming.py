@@ -208,3 +208,37 @@ def test_uv_scale_plan_gate_no_collect_set(spark, sf_dir):
     assert "collect_set" not in plan
     assert "approx_count_distinct" in plan
     assert "EventTimeWatermark" in plan
+
+
+def test_idempotent_batch_store_replay(spark, tmp_path):
+    """Replaying a micro-batch — Structured Streaming's failure mode
+    between sink write and checkpoint commit — must not duplicate rows:
+    committed batches no-op, uncommitted batches overwrite in place."""
+    import os
+
+    from gmall_flink_2022_spark.streaming.eos import IdempotentBatchStore
+
+    store = IdempotentBatchStore(spark, str(tmp_path / "store"))
+    b0 = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v long")
+    b1 = spark.createDataFrame([("k1", 10), ("k3", 3)], "k string, v long")
+    store.write_batch(b0, 0)
+    store.write_batch(b1, 1)
+
+    def snapshot():
+        return sorted(
+            (r["k"], r["v"]) for r in store.read_latest(["k"]).collect()
+        )
+
+    want = [("k1", 10), ("k2", 2), ("k3", 3)]  # last writer wins for k1
+    assert snapshot() == want
+    # replay committed batch -> no-op
+    store.write_batch(b1, 1)
+    assert snapshot() == want
+    # crash-before-commit: marker gone, data present; replay overwrites
+    os.remove(os.path.join(store.commit_dir, "1"))
+    store.write_batch(b1, 1)
+    assert snapshot() == want
+    assert store.committed_ids() == [0, 1]
+    # append-mode view has exactly one copy of every written row
+    rows = store.read_committed().count()
+    assert rows == 4
