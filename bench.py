@@ -6,13 +6,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing = full query execution to a count() sink (forces every stage; no
 driver-side collect of wide results). A warmup pass on sf0.001 JIT-warms
-the JVM so numbers reflect steady state.
+the JVM so numbers reflect steady state. Each query runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) and reports the PER-QUERY
+MEDIAN — single-shot numbers on this host swing ±40% run-to-run
+(BASELINE.md), which makes one-sample regressions unactionable; "value"
+is the sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,11 +41,15 @@ def main() -> None:
         except Exception:
             pass
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -25,6 +25,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_ngram",  # semantics changed: df-capped candidate gen default
     "llm_dedup_ngram_exact",
     "stats_store_idempotent_upsert",
+    "llm_dedup_embed_planted",
     # round-1 positions 51-82: no CORRECTNESS_r01 row
     "llm_dedup_simhash",
     "llm_dedup_embed",

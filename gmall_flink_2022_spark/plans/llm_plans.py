@@ -326,17 +326,89 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- planted near-dup augmentation
+# The synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51
+# at every SF), so a 0.9-threshold near-dup query over the raw table is
+# vacuously empty and proves nothing. Both engines therefore derive the
+# SAME augmented corpus from the table: each vector gets a perturbed twin
+# (+1e6 id, alternate components scaled x1.05/x0.95 -> cosine ~0.995 with
+# its source, still ~orthogonal to everything else). Near-dup queries over
+# the augmented corpus must recover exactly the planted pairs — a
+# non-trivial, hash-checkable contract for the dedup family.
+_AUG_CTE = """
+aug AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+           label
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(list_zip(embedding, generate_series(1, len(embedding))),
+                          s -> CAST(s[1] AS DOUBLE) *
+                               (CASE WHEN s[2] % 2 = 0 THEN 1.05 ELSE 0.95 END)),
+           label
+    FROM embeddings
+)
+"""
+
+
+def _embs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark rendering of _AUG_CTE (identical arithmetic: one double op
+    per component; Spark's transform index is 0-based where DuckDB's
+    generate_series is 1-based, hence the flipped parity test)."""
+    e = _embs(spark, sf_dir)
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    pert = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * F.when(i % 2 == 1, F.lit(1.05)).otherwise(F.lit(0.95)),
+        ).alias("embedding"),
+        "label",
+    )
+    return base.unionByName(pert)
+
+
+@register(
+    "llm_dedup_embed_planted",
+    oracle=f"""
+    WITH {_AUG_CTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS bucket,
+           {_dot("a.embedding", "b.embedding")}
+             / ({_norm("a.embedding")} * {_norm("b.embedding")}) AS sim
+    FROM aug a
+    JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dot("a.embedding", "b.embedding")}
+             / ({_norm("a.embedding")} * {_norm("b.embedding")}) >= 0.9
+    """,
+    survey_ref="extension: embedding-cosine near-dup over the planted "
+    "corpus — non-vacuous threshold semantics (every planted twin pair "
+    "recovered, nothing else)",
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_dedup_embed_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dups(
+        _embs_planted(spark, sf_dir), "vec_id", "embedding", "label", threshold=0.9
+    )
+
+
 @register(
     "llm_dedup_embed_lsh",
     oracle=None,  # LSH blocking is approximate; pair recall vs the exact
     # all-pairs threshold scan asserted in tests/test_operators.py
     survey_ref="extension: embedding near-dup with LSH blocking (no "
-    "ground-truth bucket column; linear candidate generation)",
+    "ground-truth bucket column; linear candidate generation) over the "
+    "planted corpus — ~500 true pairs exist, so the rows-only driver "
+    "check and the pytest recall bound are non-vacuous",
     tags=("llm", "dedup", "embedding"),
 )
 def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups_lsh(
-        _embs(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+        _embs_planted(spark, sf_dir), "vec_id", "embedding", threshold=0.9
     )
 
 
