@@ -4,6 +4,7 @@ from . import analytics  # noqa: F401  (registers completeness/scale queries)
 from . import scale_plans  # noqa: F401  (registers salted/windowed/UDF queries)
 from . import llm_plans  # noqa: F401  (registers LLM-pipeline queries)
 from . import streaming_plans  # noqa: F401  (registers streaming-mode queries)
+from . import tpch_more  # noqa: F401  (registers TPC-H batch-2 queries)
 
 # ---------------------------------------------------------------------------
 # Driver-window priority. The round driver's correctness gate checks the
@@ -26,6 +27,12 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_ngram_exact",
     "stats_store_idempotent_upsert",
     "llm_dedup_embed_planted",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
     # round-1 positions 51-82: no CORRECTNESS_r01 row
     "llm_dedup_simhash",
     "llm_dedup_embed",
