@@ -33,6 +33,9 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_revenue",
+    "llm_sample_hash",
+    "llm_sample_stratified",
+    "llm_train_val_split",
     # round-1 positions 51-82: no CORRECTNESS_r01 row
     "llm_dedup_simhash",
     "llm_dedup_embed",

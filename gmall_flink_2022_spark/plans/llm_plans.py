@@ -927,3 +927,85 @@ _HEX2INT = (
 )
 def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text", k=3, w=4)
+
+
+# ------------------------------------------------- deterministic sampling
+# (llm/sampling.py) — hash-keyed Bernoulli sample, per-group fixed-n, and
+# train/val/test split; all pure functions of the id, so the driver
+# hash-checks sampling like any exact operator. u32(id) = first 8 hex
+# chars of md5(id) as an integer, rendered in SQL with the strpos fold
+# (DuckDB's from_hex yields BLOB, not castable to BIGINT).
+def _u32_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_transform(generate_series(1, 8), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5(CAST({expr} AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+        "(a, d) -> a * 16 + d)"
+    )
+
+
+_SAMPLE_THRESH = int(0.1 * (1 << 32))
+
+
+@register(
+    "llm_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_u32_sql("doc_id")} < {_SAMPLE_THRESH}
+    """,
+    survey_ref="extension: deterministic Bernoulli(0.1) corpus sample — "
+    "retry/re-shard stable, join-stable across tables (rand() is neither)",
+    tags=("llm", "sampling"),
+)
+def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sampling
+
+    return sampling.hash_sample(_docs(spark, sf_dir), "doc_id", 0.1).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY {_u32_sql("doc_id")}, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+    survey_ref="extension: stratified fixed-n per language (deterministic "
+    "reservoir replacement; one shuffle on the stratum key)",
+    tags=("llm", "sampling"),
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sampling
+
+    return sampling.stratified_fixed_n(
+        _docs(spark, sf_dir), "lang", "doc_id", 20
+    ).select("doc_id", "lang")
+
+
+_VAL_HI = int(0.1 * (1 << 32))
+_TEST_HI = int(0.2 * (1 << 32))
+
+
+@register(
+    "llm_train_val_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_u32_sql("doc_id")} < {_VAL_HI} THEN 'val'
+                WHEN {_u32_sql("doc_id")} < {_TEST_HI} THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+    survey_ref="extension: id-keyed train/val/test split — the same doc "
+    "lands in the same split on every table carrying its id",
+    tags=("llm", "sampling"),
+)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sampling
+
+    return sampling.train_val_test_split(
+        _docs(spark, sf_dir), "doc_id", 0.1, 0.1
+    ).select("doc_id", "split")
