@@ -160,3 +160,41 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
+
+
+def test_tpch_batch2_plan_quality(spark, sf_dir):
+    # Q6: pure scan-aggregate — every predicate pushed, no join at all
+    p = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    pushed = p.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "Join" not in p
+
+    # Q8: dims broadcast, no sort-merge at test scale
+    p = _plan(spark, sf_dir, "tpch_q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+
+    # Q18: the agg-derived big-order key set is small -> the semi join
+    # must broadcast it, not shuffle lineitem a second time
+    p = _plan(spark, sf_dir, "tpch_q18_large_volume_customer")
+    assert "BroadcastHashJoin LeftSemi BuildRight" in p
+
+    # Q19: disjunctive predicate stays JVM-side, part broadcasts
+    p = _plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_sampling_plans_narrow(spark, sf_dir):
+    # hash sample and split are pure narrow maps: no exchange at all
+    for name in ("llm_sample_hash", "llm_train_val_split"):
+        p = _plan(spark, sf_dir, name)
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p, name
+    # stratified fixed-n: exactly the one shuffle its window needs, and
+    # the rank limit is pushed BELOW the exchange (WindowGroupLimit both
+    # sides = map-side top-n pruning before the shuffle — the scale win)
+    p = _plan(spark, sf_dir, "llm_sample_stratified")
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(lang" in p
+    assert p.count("WindowGroupLimit") >= 2
