@@ -755,3 +755,38 @@ def dws_keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
+
+
+# --------------------------------------------------------------------------
+# Percentiles — exact interpolated quantiles hash-match across engines
+# (same linear interpolation in Spark's percentile() and DuckDB's
+# quantile_cont); approx_percentile gets the same tolerance-boolean
+# contract as the HLL queries (within 1% of exact per group; observed
+# ~0.02% on this data).
+# --------------------------------------------------------------------------
+@register(
+    "ads_price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="engine completeness: exact interpolated percentiles + "
+    "approx_percentile tolerance contract (the t-digest scale path)",
+    tags=("ads", "agg", "percentile", "approx"),
+)
+def ads_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        (
+            F.abs(
+                F.expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+                - F.expr("percentile(l_extendedprice, 0.5)")
+            )
+            <= F.expr("percentile(l_extendedprice, 0.5)") * F.lit(0.01)
+        ).alias("approx_ok"),
+    )
