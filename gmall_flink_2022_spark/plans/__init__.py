@@ -37,6 +37,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_sample_stratified",
     "llm_train_val_split",
     "ads_price_percentiles",
+    "stream_keyword_stats_cjk",
     # round-1 positions 51-82: no CORRECTNESS_r01 row
     "llm_dedup_simhash",
     "llm_dedup_embed",

@@ -690,3 +690,47 @@ def stats_store_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         return store.read_latest(["stt", "event_type"])
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _register_stream_cjk() -> None:
+    """Registered via a helper so the oracle (and the doc_id->keyword
+    derivation constants) stay single-sourced in plans.analytics."""
+    from .analytics import _CJK_BRANDS, _CJK_PRODS, _CJK_SUFS, _cjk_oracle
+
+    @register(
+        "stream_keyword_stats_cjk",
+        oracle=_cjk_oracle(),
+        survey_ref="§2.7 U1 + §3.1 — dictionary segmentation INSIDE a "
+        "Structured Streaming job (Arrow-batched pandas UDF per "
+        "micro-batch; the KeywordStatsApp topology with the FMM "
+        "tokenizer), hash-matched against the same recursive-CTE oracle "
+        "as the batch variant",
+        tags=("streaming", "udtf", "cjk"),
+    )
+    def stream_keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.tokenize import cjk_tokens_udf
+
+        def pick(options, idx):
+            return F.element_at(
+                F.array(*[F.lit(o) for o in options]), (idx + 1).cast("int")
+            )
+
+        d = read_stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 200
+        )
+        kw = F.concat(
+            pick(_CJK_BRANDS, F.col("doc_id") % 5),
+            pick(_CJK_PRODS, F.floor(F.col("doc_id") / 5) % 4),
+            pick(_CJK_SUFS, F.floor(F.col("doc_id") / 20) % 3),
+        )
+        agg = (
+            d.select(F.explode(cjk_tokens_udf()(kw)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        return run_stream_to_table(
+            agg, _uniq("kw_cjk"), output_mode="complete"
+        )
+
+
+_register_stream_cjk()

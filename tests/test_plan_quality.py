@@ -198,3 +198,47 @@ def test_sampling_plans_narrow(spark, sf_dir):
     assert p.count(") Exchange") == 1
     assert "hashpartitioning(lang" in p
     assert p.count("WindowGroupLimit") >= 2
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """The partition-pruning story at 100 TB: facts laid out by a
+    partition column + a selective dim filter => Spark injects a runtime
+    dynamicpruning subquery into the fact scan, so only the partitions
+    the dim side survives are read at all. (Static pruning is asserted
+    elsewhere; this is the join-driven runtime variant.)"""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    fact_dir = str(tmp_path / "orders_by_year")
+    (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    # the dim filter is on a NON-join column, so the surviving year set
+    # is data-dependent — a static partition filter cannot be inferred
+    # and only runtime (dynamic) pruning can skip fact partitions
+    dim = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(F.year("o_orderdate").alias("d_year"))
+        .distinct()
+    )
+    j = fact.join(dim, fact["o_year"] == dim["d_year"]).groupBy("o_year").count()
+
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan or "DynamicPruning" in plan
+    rows = {r["o_year"]: r["count"] for r in j.collect()}
+    assert rows and set(rows) == {1995}
