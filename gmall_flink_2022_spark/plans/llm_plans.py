@@ -580,9 +580,55 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_dup_clusters",
-    oracle=None,  # iterative fixpoint; batch-tested against a fixture graph
-    survey_ref="extension: near-dup connected components (min-label "
-    "propagation; canonical representative per cluster)",
+    # full hash oracle: the MinHash candidate pairs are oracle-exact
+    # (llm_dedup_minhash), and connected components over them is a
+    # recursive transitive closure — cluster_id = min reachable id,
+    # exactly the large-star/small-star fixpoint's labeling. The UNION
+    # (distinct) bounds the recursion; fine at oracle scale, while the
+    # Spark side stays the O(log n)-round distributed algorithm.
+    oracle=f"""
+    WITH RECURSIVE {SHINGLE_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bk AS (
+        SELECT DISTINCT doc_id, bucket
+        FROM (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pr AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.4
+    ),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION
+        SELECT id_b, id_a FROM pr
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+    survey_ref="extension: near-dup connected components "
+    "(large-star/small-star alternation; canonical min-id representative)",
     tags=("llm", "dedup", "iterative"),
 )
 def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
