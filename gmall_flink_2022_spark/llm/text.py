@@ -230,3 +230,68 @@ def winnow_fingerprints(
         )
     )
     return g.select("id", F.explode(sel).alias("fp"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1: documents dominated by repeated n-grams are boilerplate):
+    per doc, the fraction of duplicate n-grams and the share of the
+    single most frequent n-gram. All array expressions inside codegen;
+    ratios are single double divisions of exact integer counts. Docs
+    with fewer than n tokens report 0 grams and null ratios."""
+    toks = tokenize_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    # occurrences of the modal gram: max over distinct grams of the
+    # count of equal entries (quadratic in DISTINCT grams per doc — fine
+    # per-document; stays a narrow map corpus-wide)
+    top_ct = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        total.cast("long").alias("n_grams"),
+        (
+            (total - distinct).cast("double") / total.cast("double")
+        ).alias("dup_gram_frac"),
+        (top_ct.cast("double") / total.cast("double")).alias("top_gram_share"),
+    )
+
+
+# Cleaning-signal regexes (anchored to the oracle: identical PCRE on both
+# engines; counts only, no redaction — redaction is a trivial
+# regexp_replace with the same patterns).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+DIGIT_RUN_RE = r"[0-9]{6,}"
+
+
+def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document counts of email-shaped, URL-shaped, and long-digit-run
+    matches — the standard pre-redaction audit pass. Narrow map, JVM
+    regex (no Python)."""
+    low = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(low, F.lit(EMAIL_RE), 0)).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit(URL_RE), 0)).cast("long").alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit(DIGIT_RUN_RE), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+    )

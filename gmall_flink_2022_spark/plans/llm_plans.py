@@ -1055,3 +1055,77 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.train_val_test_split(
         _docs(spark, sf_dir), "doc_id", 0.1, 0.1
     ).select("doc_id", "split")
+
+
+# ----------------------------------------- repetition / PII / decontamination
+@register(
+    "llm_repetition",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM tk
+    )
+    SELECT doc_id AS id, len(grams) AS n_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / CAST(len(grams) AS DOUBLE) AS dup_gram_frac,
+           CAST(list_max(list_transform(list_distinct(grams),
+                    g2 -> len(list_filter(grams, x -> x = g2)))) AS DOUBLE)
+             / CAST(len(grams) AS DOUBLE) AS top_gram_share
+    FROM g WHERE len(grams) > 0
+    """,
+    survey_ref="extension: Gopher-style within-doc repetition signals "
+    "(duplicate n-gram fraction, modal n-gram share) — boilerplate filter",
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_docs(spark, sf_dir), "doc_id", "text").filter(
+        F.col("n_grams") > 0
+    )
+
+
+@register(
+    "llm_pii_flags",
+    oracle="""
+    SELECT doc_id AS id,
+           len(regexp_extract_all(lower(text),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(lower(text), 'https?://[^\\s]+')) AS n_urls,
+           len(regexp_extract_all(lower(text), '[0-9]{6,}')) AS n_digit_runs
+    FROM documents
+    """,
+    survey_ref="extension: PII/cleaning-signal audit (email/URL/long-digit "
+    "counts per doc; redaction = regexp_replace with the same patterns)",
+    tags=("llm", "text", "pii"),
+)
+def llm_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_flags(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH {SHINGLE_CTE}
+    SELECT DISTINCT s.doc_id AS id
+    FROM sh s
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0) b
+      ON s.shingle = b.shingle
+    WHERE s.doc_id % 50 <> 0
+    """,
+    survey_ref="extension: benchmark decontamination (GPT-3 n-gram overlap "
+    "filter): training docs sharing any 3-gram with the held-out set "
+    "(doc_id %% 50 = 0 plays the benchmark); inverted-index semi join, "
+    "benchmark shingles broadcast",
+    tags=("llm", "dedup", "decontam"),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import decontam
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontam.contaminated_ids(train, bench, "doc_id", "text", n=3)

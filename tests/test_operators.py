@@ -417,3 +417,27 @@ def test_cjk_tokens_udf_mixed(spark):
         "id", cjk_tokens_udf()(F.col("s")).alias("toks")).collect()}
     assert got[1] == ["买", "小米", "平板电脑", "best", "price"]
     assert got[2] == []
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    from gmall_flink_2022_spark.llm.decontam import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated text about spark plans"),
+            (2, "he saw the quick brown fox run away"),   # shares 3-gram
+            (3, "dog lazy the over jumps"),               # same words, no 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bad = {r["id"] for r in contaminated_ids(docs, bench, "doc_id", "text").collect()}
+    assert bad == {2}
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, "doc_id", "text").collect()}
+    assert kept == {1, 3}
