@@ -104,3 +104,81 @@ def test_interval_join_equals_naive(spark, left, right):
         if lk == rk and lt - 5 <= rt <= lt + 5
     }
     assert got == want
+
+# ---------------------------------------------------------------- round 2
+
+_cjk_chars = st.sampled_from(list("小米华为苹果联想荣耀手机平板电脑笔记本电视机壳膜的买X"))
+_cjk_text = st.text(alphabet=_cjk_chars, min_size=0, max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_cjk_text)
+def test_fmm_segment_properties(s):
+    """FMM invariants on arbitrary CJK strings over the lexicon alphabet:
+    segments concatenate back to the input, every multi-char segment is a
+    dictionary word, and no two adjacent segments could have been a
+    longer dictionary match at the left position (greedy maximality)."""
+    from gmall_flink_2022_spark.functions.tokenize import (
+        CJK_LEXICON,
+        _CJK_MAXLEN,
+        fmm_segment,
+    )
+
+    segs = fmm_segment(s)
+    assert "".join(segs) == s
+    pos = 0
+    for seg in segs:
+        assert len(seg) == 1 or seg in CJK_LEXICON
+        # greedy: no strictly longer lexicon word starts at pos
+        for ln in range(len(seg) + 1, min(_CJK_MAXLEN, len(s) - pos) + 1):
+            assert s[pos : pos + ln] not in CJK_LEXICON
+        pos += len(seg)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=60, unique=True))
+def test_train_val_test_split_partitions(spark, ids):
+    """The split is a partition (disjoint + complete) and is a pure
+    function of the id: re-running yields identical assignments."""
+    from gmall_flink_2022_spark.llm.sampling import train_val_test_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    a = {r["id"]: r["split"] for r in train_val_test_split(df, "id").collect()}
+    b = {r["id"]: r["split"] for r in train_val_test_split(df, "id").collect()}
+    assert a == b
+    assert set(a) == set(ids)
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500)),
+                min_size=1, max_size=40))
+def test_dup_clusters_matches_union_find(spark, pairs):
+    """Large-star/small-star output equals a reference union-find on
+    arbitrary small graphs (self-loops dropped by the operator)."""
+    from gmall_flink_2022_spark.llm.dedup import dup_clusters
+
+    clean = [(a, b) for a, b in pairs if a != b]
+    if not clean:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        parent[find(a)] = find(b)
+    want = {}
+    nodes = {n for p in clean for n in p}
+    roots: dict[int, int] = {}
+    for n in sorted(nodes):
+        r = find(n)
+        roots.setdefault(r, n)  # min node per component (sorted order)
+        want[n] = roots[r]
+    df = spark.createDataFrame(clean, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
+    assert got == want
