@@ -734,3 +734,106 @@ def _register_stream_cjk() -> None:
 
 
 _register_stream_cjk()
+
+
+@register(
+    "stream_two_hop_eos",
+    oracle="""
+    WITH pv AS (
+        SELECT p.event_id AS pay_event_id, v.event_id AS view_event_id,
+               p.user_id, p.ts AS pay_ts
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 900 SECOND AND v.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT strftime(date_trunc('hour', pay_ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           COUNT(*) AS pair_ct
+    FROM pv GROUP BY date_trunc('hour', pay_ts)
+    """,
+    survey_ref="§3.2 + §2.6 W8 capstone — the reference's full layered "
+    "topology with exactly-once endpoints: stream-stream interval join "
+    "-> parquet hop ('topic') -> second streaming job aggregates in "
+    "update mode INTO the IdempotentBatchStore, whose final micro-batch "
+    "is replayed through both failure paths before the read-back; any "
+    "duplication fails the rows/hash gate",
+    tags=("streaming", "join", "agg", "eos", "pipeline"),
+)
+def stream_two_hop_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.eos import IdempotentBatchStore
+
+    stage = tempfile.mkdtemp(prefix="gmall_hop_eos_")
+    try:
+        src = read_stream_table(spark, sf_dir, "events")
+        pay = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("pay_event_id"),
+                "user_id",
+                F.col("ts").alias("pay_ts"),
+            )
+            .withWatermark("pay_ts", "5 seconds")
+        )
+        view = (
+            src.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_event_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "5 seconds")
+        )
+        joined = pay.join(
+            view,
+            (pay["user_id"] == view["v_user_id"])
+            & (view["view_ts"] >= pay["pay_ts"] - F.expr("INTERVAL 900 SECONDS"))
+            & (view["view_ts"] <= pay["pay_ts"]),
+        ).select("pay_event_id", "view_event_id", "user_id", "pay_ts")
+        hop = os.path.join(stage, "hop")
+        q1 = (
+            joined.writeStream.format("parquet")
+            .option("path", hop)
+            .option("checkpointLocation", os.path.join(stage, "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+        hop_stream = spark.readStream.schema(
+            spark.read.parquet(hop).schema
+        ).option("maxFilesPerTrigger", 8).parquet(hop)
+        agg = (
+            hop_stream.withWatermark("pay_ts", "1 seconds")
+            .groupBy(F.window("pay_ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("pair_ct"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                "pair_ct",
+            )
+            .withColumn("_k", F.col("stt"))
+        )
+        store = IdempotentBatchStore(
+            spark, tempfile.mkdtemp(prefix="gmall_hop_eos_store_")
+        )
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            store.write_batch(batch.drop("_k"), batch_id)
+
+        q2 = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(stage, "ck2"))
+            .start()
+        )
+        q2.awaitTermination()
+        last = store.committed_ids()[-1]
+        replayed = spark.read.parquet(
+            os.path.join(store.data_dir, f"batch={last}")
+        ).localCheckpoint(eager=True)
+        store.write_batch(replayed, last)  # committed -> no-op
+        os.remove(os.path.join(store.commit_dir, str(last)))
+        store.write_batch(replayed, last)  # crash sim -> rewrite in place
+        return store.read_latest(["stt"])
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
