@@ -1129,3 +1129,101 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 50 == 0)
     train = d.filter(F.col("doc_id") % 50 != 0)
     return decontam.contaminated_ids(train, bench, "doc_id", "text", n=3)
+
+
+# ---------------------------------------------- ANN recall contracts
+# The three rows-only ops (LSH/IVF ANN, LSH-blocked dedup) have seeded
+# candidate generation no SQL engine can replay — but their QUALITY is
+# still driver-checkable with the tolerance-contract pattern: the query
+# computes the exact baseline AND the approximate answer, emits the
+# per-query (or corpus-level) recall boolean, and the oracle emits the
+# exact side + literal TRUE. Hash match == approximation held its bound.
+@register(
+    "llm_knn_lsh_contract",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    survey_ref="extension: ANN-LSH per-query recall contract (>=60% of "
+    "exact top-5 recovered; multi-table observed ~95%)",
+    tags=("llm", "similarity", "approx"),
+)
+def llm_knn_lsh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    bf = similarity.knn_bruteforce(embs, queries, "vec_id", "embedding", k=5)
+    lsh = similarity.knn_lsh(embs, queries, "vec_id", "embedding", k=5)
+    hits = bf.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+    overlap = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= 3).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "llm_knn_ivf_contract",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    survey_ref="extension: ANN-IVF per-query recall contract (>=40% of "
+    "exact top-5 recovered probing 3/10 cells; observed >=70% overall)",
+    tags=("llm", "similarity", "approx"),
+)
+def llm_knn_ivf_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    bf = similarity.knn_bruteforce(embs, queries, "vec_id", "embedding", k=5)
+    ivf = similarity.knn_ivf(
+        embs, queries, "vec_id", "embedding", k=5, n_cells=10, n_probe=3
+    )
+    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    overlap = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= 2).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "llm_dedup_embed_lsh_contract",
+    oracle=f"""
+    WITH {_AUG_CTE}
+    SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE {_dot("a.embedding", "b.embedding")}
+             / ({_norm("a.embedding")} * {_norm("b.embedding")}) >= 0.9
+    """,
+    survey_ref="extension: LSH-blocked embedding dedup corpus-level recall "
+    "contract over the planted corpus (>=80% of exact threshold pairs "
+    "recovered; blocking is the only approximation, precision 1.0)",
+    tags=("llm", "dedup", "embedding", "approx"),
+)
+def llm_dedup_embed_lsh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs_planted(spark, sf_dir)
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", similarity.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    found = similarity.embedding_near_dups_lsh(
+        embs, "vec_id", "embedding", threshold=0.9
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_hit = exact.join(found, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_exact, bool(n_exact > 0 and n_hit / n_exact >= 0.8))],
+        "n_exact long, recall_ok boolean",
+    )
