@@ -678,7 +678,12 @@ def stats_store_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         q.awaitTermination()
         # --- replay the final micro-batch, both failure modes ---
-        last = store.committed_ids()[-1]
+        ids = store.committed_ids()
+        if not ids:  # empty input -> zero committed micro-batches
+            return spark.createDataFrame(
+                [], "stt string, event_type string, pv_ct bigint, dur_sum double"
+            )
+        last = ids[-1]
         # materialize before the overwrite-replay (same files would
         # otherwise be deleted out from under the lazy scan)
         replayed = spark.read.parquet(
@@ -799,11 +804,18 @@ def stream_two_hop_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q1.awaitTermination()
+        # One file per trigger so the second job genuinely crosses
+        # micro-batches. NO watermark here: the hop files are not
+        # time-ordered (the join wrote them from 32 shuffle partitions),
+        # so a watermark would mark almost everything after the first
+        # trigger late and silently drop it — update mode without a
+        # watermark keeps all window state for the bounded replay, same
+        # as stats_store_idempotent_upsert.
         hop_stream = spark.readStream.schema(
             spark.read.parquet(hop).schema
-        ).option("maxFilesPerTrigger", 8).parquet(hop)
+        ).option("maxFilesPerTrigger", 1).parquet(hop)
         agg = (
-            hop_stream.withWatermark("pay_ts", "1 seconds")
+            hop_stream
             .groupBy(F.window("pay_ts", "1 hour").alias("w"))
             .agg(F.count(F.lit(1)).alias("pair_ct"))
             .select(
@@ -827,7 +839,10 @@ def stream_two_hop_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q2.awaitTermination()
-        last = store.committed_ids()[-1]
+        ids = store.committed_ids()
+        if not ids:  # empty input -> zero committed micro-batches
+            return spark.createDataFrame([], "stt string, pair_ct bigint")
+        last = ids[-1]
         replayed = spark.read.parquet(
             os.path.join(store.data_dir, f"batch={last}")
         ).localCheckpoint(eager=True)

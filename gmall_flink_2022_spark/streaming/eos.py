@@ -65,6 +65,12 @@ class IdempotentBatchStore:
     def read_committed(self) -> DataFrame:
         """Union of committed batch partitions (append-mode contract)."""
         ids = self.committed_ids()
+        if not ids:
+            raise ValueError(
+                f"IdempotentBatchStore at {self.root!r} has no committed "
+                "batches (empty-input stream commits zero); guard with "
+                "committed_ids() before reading"
+            )
         df = self.spark.read.option("basePath", self.data_dir).parquet(
             *[os.path.join(self.data_dir, f"batch={i}") for i in ids]
         )
