@@ -8,71 +8,76 @@ from . import tpch_more  # noqa: F401  (registers TPC-H batch-2 queries)
 
 # ---------------------------------------------------------------------------
 # Driver-window priority. The round driver's correctness gate checks the
-# FIRST 50 registry entries in iteration order. Round 1 verified the first
-# 50 in registration order (CORRECTNESS_r01.json: 48 green, 2 no_oracle);
-# entries 51-82 — every stream_*/mm_* query and most llm_* — got no driver
-# row. Round 2 therefore fronts (a) the 32 then-unwindowed entries and
-# (b) every query added or semantically changed this round, so each gets a
-# hard driver correctness signal; the round-1-green remainder follows in
-# its original order and simply re-verifies as window slots allow.
+# FIRST 50 registry entries in iteration order. Round-3 window goals
+# (VERDICT round-2 asks #1/#2): (a) zero `err` rows — the three
+# oracle=None ANN originals (llm_knn_lsh / llm_knn_ivf /
+# llm_dedup_embed_lsh) drop below slot 50 and their driver-checkable
+# recall-contract twins take the slots; (b) every one of the 8
+# never-driver-checked entries gets a row; (c) everything added or
+# semantically changed THIS round is fronted; (d) the remaining slots
+# re-verify the round-1-green warehouse spine, whose green rows predate
+# two rounds of churn in shared code (tokenize.py, llm/dedup.py,
+# sources/io.py). Round-2-green entries rotate out unchanged.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # changed this round (tolerance-contract redesign)
-    "dws_product_stats_approx",
-    "dws_province_stats_approx",
-    # new this round (registered in their modules; missing names are skipped)
-    "dws_keyword_stats_cjk",
-    "stream_visitor_stats_scale",
-    # (llm_dedup_ngram_exact is deliberately NOT fronted: it is the
-    # round-1 llm_dedup_ngram semantics verbatim, hash-green in
-    # CORRECTNESS_r01 under that name, so it yields its window slot)
-    "llm_dedup_ngram",  # semantics changed: df-capped candidate gen default
-    "stats_store_idempotent_upsert",
-    "llm_dedup_embed_planted",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue",
-    "llm_sample_hash",
-    "llm_sample_stratified",
-    "llm_train_val_split",
-    "ads_price_percentiles",
-    "stream_keyword_stats_cjk",
-    # round-1 positions 51-82: no CORRECTNESS_r01 row
-    "llm_dedup_simhash",
-    "llm_dedup_embed",
-    "llm_knn_bruteforce",
-    "llm_knn_lsh",
-    "llm_knn_ivf",
-    "llm_dedup_embed_lsh",
-    "llm_token_stats",
-    "llm_quality_score",
-    "llm_lang_id",
-    "llm_fingerprint",
-    "llm_corpus_curation",
-    "llm_dup_clusters",
-    "mm_media_features",
-    "mm_frame_sample",
-    "mm_frame_dedup",
-    "llm_dedup_simhash64",
-    "llm_ngram_familiarity",
-    "llm_fingerprint_rolling",
-    "mm_image_resize",
-    "mm_audio_frames",
-    "llm_fingerprint_winnow",
-    "stream_visitor_stats",
-    "stream_payment_wide",
-    "stream_product_stats",
-    "stream_user_jump",
-    "stream_unique_visit",
-    "stream_order_enrich",
-    "stream_payment_wide_outer",
-    "stream_stats_upsert_sink",
-    "stream_uv_dropdup",
-    "stream_session_window",
-    "stream_two_hop_pipeline",
+    # --- never driver-checked (registered after the r2 window filled) ---
+    "llm_knn_lsh_contract",
+    "llm_knn_ivf_contract",
+    "llm_dedup_embed_lsh_contract",
+    "llm_decontaminate",
+    "llm_repetition",
+    "llm_pii_flags",
+    "llm_dedup_ngram_exact",
+    "stream_two_hop_eos",
+    # --- changed this round ---
+    "stats_store_idempotent_upsert",  # eos.py empty-store guard
+    "dws_keyword_stats_cjk",  # expanded FMM lexicon
+    "stream_keyword_stats_cjk",  # expanded FMM lexicon
+    # --- new this round (registered in their modules; missing skipped) ---
+    "stream_product_stats_scale",
+    "stream_order_enrich_scale",
+    "stream_session_window_scale",
+    "stream_two_hop_scale",
+    "stream_keyword_stats_cjk_scale",
+    # --- round-1-green core spine: re-verify after shared-code churn ---
+    "dwd_log_split_page",
+    "dwd_db_route",
+    "dwm_unique_visit",
+    "dwm_user_jump",
+    "dwm_sessionize",
+    "dwm_order_wide",
+    "dwm_payment_wide",
+    "dws_visitor_stats",
+    "dws_product_stats",
+    "dws_province_stats",
+    "dws_keyword_stats",
+    "dws_pricing_summary",
+    "ads_gmv_by_date",
+    "ads_gmv_month",
+    "ads_top_brand",
+    "ads_topn_per_brand",
+    "ads_tm_reshape",
+    "scalar_function_surface",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q13_cust_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "set_intersect_buyers",
+    "set_except_buyers",
+    "set_intersect_all_buyers",
+    "set_except_all_buyers",
+    "events_asof_join",
+    "orders_range_band_join",
+    "dim_scd2_asof",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "scale_salted_agg",
+    "scale_salted_join",
+    "dws_keywords_sql_lateral",
 ]
 
 
