@@ -28,6 +28,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # testdata parquet writes naive timestamps (isAdjustedToUTC=false);
+    # Spark 4 would infer TIMESTAMP_NTZ, which withWatermark rejects and
+    # which diverges from the UTC-pinned LTZ arithmetic the oracles use.
+    # Read them as session-tz timestamps instead (identical wall-clock
+    # values under the UTC pin above).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
     # streaming defaults

@@ -76,6 +76,11 @@ def _pin_session_confs(spark: SparkSession) -> None:
     timestamps; nanosAsLong so events.parquet (TIMESTAMP NANOS) loads;
     package shipped to workers for the stateful pandas operators."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive parquet timestamps must load as (UTC) TIMESTAMP, not
+    # TIMESTAMP_NTZ: watermarks reject NTZ and the oracles assume the
+    # session-tz type. Runtime-settable, so pinning here also covers a
+    # driver-built session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     _ship_package(spark)
 
 
