@@ -852,3 +852,364 @@ def stream_two_hop_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
         return store.read_latest(["stt"])
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Scale-safe streaming variants (VERDICT r2 ask #3). The complete-mode
+# queries above are reference-parity demos (the reference re-emits whole
+# HashSet accumulators per element — dws/ProductStatsApp.java:209-252);
+# these variants are the shapes you would actually deploy at 100 TB:
+# UPDATE output mode (only changed keys per trigger), distinct counts as
+# bounded HLL sketches instead of unbounded collect_set state, and a
+# keyed upsert store as the sink (the ClickHouse ReplacingMergeTree
+# shape), so replay converges instead of duplicating. Exact measures are
+# hash-checked against the oracle; each HLL estimate is folded into a
+# per-group tolerance boolean against the exact batch count (oracle
+# emits literal TRUE), so approximation quality is driver-checked too.
+# ---------------------------------------------------------------------------
+
+
+def _run_update_upsert(agg: DataFrame, table: str, pk: str = "_k") -> DataFrame:
+    """Run an update-mode streaming aggregation to completion through a
+    keyed-upsert store (per-trigger changed rows only) and read back the
+    settled table. The 100 TB sink shape: state leaves the streaming job
+    as idempotent upserts, never a complete-mode full re-emit."""
+    from ..sources.dim_store import DimStore
+
+    spark = agg.sparkSession
+    store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_scale_store_"))
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        store.upsert(table, batch, pk=pk)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmall_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return store.read(table).drop(pk)
+
+
+def _tolerance_ok(approx_col: str, exact_col: str):
+    """|approx - exact| <= max(2, 10% of exact) — the HLL rsd=0.02 bound
+    with generous slack, folded to a hash-checkable boolean."""
+    return F.abs(F.col(approx_col) - F.col(exact_col)) <= F.greatest(
+        F.lit(2.0), F.col(exact_col) * F.lit(0.10)
+    )
+
+
+def product_stats_scale_agg(li: DataFrame) -> DataFrame:
+    """Scale-safe product stats: watermarked daily window, exact DECIMAL
+    revenue, per-window order count as an HLL sketch (bounded state) —
+    update-mode eligible. Exposed for the plan gate."""
+    return (
+        li.withWatermark("l_shipdate", "1 seconds")
+        .groupBy(F.window("l_shipdate", "1 day").alias("w"), "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("order_amount"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("order_ct_approx"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("dt"),
+            "l_partkey",
+            "order_amount",
+            "order_ct_approx",
+        )
+        .withColumn(
+            "_k", F.concat_ws("|", "dt", F.col("l_partkey").cast("string"))
+        )
+    )
+
+
+@register(
+    "stream_product_stats_scale",
+    oracle="""
+    SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS dt,
+           l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+           TRUE AS order_ct_ok
+    FROM lineitem
+    GROUP BY date_trunc('day', l_shipdate), l_partkey
+    """,
+    survey_ref="§2.4 A2 scale path (dws/ProductStatsApp.java:209-252 "
+    "semantics): update-mode windowed agg, HLL order-count instead of the "
+    "reference's per-window HashSet, keyed upsert sink — bounded state at "
+    "100 TB; exact revenue hash-checked, HLL checked via tolerance boolean",
+    tags=("streaming", "agg", "approx", "scale"),
+)
+def stream_product_stats_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_stream_table(spark, sf_dir, "lineitem")
+    settled = _run_update_upsert(
+        product_stats_scale_agg(li), "product_stats_scale"
+    )
+    exact = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "l_shipdate"), "yyyy-MM-dd").alias("dt"),
+            "l_partkey",
+        )
+        .agg(F.countDistinct("l_orderkey").alias("order_ct_exact"))
+    )
+    return (
+        settled.join(exact, ["dt", "l_partkey"])
+        .withColumn("order_ct_ok", _tolerance_ok("order_ct_approx", "order_ct_exact"))
+        .select("dt", "l_partkey", "order_amount", "order_ct_ok")
+    )
+
+
+def order_enrich_scale_agg(li: DataFrame, part: DataFrame) -> DataFrame:
+    """Scale-safe brand rollup: stream-static broadcast dim join into an
+    unwindowed update-mode agg — state is one row per brand (dim-bounded),
+    each trigger emits only brands it touched. Exposed for the plan gate."""
+    enriched = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left")
+    return (
+        enriched.groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("order_amount"),
+            F.count(F.lit(1)).alias("line_ct"),
+        )
+        .withColumn("_k", F.coalesce(F.col("p_brand"), F.lit("∅")))
+    )
+
+
+@register(
+    "stream_order_enrich_scale",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+           COUNT(*) AS line_ct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    survey_ref="§2.3 J3 scale path: broadcast dim enrich -> update-mode "
+    "agg -> keyed upsert store; replaces the complete-mode full re-emit "
+    "of stream_order_enrich (exact result, same oracle)",
+    tags=("streaming", "join", "agg", "scale"),
+)
+def stream_order_enrich_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_stream_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")  # static side, re-read per batch
+    return _run_update_upsert(
+        order_enrich_scale_agg(li, part), "order_enrich_scale"
+    )
+
+
+def session_window_scale_agg(src: DataFrame) -> DataFrame:
+    """Scale-safe session windows: watermarked, APPEND output — a session
+    emits exactly once, when the watermark passes its close; state is only
+    the open sessions. Exposed for the plan gate."""
+    return (
+        src.withWatermark("ts", "1 seconds")
+        .groupBy(F.session_window("ts", "1800 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_window_scale",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 1800 SECOND
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL 1800 SECOND AS sess_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    survey_ref="§2.6 W3 scale path: append-mode session windows — each "
+    "session emits once on watermark close (state = open sessions only), "
+    "vs the complete-mode re-emit of stream_session_window; a far-future "
+    "sentinel event advances the watermark so trailing sessions flush "
+    "(both engines exclude the sentinel user)",
+    tags=("streaming", "agg", "session", "scale"),
+)
+def stream_session_window_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    stage = tempfile.mkdtemp(prefix="gmall_sws_in_")
+    try:
+        in_dir = os.path.join(stage, "in")
+        ev.coalesce(1).write.parquet(in_dir, mode="overwrite")
+        sentinel = spark.createDataFrame(
+            [(999999999, -1, "2030-01-01 00:00:00")],
+            "event_id long, user_id long, cts string",
+        ).select("event_id", "user_id", F.to_timestamp("cts").alias("ts"))
+        sentinel.coalesce(1).write.parquet(in_dir, mode="append")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        settled = run_stream_to_table(
+            session_window_scale_agg(src),
+            _uniq("session_window_scale"),
+            output_mode="append",
+        )
+        return settled.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "stream_two_hop_scale",
+    oracle="""
+    WITH pv AS (
+        SELECT p.event_id AS pay_event_id, v.event_id AS view_event_id,
+               p.user_id, p.ts AS pay_ts
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 900 SECOND AND v.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT strftime(date_trunc('hour', pay_ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           COUNT(*) AS pair_ct,
+           TRUE AS view_ct_ok
+    FROM pv GROUP BY date_trunc('hour', pay_ts)
+    """,
+    survey_ref="§3.2 scale path: interval join -> parquet hop -> second "
+    "job in UPDATE mode with HLL distinct-view count into a keyed upsert "
+    "store. Per-window state is a bounded sketch, not the O(events) "
+    "collect_set of stream_two_hop_pipeline. (No watermark on hop replay: "
+    "hop files are shuffle-unordered — see stream_two_hop_eos; window "
+    "count stays bounded by the stream's time range.)",
+    tags=("streaming", "join", "agg", "approx", "scale", "pipeline"),
+)
+def stream_two_hop_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = tempfile.mkdtemp(prefix="gmall_hop_scale_")
+    try:
+        src = read_stream_table(spark, sf_dir, "events")
+        pay = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("pay_event_id"),
+                "user_id",
+                F.col("ts").alias("pay_ts"),
+            )
+            .withWatermark("pay_ts", "5 seconds")
+        )
+        view = (
+            src.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_event_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "5 seconds")
+        )
+        joined = (
+            pay.join(
+                view,
+                (pay["user_id"] == view["v_user_id"])
+                & (view["view_ts"] >= pay["pay_ts"] - F.expr("INTERVAL 900 SECONDS"))
+                & (view["view_ts"] <= pay["pay_ts"]),
+            )
+            .select("pay_event_id", "view_event_id", "user_id", "pay_ts")
+            .coalesce(4)  # 4 hop files -> the replay genuinely crosses triggers
+        )
+        hop = os.path.join(stage, "hop")
+        q1 = (
+            joined.writeStream.format("parquet")
+            .option("path", hop)
+            .option("checkpointLocation", os.path.join(stage, "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+        hop_stream = (
+            spark.readStream.schema(spark.read.parquet(hop).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(hop)
+        )
+        agg = (
+            hop_stream.groupBy(F.window("pay_ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("pair_ct"),
+                F.approx_count_distinct("view_event_id", 0.02).alias("view_ct_approx"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                "pair_ct",
+                "view_ct_approx",
+            )
+            .withColumn("_k", F.col("stt"))
+        )
+        settled = _run_update_upsert(agg, "two_hop_scale")
+        exact = (
+            spark.read.parquet(hop)
+            .groupBy(
+                F.date_format(F.date_trunc("hour", "pay_ts"), "yyyy-MM-dd HH:mm:ss").alias("stt")
+            )
+            .agg(F.countDistinct("view_event_id").alias("view_ct_exact"))
+        )
+        # materialize before the finally deletes the hop files the exact
+        # side's lazy scan would otherwise read after cleanup
+        return (
+            settled.join(exact, "stt")
+            .withColumn("view_ct_ok", _tolerance_ok("view_ct_approx", "view_ct_exact"))
+            .select("stt", "pair_ct", "view_ct_ok")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _register_stream_cjk_scale() -> None:
+    from .analytics import _CJK_BRANDS, _CJK_PRODS, _CJK_SUFS, _cjk_oracle
+
+    @register(
+        "stream_keyword_stats_cjk_scale",
+        oracle=_cjk_oracle(),
+        survey_ref="§2.7 U1 scale path: FMM segmentation per micro-batch "
+        "-> unwindowed UPDATE-mode word count -> keyed upsert store "
+        "(state = one row per vocabulary word, emits only words the "
+        "trigger touched); exact result, same recursive-CTE oracle as "
+        "the complete-mode parity demo",
+        tags=("streaming", "udtf", "cjk", "scale"),
+    )
+    def stream_keyword_stats_cjk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.tokenize import cjk_tokens_udf
+
+        def pick(options, idx):
+            return F.element_at(
+                F.array(*[F.lit(o) for o in options]), (idx + 1).cast("int")
+            )
+
+        d = read_stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 200
+        )
+        kw = F.concat(
+            pick(_CJK_BRANDS, F.col("doc_id") % 5),
+            pick(_CJK_PRODS, F.floor(F.col("doc_id") / 5) % 4),
+            pick(_CJK_SUFS, F.floor(F.col("doc_id") / 20) % 3),
+        )
+        agg = (
+            d.select(F.explode(cjk_tokens_udf()(kw)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("ct"))
+            .withColumn("_k", F.col("word"))
+        )
+        return _run_update_upsert(agg, "kw_cjk_scale")
+
+
+_register_stream_cjk_scale()

@@ -52,6 +52,12 @@ class DimStore:
         last-writer-wins per key within the batch, batch beats store
         (the reference's Phoenix UPSERT semantics). Creates the table on
         first write — the S8 DDL-on-demand path."""
+        # An empty micro-batch (update mode can trigger with no changed
+        # rows) is a no-op. Without this guard the DDL-on-demand first
+        # write would create a schema-less empty table dir that poisons
+        # every later partition-pruned read.
+        if batch.isEmpty():
+            return
         # dedupe the batch itself: keep the last row per pk (CDC batches can
         # carry insert+update for one key; max operation ts wins — here we
         # rely on a monotonically increasing `__seq` if present, else any)

@@ -242,3 +242,65 @@ def test_idempotent_batch_store_replay(spark, tmp_path):
     # append-mode view has exactly one copy of every written row
     rows = store.read_committed().count()
     assert rows == 4
+
+
+def test_streaming_registry_no_collect_set_outside_parity_demos():
+    """Registry-wide gate (VERDICT r2 #3): no streaming query may hold
+    unbounded collect_set state except the explicitly-allowlisted
+    complete-mode reference-parity demos, each of which now has a
+    scale-safe twin that IS gated."""
+    import inspect
+
+    from gmall_flink_2022_spark.plans import REGISTRY
+
+    PARITY_DEMOS = {
+        # complete-mode exact-distinct demos mirroring the reference's
+        # per-window HashSet accumulators; scale twin in parentheses
+        "stream_visitor_stats",  # -> stream_visitor_stats_scale
+        "stream_product_stats",  # -> stream_product_stats_scale
+        "stream_two_hop_pipeline",  # -> stream_two_hop_scale
+    }
+    streaming = {n: q for n, q in REGISTRY.items() if "streaming" in q.tags}
+    assert len(streaming) >= 15
+    for name, q in streaming.items():
+        if name in PARITY_DEMOS:
+            continue
+        src = inspect.getsource(q.fn)
+        assert "collect_set(" not in src, (
+            f"{name} holds collect_set state; use approx_count_distinct + "
+            "tolerance contract (see stream_visitor_stats_scale)"
+        )
+    # every parity demo must actually have its scale twin registered
+    for demo in PARITY_DEMOS:
+        twin = {"stream_two_hop_pipeline": "stream_two_hop_scale"}.get(
+            demo, demo + "_scale"
+        )
+        assert twin in REGISTRY, f"missing scale twin {twin} for {demo}"
+
+
+def test_scale_agg_builders_plan_gates(spark, sf_dir):
+    """The scale-variant aggregation plans must be watermark-evictable
+    (where windowed), sketch-based for distincts, and collect_set-free."""
+    from gmall_flink_2022_spark.plans.streaming_plans import (
+        order_enrich_scale_agg,
+        product_stats_scale_agg,
+        session_window_scale_agg,
+    )
+    from gmall_flink_2022_spark.sources.io import read_stream_table, read_table
+
+    li = read_stream_table(spark, sf_dir, "lineitem")
+    ev = read_stream_table(spark, sf_dir, "events")
+
+    p = product_stats_scale_agg(li)._jdf.queryExecution().analyzed().toString()
+    assert "collect_set" not in p
+    assert "approx_count_distinct" in p
+    assert "EventTimeWatermark" in p
+
+    part = read_table(spark, sf_dir, "part")
+    o = order_enrich_scale_agg(li, part)._jdf.queryExecution().analyzed().toString()
+    assert "collect_set" not in o
+
+    s = session_window_scale_agg(ev)._jdf.queryExecution().analyzed().toString()
+    assert "collect_set" not in s
+    assert "EventTimeWatermark" in s
+    assert "session_window" in s
