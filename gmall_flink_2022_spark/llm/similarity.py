@@ -176,6 +176,32 @@ def embedding_near_dups(
     )
 
 
+def _ivf_features(c: DataFrame) -> DataFrame:
+    """Corpus vectors as an ml-Vector feature column for the quantizer."""
+    from pyspark.ml.functions import array_to_vector
+
+    return c.select(
+        "neighbor_id",
+        array_to_vector(
+            F.transform("c_vec", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+
+
+def _ivf_train_set(feat: DataFrame, train_max: int, seed: int) -> DataFrame:
+    """Seeded, bounded k-means training set: Bernoulli-sample the corpus
+    at the fraction that targets ~``train_max`` rows, then hard-cap with
+    ``limit`` — the fit input is independent of corpus size, so centroid
+    training stays O(train_max) while assignment remains a single full
+    pass. Deterministic for a fixed seed + input layout."""
+    n = feat.count()
+    if n <= train_max:
+        return feat
+    # 20% oversample so the limit (not sampling variance) sets the size
+    frac = min(1.0, 1.2 * train_max / n)
+    return feat.sample(False, frac, seed).limit(train_max)
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,13 +211,16 @@ def knn_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_max: int = 4096,
 ) -> DataFrame:
     """IVF-style ANN: a k-means coarse quantizer partitions the corpus
     into ``n_cells`` inverted lists; each query probes its ``n_probe``
     nearest centroids and scores only those cells' vectors.
 
-    Scale shape: training samples the corpus (k-means state is tiny),
-    the cell assignment is a narrow map, and the probe join hits
+    Scale shape: the quantizer trains on a seeded sample capped at
+    ``train_max`` rows (see :func:`_ivf_train_set`) — centroid fitting
+    never does a multi-pass over the full corpus; only the single-pass
+    cell ASSIGNMENT touches every vector. The probe join hits
     ~n_probe/n_cells of the corpus — at 100 TB the inverted lists are
     what you'd persist partitioned-by-cell so a probe is a partition-
     pruned scan, not a full pass. Approximate by construction (centroid
@@ -199,18 +228,13 @@ def knn_ivf(
     is asserted in tests.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    feat = c.select(
-        "neighbor_id",
-        array_to_vector(
-            F.transform("c_vec", lambda x: x.cast("double"))
-        ).alias("features"),
-    )
-    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(feat)
+    feat = _ivf_features(c)
+    train = _ivf_train_set(feat, train_max=train_max, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(train)
     assigned = (
         km.transform(feat)
         .select("neighbor_id", F.col("prediction").alias("cell"))
