@@ -684,7 +684,7 @@ def dim_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inside the driver's parquet tables).
 # --------------------------------------------------------------------------
 _CJK_BRANDS = ["小米", "华为", "苹果", "联想", "荣耀"]
-_CJK_PRODS = ["手机", "平板电脑", "笔记本", "电视机"]
+_CJK_PRODS = ["智能手机", "平板电脑", "笔记本电脑", "洗衣机"]
 _CJK_SUFS = ["壳", "膜", ""]  # 壳/膜 are NOT in the lexicon -> char fallback
 
 

@@ -107,7 +107,16 @@ def test_interval_join_equals_naive(spark, left, right):
 
 # ---------------------------------------------------------------- round 2
 
-_cjk_chars = st.sampled_from(list("小米华为苹果联想荣耀手机平板电脑笔记本电视机壳膜的买X"))
+def _lexicon_alphabet():
+    """Every character of every lexicon word plus fallback chars, so
+    hypothesis strings exercise the full expanded dictionary (nested
+    compounds, shared prefixes) and non-dictionary fallback."""
+    from gmall_flink_2022_spark.functions.tokenize import CJK_LEXICON
+
+    return sorted({ch for w in CJK_LEXICON for ch in w} | set("壳膜的买X"))
+
+
+_cjk_chars = st.sampled_from(_lexicon_alphabet())
 _cjk_text = st.text(alphabet=_cjk_chars, min_size=0, max_size=20)
 
 
