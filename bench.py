@@ -40,6 +40,7 @@ def main() -> None:
             q.fn(spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass
+        spark.catalog.clearCache()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
@@ -50,6 +51,11 @@ def main() -> None:
             q.fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # queries persist() their own intermediates; drop them BETWEEN
+        # queries (not between reps — the median stays a warm-cache
+        # number, comparable across rounds) so the suite's memory
+        # footprint is one query's caches, not the whole set's
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

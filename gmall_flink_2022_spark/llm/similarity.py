@@ -90,12 +90,43 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
 
 def _table_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
-    """array of 'tableIdx:bits' bucket keys, one per hash table."""
-    return F.array(
-        *[
-            F.concat(F.lit(f"{t}:"), lsh_bucket(vec, planes))
-            for t, planes in enumerate(tables)
-        ]
+    """array of 'tableIdx:bits' bucket keys, one per hash table.
+
+    Arrow-batched pandas UDF: all T*P plane dot products per vector run
+    as ONE numpy matrix multiply per batch. The expression rendering
+    (:func:`lsh_bucket` per table) is semantically identical but its
+    T*P*dim higher-order-function lambdas evaluate interpreted —
+    ~50x slower per row; linear algebra is the one hot path where the
+    vectorized-UDF exception to "stay JVM-side" pays for the Arrow
+    transfer many times over."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = np.asarray(tables, dtype=np.float64)  # (T, P, D)
+    n_tables, n_planes, _dim = mats.shape
+    flat = mats.reshape(n_tables * n_planes, -1)
+    prefixes = [f"{t}:" for t in range(n_tables)]
+
+    def bucketize(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+        bits = (v @ flat.T >= 0.0).reshape(len(s), n_tables, n_planes)
+        return pd.Series(
+            [
+                [
+                    p + "".join("1" if b else "0" for b in row[t])
+                    for t, p in enumerate(prefixes)
+                ]
+                for row in bits
+            ]
+        )
+
+    # real class objects, not strings: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's type inference rejects
+    bucketize.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(bucketize, "array<string>")(
+        F.transform(vec, lambda x: x.cast("double"))
     )
 
 

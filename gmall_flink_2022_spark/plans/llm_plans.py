@@ -302,6 +302,7 @@ def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by construction; driver rows-only check
     survey_ref="extension: ANN scale path (random-hyperplane LSH buckets)",
     tags=("llm", "similarity"),
+    bench=True,
 )
 def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
@@ -317,6 +318,7 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="extension: ANN scale path #2 — IVF inverted lists from a "
     "k-means coarse quantizer (Spark ML), n_probe cell scan",
     tags=("llm", "similarity"),
+    bench=True,
 )
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
@@ -405,6 +407,7 @@ def llm_dedup_embed_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "planted corpus — ~500 true pairs exist, so the rows-only driver "
     "check and the pytest recall bound are non-vacuous",
     tags=("llm", "dedup", "embedding"),
+    bench=True,
 )
 def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups_lsh(
@@ -630,6 +633,7 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="extension: near-dup connected components "
     "(large-star/small-star alternation; canonical min-id representative)",
     tags=("llm", "dedup", "iterative"),
+    bench=True,
 )
 def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(
@@ -1121,6 +1125,7 @@ def llm_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(doc_id %% 50 = 0 plays the benchmark); inverted-index semi join, "
     "benchmark shingles broadcast",
     tags=("llm", "dedup", "decontam"),
+    bench=True,
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import decontam

@@ -572,6 +572,7 @@ def visitor_stats_scale_agg(ev: DataFrame) -> DataFrame:
     "is checked against the exact batch count via a per-group tolerance "
     "boolean (uv_approx_ok)",
     tags=("streaming", "agg", "approx", "scale"),
+    bench=True,
 )
 def stream_visitor_stats_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.dim_store import DimStore

@@ -511,3 +511,44 @@ def test_cjk_lexicon_breadth_and_fallback_guard():
     assert fmm_segment("无线路由器") == ["无线路由器"]  # not 无线+路由器
     # multi-word run previously falling to per-char tokens
     assert fmm_segment("小米智能手表降噪耳机") == ["小米", "智能手表", "降噪耳机"]
+
+
+def test_table_buckets_udf_matches_expression(spark, sf_dir):
+    """The vectorized (numpy gemm) bucket computation must agree with the
+    pure-expression rendering (lsh_bucket) — same planes, same bucket
+    keys. Tiny sign-boundary drift from summation order is tolerated."""
+    from gmall_flink_2022_spark.llm.similarity import (
+        _hyperplanes,
+        _table_buckets,
+        lsh_bucket,
+    )
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    tables = [_hyperplanes(64, 4, 42 + 1000 * t) for t in range(4)]
+    embs = read_table(spark, sf_dir, "embeddings").limit(200)
+    udf_side = {
+        r["vec_id"]: r["b"]
+        for r in embs.select(
+            "vec_id", _table_buckets(F.col("embedding"), tables).alias("b")
+        ).collect()
+    }
+    expr_side = {
+        r["vec_id"]: [
+            f"{t}:" + r[f"t{t}"] for t in range(len(tables))
+        ]
+        for r in embs.select(
+            "vec_id",
+            *[
+                lsh_bucket(F.col("embedding"), planes).alias(f"t{t}")
+                for t, planes in enumerate(tables)
+            ],
+        ).collect()
+    }
+    n_bits = sum(len(tables) * 4 for _ in udf_side)
+    diff = sum(
+        1
+        for k in udf_side
+        for a, b in zip(udf_side[k], expr_side[k])
+        if a != b
+    )
+    assert diff / max(n_bits, 1) < 0.005
