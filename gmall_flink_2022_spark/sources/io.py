@@ -74,6 +74,8 @@ def _pin_session_confs(spark: SparkSession) -> None:
     because the driver harness builds its own session: UTC so
     date_format/unix_timestamp match the DuckDB oracle on naive
     timestamps; nanosAsLong so events.parquet (TIMESTAMP NANOS) loads;
+    inferTimestampNTZ disabled so naive parquet timestamps load as
+    session-tz TIMESTAMP (watermark-compatible, oracle-matching);
     package shipped to workers for the stateful pandas operators."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # naive parquet timestamps must load as (UTC) TIMESTAMP, not
