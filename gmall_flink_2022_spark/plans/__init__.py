@@ -20,64 +20,71 @@ from . import tpch_more  # noqa: F401  (registers TPC-H batch-2 queries)
 # sources/io.py). Round-2-green entries rotate out unchanged.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # --- never driver-checked (registered after the r2 window filled) ---
-    "llm_knn_lsh_contract",
-    "llm_knn_ivf_contract",
-    "llm_dedup_embed_lsh_contract",
-    "llm_decontaminate",
-    "llm_repetition",
-    "llm_pii_flags",
-    "llm_dedup_ngram_exact",
-    "stream_two_hop_eos",
-    # --- changed this round ---
-    "stats_store_idempotent_upsert",  # eos.py empty-store guard
-    "dws_keyword_stats_cjk",  # expanded FMM lexicon
-    "stream_keyword_stats_cjk",  # expanded FMM lexicon
-    # --- new this round (registered in their modules; missing skipped) ---
+    # --- round-4 window. Priorities: (a) the five scale-safe streaming
+    # variants are NEW (VERDICT r2 ask #3, landed this round); (b) entries
+    # whose code churned AFTER their r3 green row (expanded CJK lexicon,
+    # vectorized LSH buckets, sampled IVF training, DimStore empty-batch
+    # guard); (c) the 8 entries whose only green row is round 1; (d) fill
+    # with round-2-green entries ordered by exposure to this round's
+    # churn (streaming runner/DimStore, llm/similarity.py). Left for r5:
+    # mm_frame_*, mm_image_resize, mm_audio_frames, TPC-H batch 2 and the
+    # approx-contract trio — all r2-green with untouched code.
+    # --- (a) new this round ---
     "stream_product_stats_scale",
     "stream_order_enrich_scale",
     "stream_session_window_scale",
     "stream_two_hop_scale",
     "stream_keyword_stats_cjk_scale",
-    # --- round-1-green core spine: re-verify after shared-code churn ---
-    "dwd_log_split_page",
+    # --- (b) r3-green but changed this round ---
+    "dws_keyword_stats_cjk",
+    "stream_keyword_stats_cjk",
+    "llm_knn_lsh_contract",
+    "llm_knn_ivf_contract",
+    "llm_dedup_embed_lsh_contract",
+    "stats_store_idempotent_upsert",
     "dwd_db_route",
-    "dwm_unique_visit",
-    "dwm_user_jump",
-    "dwm_sessionize",
-    "dwm_order_wide",
-    "dwm_payment_wide",
-    "dws_visitor_stats",
-    "dws_product_stats",
-    "dws_province_stats",
-    "dws_keyword_stats",
-    "dws_pricing_summary",
-    "ads_gmv_by_date",
-    "ads_gmv_month",
-    "ads_top_brand",
-    "ads_topn_per_brand",
-    "ads_tm_reshape",
-    "scalar_function_surface",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
-    "tpch_q13_cust_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "set_intersect_buyers",
-    "set_except_buyers",
-    "set_intersect_all_buyers",
-    "set_except_all_buyers",
-    "events_asof_join",
-    "orders_range_band_join",
-    "dim_scd2_asof",
-    "llm_dedup_exact",
-    "llm_dedup_minhash",
-    "scale_salted_agg",
-    "scale_salted_join",
-    "dws_keywords_sql_lateral",
+    # --- (c) green in round 1 only ---
+    "dws_union_stats",
+    "ads_rollup_revenue",
+    "ads_pivot_linestatus",
+    "dwd_semi_active_customers",
+    "dwd_anti_idle_customers",
+    "dws_session_window_native",
+    "dws_keyword_stats_windowed",
+    "udf_surface_token_count",
+    # --- (d) r2-green, churn-adjacent: streaming family ---
+    "stream_visitor_stats",
+    "stream_payment_wide",
+    "stream_product_stats",
+    "stream_user_jump",
+    "stream_unique_visit",
+    "stream_order_enrich",
+    "stream_payment_wide_outer",
+    "stream_uv_dropdup",
+    "stream_session_window",
+    "stream_two_hop_pipeline",
+    "stream_visitor_stats_scale",
+    # --- (d) r2-green: similarity / dedup / curation ---
+    "llm_knn_bruteforce",
+    "llm_dedup_embed",
+    "llm_dedup_embed_planted",
+    "llm_dedup_ngram",
+    "llm_dedup_simhash",
+    "llm_dedup_simhash64",
+    "llm_dup_clusters",
+    "llm_corpus_curation",
+    # --- (d) r2-green: text / fingerprint / sampling / multimodal ---
+    "llm_token_stats",
+    "llm_quality_score",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_fingerprint_rolling",
+    "llm_fingerprint_winnow",
+    "llm_ngram_familiarity",
+    "llm_sample_hash",
+    "llm_sample_stratified",
+    "llm_train_val_split",
+    "mm_media_features",
 ]
 
 

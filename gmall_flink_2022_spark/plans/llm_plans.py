@@ -1226,9 +1226,22 @@ def llm_dedup_embed_lsh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = similarity.embedding_near_dups_lsh(
         embs, "vec_id", "embedding", threshold=0.9
     ).select("id_a", "id_b")
-    n_exact = exact.count()
-    n_hit = exact.join(found, ["id_a", "id_b"], "left_semi").count()
-    return spark.createDataFrame(
-        [(n_exact, bool(n_exact > 0 and n_hit / n_exact >= 0.8))],
-        "n_exact long, recall_ok boolean",
+    # one lazy plan, no driver-side actions: a single global aggregate
+    # counts exact pairs and LSH-recovered pairs in the same pass
+    hit = exact.join(found, ["id_a", "id_b"], "left_semi").select(
+        "id_a", "id_b", F.lit(1).alias("is_hit")
+    )
+    return (
+        exact.join(hit, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "n_exact",
+            (
+                (F.col("n_exact") > 0)
+                & (F.col("n_hit") >= F.col("n_exact") * F.lit(0.8))
+            ).alias("recall_ok"),
+        )
     )

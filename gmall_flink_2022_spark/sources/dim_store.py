@@ -52,12 +52,6 @@ class DimStore:
         last-writer-wins per key within the batch, batch beats store
         (the reference's Phoenix UPSERT semantics). Creates the table on
         first write — the S8 DDL-on-demand path."""
-        # An empty micro-batch (update mode can trigger with no changed
-        # rows) is a no-op. Without this guard the DDL-on-demand first
-        # write would create a schema-less empty table dir that poisons
-        # every later partition-pruned read.
-        if batch.isEmpty():
-            return
         # dedupe the batch itself: keep the last row per pk (CDC batches can
         # carry insert+update for one key; max operation ts wins — here we
         # rely on a monotonically increasing `__seq` if present, else any)
@@ -71,7 +65,20 @@ class DimStore:
             batch = batch.dropDuplicates([pk])
 
         bucket = F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(self.n_buckets))
-        batch = batch.withColumn("__bucket", bucket.cast("int"))
+        # materialize the batch ONCE: every downstream action (empty
+        # guard, affected-bucket collect, merge, write) reads the
+        # checkpoint instead of re-executing the upstream micro-batch
+        # plan — inside foreachBatch that plan is the whole streaming
+        # aggregation, so each extra action would be a full recompute
+        batch = batch.withColumn("__bucket", bucket.cast("int")).localCheckpoint(
+            eager=True
+        )
+        # An empty micro-batch (update mode can trigger with no changed
+        # rows) is a no-op. Without this guard the DDL-on-demand first
+        # write would create a schema-less empty table dir that poisons
+        # every later partition-pruned read.
+        if batch.isEmpty():
+            return
         path = self._path(table)
         if self.exists(table):
             affected = [
@@ -83,11 +90,11 @@ class DimStore:
             )
             keep = current.join(batch.select(pk), on=pk, how="left_anti")
             merged = keep.unionByName(batch, allowMissingColumns=True)
+            # materialize before overwriting the files `keep` reads from
+            # (on a cluster: checkpoint to reliable storage / Delta MERGE)
+            merged = merged.localCheckpoint(eager=True)
         else:
-            merged = batch
-        # materialize before overwriting the files the plan reads from
-        # (on a cluster: checkpoint to reliable storage / Delta MERGE)
-        merged = merged.localCheckpoint(eager=True)
+            merged = batch  # already checkpointed; nothing to overwrite
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
