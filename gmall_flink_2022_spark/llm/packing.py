@@ -1,0 +1,106 @@
+"""Training-sequence layout operators: sequence packing and overlapped
+context chunking.
+
+Two ops every LM data pipeline runs between "curated documents" and
+"training batches":
+
+- :func:`sequence_pack` — the concatenate-then-split layout: documents
+  are laid end-to-end within a shard and cut into fixed ``seq_len``
+  token sequences; each document is assigned the sequence its first
+  token lands in. Shard-local (one window per shard, no global sort) so
+  the layout parallelizes: at 100 TB each shard's running offset is an
+  independent partition of a single window shuffle, and adding shards
+  scales out with no coordination. Deterministic: shard = doc_id mod
+  n_shards, order by doc_id within shard — integer arithmetic only,
+  exactly mirrored by the SQL oracle.
+
+- :func:`chunk_overlap` — sliding context windows over each document's
+  token sequence: chunks of ``chunk_size`` tokens advancing by
+  ``chunk_size - overlap`` (the RAG / long-context preprocessing
+  shape). A narrow map + explode per document — no shuffle at all; the
+  chunk count per document is ceil(n/stride), bounded, and the op is
+  embarrassingly parallel at any scale.
+
+Token counts use the same whitespace/alnum tokenizer as llm.text
+(functions.tokenize.tokenize_col) so every layout decision is
+hash-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions.tokenize import tokenize_col
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(id, shard, seq_id, tok_offset, n_tokens): lay documents end-to-end
+    per shard (ordered by id) and cut every ``seq_len`` tokens; a document
+    belongs to the sequence containing its first token. Empty documents
+    are dropped (they occupy no tokens)."""
+    n = F.size(tokenize_col(text_col)).cast("long")
+    w = W.partitionBy("shard").orderBy("id")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.col(id_col) % n_shards).cast("long").alias("shard"),
+            n.alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "tok_offset",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "id",
+            "shard",
+            F.floor(F.col("tok_offset") / seq_len).alias("seq_id"),
+            "tok_offset",
+            "n_tokens",
+        )
+    )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """(id, chunk_id, tok_start, tok_end): sliding windows of
+    ``chunk_size`` tokens advancing by ``chunk_size - overlap``; the last
+    chunk is truncated at the document end. Every chunk start is a valid
+    token index, so consecutive chunks share exactly ``overlap`` tokens
+    except possibly the final one."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    n = F.size(tokenize_col(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"), n.alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.col("n_tokens") - 1,
+        F.lit(stride).cast("long"),
+    )
+    return base.select(
+        "id",
+        F.posexplode(starts).alias("chunk_id", "tok_start"),
+        "n_tokens",
+    ).select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "tok_start",
+        F.least(F.col("tok_start") + chunk_size, F.col("n_tokens")).alias("tok_end"),
+    )

@@ -35,6 +35,8 @@ _DRIVER_WINDOW_FIRST = [
     "stream_session_window_scale",
     "stream_two_hop_scale",
     "stream_keyword_stats_cjk_scale",
+    "llm_sequence_pack",
+    "llm_chunk_overlap",
     # --- (b) r3-green but changed this round ---
     "dws_keyword_stats_cjk",
     "stream_keyword_stats_cjk",
@@ -83,8 +85,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_ngram_familiarity",
     "llm_sample_hash",
     "llm_sample_stratified",
-    "llm_train_val_split",
-    "mm_media_features",
 ]
 
 

@@ -1245,3 +1245,67 @@ def llm_dedup_embed_lsh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-sequence layout (llm/packing.py): the concatenate-then-split
+# packing and overlapped context chunking every LM pipeline runs between
+# curation and batching. Both exact integer layouts -> full hash oracles.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_sequence_pack",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id AS id,
+               doc_id % 8 AS shard,
+               len({TOKS}) AS n_tokens
+        FROM documents
+    ),
+    nz AS (SELECT * FROM tk WHERE n_tokens > 0)
+    SELECT id, shard,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+                AS BIGINT) AS seq_id,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tok_offset,
+           n_tokens
+    FROM nz
+    """,
+    survey_ref="extension: concatenate-then-split sequence packing "
+    "(shard-local running token offsets -> fixed seq_len cuts; the LM "
+    "training-batch layout). One window shuffle partitioned by shard",
+    tags=("llm", "layout"),
+)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import packing
+
+    return packing.sequence_pack(
+        _docs(spark, sf_dir), "doc_id", "text", seq_len=512, n_shards=8
+    )
+
+
+@register(
+    "llm_chunk_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id AS id, len({TOKS}) AS n_tokens FROM documents),
+    nz AS (SELECT * FROM tk WHERE n_tokens > 0)
+    SELECT id,
+           CAST(g.ts // 96 AS BIGINT) AS chunk_id,
+           CAST(g.ts AS BIGINT) AS tok_start,
+           CAST(least(g.ts + 128, n_tokens) AS BIGINT) AS tok_end
+    FROM nz, UNNEST(generate_series(0, n_tokens - 1, 96)) AS g(ts)
+    """,
+    survey_ref="extension: sliding context windows with overlap "
+    "(chunk_size 128, overlap 32 -> stride 96; the RAG / long-context "
+    "preprocessing shape). Narrow map + explode, zero shuffles",
+    tags=("llm", "layout"),
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import packing
+
+    return packing.chunk_overlap(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_size=128, overlap=32
+    )

@@ -552,3 +552,53 @@ def test_table_buckets_udf_matches_expression(spark, sf_dir):
         if a != b
     )
     assert diff / max(n_bits, 1) < 0.005
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Packing is a contiguous shard-local layout: offsets tile each
+    shard exactly (no gaps/overlaps in id order), seq_id is the
+    seq_len-quotient of the offset, empties are dropped."""
+    from gmall_flink_2022_spark.llm.packing import sequence_pack
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = sequence_pack(docs, "doc_id", "text", seq_len=512, n_shards=8)
+    rows = sorted(
+        ((r["shard"], r["id"], r["tok_offset"], r["n_tokens"], r["seq_id"])
+         for r in out.collect())
+    )
+    by_shard: dict[int, int] = {}
+    for shard, _id, off, n, seq in rows:
+        assert off == by_shard.get(shard, 0)  # contiguous, id-ordered
+        assert seq == off // 512
+        assert n > 0
+        by_shard[shard] = off + n
+
+
+def test_chunk_overlap_invariants(spark, sf_dir):
+    """Chunks cover every token; consecutive chunks overlap by exactly
+    `overlap` tokens (except a truncated tail); starts step by stride."""
+    from gmall_flink_2022_spark.llm.packing import chunk_overlap
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    out = chunk_overlap(docs, "doc_id", "text", chunk_size=128, overlap=32)
+    per_doc: dict[int, list] = {}
+    for r in out.collect():
+        per_doc.setdefault(r["id"], []).append(
+            (r["chunk_id"], r["tok_start"], r["tok_end"])
+        )
+    assert per_doc
+    for chunks in per_doc.values():
+        chunks.sort()
+        assert chunks[0][1] == 0  # first chunk starts at token 0
+        for (i_, s, e), (j_, s2, e2) in zip(chunks, chunks[1:]):
+            assert s2 - s == 96  # stride
+            assert e >= s2  # no token gap between consecutive chunks
+        for _i, s, e in chunks:
+            assert 0 < e - s <= 128
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_overlap(docs, "doc_id", "text", chunk_size=32, overlap=32)

@@ -242,3 +242,18 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan or "DynamicPruning" in plan
     rows = {r["o_year"]: r["count"] for r in j.collect()}
     assert rows and set(rows) == {1995}
+
+
+def test_layout_ops_plan_shape(spark, sf_dir):
+    """sequence_pack: exactly one exchange (the shard window); the window
+    itself partitions by shard. chunk_overlap: zero exchanges — a narrow
+    map + generator only."""
+    pack = plans.REGISTRY["llm_sequence_pack"].fn(spark, sf_dir)
+    p = pack._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") - p.count("ReusedExchange") == 1
+    assert "Window" in p
+
+    chunk = plans.REGISTRY["llm_chunk_overlap"].fn(spark, sf_dir)
+    c = chunk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in c
+    assert "Generate" in c  # posexplode stays a generator, not a join
