@@ -37,6 +37,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_keyword_stats_cjk_scale",
     "llm_sequence_pack",
     "llm_chunk_overlap",
+    "stream_uv_dropdup_ttl",
     # --- (b) r3-green but changed this round ---
     "dws_keyword_stats_cjk",
     "stream_keyword_stats_cjk",
@@ -84,7 +85,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_fingerprint_winnow",
     "llm_ngram_familiarity",
     "llm_sample_hash",
-    "llm_sample_stratified",
 ]
 
 

@@ -1214,3 +1214,28 @@ def _register_stream_cjk_scale() -> None:
 
 
 _register_stream_cjk_scale()
+
+
+@register(
+    "stream_uv_dropdup_ttl",
+    oracle="""
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS dt
+    FROM events
+    """,
+    survey_ref="§2.4 A5 + §2.6 W4 third rendering — "
+    "dropDuplicatesWithinWatermark: built-in first-per-key dedup whose "
+    "state is EVICTED when the watermark passes key-arrival + delay — "
+    "the exact analog of the reference's 24h-TTL ValueState "
+    "(dwm/UniqueVisitApp.java:46-49) with bounded state, vs the "
+    "unbounded-state dropDuplicates rendering (stream_uv_dropdup)",
+    tags=("streaming", "dedup", "scale"),
+)
+def stream_uv_dropdup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_stream_table(spark, sf_dir, "events")
+    uv = (
+        ev.withWatermark("ts", "1 seconds")
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"), "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "dt"])
+        .select("user_id", "dt")
+    )
+    return run_stream_to_table(uv, _uniq("uv_dropdup_ttl"), output_mode="append")
