@@ -72,3 +72,58 @@ def train_val_test_split(
         .when(u < test_hi, "test")
         .otherwise("train"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Dataset-mixture weighting: an independent deterministic
+    Bernoulli(rate) per source/group (upsample-by-repetition is the
+    consumer's job; this is the downsample step every mixture recipe
+    needs). Same hash universe as hash_sample, so mixture membership is
+    retry- and join-stable. Narrow map, zero shuffles."""
+    u = _u32(F.col(id_col))
+    chain = None
+    for k in sorted(fractions):
+        t = F.lit(int(fractions[k] * _U32_MAX))
+        cond = F.col(group_col) == k
+        chain = F.when(cond, t) if chain is None else chain.when(cond, t)
+    thresh = (
+        chain.otherwise(F.lit(int(default * _U32_MAX)))
+        if chain is not None
+        else F.lit(int(default * _U32_MAX))
+    )
+    return df.filter(u < thresh)
+
+
+def shuffle_order(df: DataFrame, id_col: str, salt: str = "shuffle|") -> DataFrame:
+    """Deterministic global shuffle rank WITHOUT a single-partition sort:
+    the TeraSort ranking shape. The salted hash's high byte is the range
+    bucket (hash order == (bucket, rest) order), so global rank =
+    bucket offset (a 256-row side computation) + row_number within the
+    bucket — the big window is hash-partitioned 256 ways and scales out.
+    The salt decorrelates shuffle order from the sampling family's
+    unsalted hash (otherwise "sampled" would equal "first in shuffle
+    order")."""
+    u = _u32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = df.withColumn("_u", u).withColumn("_b", F.shiftright(F.col("_u"), 24))
+    counts = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    # the offset window runs over <=256 bucket-count rows — single
+    # partition by construction, and deliberately so (tiny data)
+    woff = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("_b", "_off")
+    win = W.partitionBy("_b").orderBy(F.col("_u").asc(), F.col(id_col).asc())
+    return (
+        d.join(F.broadcast(offs), "_b")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("_off") + F.row_number().over(win)).cast("long"),
+        )
+        .drop("_u", "_b", "_off")
+    )

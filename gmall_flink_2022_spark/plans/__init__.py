@@ -38,6 +38,8 @@ _DRIVER_WINDOW_FIRST = [
     "llm_sequence_pack",
     "llm_chunk_overlap",
     "stream_uv_dropdup_ttl",
+    "llm_mixture_sample",
+    "llm_shuffle_order",
     # --- (b) r3-green but changed this round ---
     "dws_keyword_stats_cjk",
     "stream_keyword_stats_cjk",
@@ -83,8 +85,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_fingerprint",
     "llm_fingerprint_rolling",
     "llm_fingerprint_winnow",
-    "llm_ngram_familiarity",
-    "llm_sample_hash",
 ]
 
 

@@ -1309,3 +1309,49 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_overlap(
         _docs(spark, sf_dir), "doc_id", "text", chunk_size=128, overlap=32
     )
+
+
+@register(
+    "llm_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_u32_sql("doc_id")} <
+          CASE lang WHEN 'en' THEN {int(0.5 * (1 << 32))}
+                    WHEN 'zh' THEN {1 << 32}
+                    ELSE {int(0.2 * (1 << 32))} END
+    """,
+    survey_ref="extension: dataset-mixture weighting — per-source "
+    "deterministic Bernoulli rates (en 0.5 / zh 1.0 / others 0.2), "
+    "join- and retry-stable; narrow map, zero shuffles",
+    tags=("llm", "sampling"),
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sampling
+
+    return sampling.mixture_sample(
+        _docs(spark, sf_dir), "lang", "doc_id",
+        {"en": 0.5, "zh": 1.0}, default=0.2,
+    ).select("doc_id", "lang")
+
+
+@register(
+    "llm_shuffle_order",
+    oracle=f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY {_u32_sql("'shuffle|' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS shuffle_rank
+    FROM documents
+    """,
+    survey_ref="extension: deterministic global training-order shuffle "
+    "via bucketed (TeraSort-style) ranking — hash high byte = range "
+    "bucket, rank = bucket offset + within-bucket row_number; no "
+    "single-partition sort of the corpus",
+    tags=("llm", "sampling", "layout"),
+)
+def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sampling
+
+    return sampling.shuffle_order(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "shuffle_rank"
+    )

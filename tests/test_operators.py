@@ -602,3 +602,25 @@ def test_chunk_overlap_invariants(spark, sf_dir):
 
     with pytest.raises(ValueError):
         chunk_overlap(docs, "doc_id", "text", chunk_size=32, overlap=32)
+
+
+def test_mixture_sample_rates_and_stability(spark, sf_dir):
+    """Mixture membership is a pure function of the id (stable across
+    runs) and each group's observed rate tracks its configured rate."""
+    from gmall_flink_2022_spark.llm.sampling import mixture_sample
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    frac = {"en": 0.5, "zh": 1.0}
+    a = {r["doc_id"] for r in mixture_sample(docs, "lang", "doc_id", frac, 0.2).collect()}
+    b = {r["doc_id"] for r in mixture_sample(docs, "lang", "doc_id", frac, 0.2).collect()}
+    assert a == b  # retry-stable
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in mixture_sample(docs, "lang", "doc_id", frac, 0.2)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept.get("zh", 0) == totals.get("zh", 0)  # rate 1.0 keeps all
+    if totals.get("en", 0) >= 50:
+        assert 0.3 <= kept.get("en", 0) / totals["en"] <= 0.7

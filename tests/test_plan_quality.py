@@ -257,3 +257,15 @@ def test_layout_ops_plan_shape(spark, sf_dir):
     c = chunk._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in c
     assert "Generate" in c  # posexplode stays a generator, not a join
+
+
+def test_shuffle_order_no_global_sort(spark, sf_dir):
+    """Global shuffle rank must not sort the corpus in one partition:
+    the big window is hash-partitioned by bucket; the only
+    single-partition window runs over the <=256 bucket-count rows."""
+    df = plans.REGISTRY["llm_shuffle_order"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_b" in p  # corpus window partitioned by bucket
+    # ranks are a permutation of 1..n
+    rows = [r["shuffle_rank"] for r in df.collect()]
+    assert sorted(rows) == list(range(1, len(rows) + 1))
