@@ -356,3 +356,68 @@ def embedding_near_dups_lsh(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def kmeans_cells(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    train_max: int = 4096,
+) -> DataFrame:
+    """(id, cell): sample-trained k-means coarse partitioning of the
+    corpus — the quantizer of knn_ivf exposed as a standalone op (fit on
+    a bounded seeded sample, one-pass assignment)."""
+    from pyspark.ml.clustering import KMeans
+
+    c = embs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    feat = _ivf_features(c)
+    train = _ivf_train_set(feat, train_max=train_max, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(train)
+    return km.transform(feat).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("prediction").cast("long").alias("cell"),
+    )
+
+
+def semdedup(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_max: int = 4096,
+) -> DataFrame:
+    """Semantic dedup, the SemDeDup pipeline shape (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells bound the pair space, pairs within
+    a cell are verified with exact cosine >= threshold, connected
+    components canonicalize duplicate groups, and only the min-id
+    representative of each group is kept.
+
+    Returns (id, cluster_id, keep). Precision is 1.0 by construction —
+    every removal is justified by a chain of exactly-verified pairs;
+    cell blocking only costs recall (cross-cell near-dups survive),
+    which the registry contract bounds on the planted corpus. At 100 TB
+    every stage is bounded: sample-trained quantizer, per-cell pair
+    space, O(log n) component rounds."""
+    from .dedup import dup_clusters
+
+    cells = kmeans_cells(embs, id_col, vec_col, n_cells, seed, train_max)
+    with_cells = embs.join(cells, id_col)
+    pairs = embedding_near_dups(
+        with_cells, id_col, vec_col, bucket_col="cell", threshold=threshold
+    ).select("id_a", "id_b")
+    clusters = dup_clusters(pairs)
+    return (
+        embs.select(F.col(id_col).alias("id"))
+        .join(clusters, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("id"))
+    )

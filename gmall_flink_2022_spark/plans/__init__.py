@@ -40,6 +40,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_uv_dropdup_ttl",
     "llm_mixture_sample",
     "llm_shuffle_order",
+    "llm_semdedup_contract",
     # --- (b) r3-green but changed this round ---
     "dws_keyword_stats_cjk",
     "stream_keyword_stats_cjk",
@@ -84,7 +85,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_lang_id",
     "llm_fingerprint",
     "llm_fingerprint_rolling",
-    "llm_fingerprint_winnow",
 ]
 
 

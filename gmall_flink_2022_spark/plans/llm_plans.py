@@ -1355,3 +1355,77 @@ def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.shuffle_order(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", "shuffle_rank"
     )
+
+
+@register(
+    "llm_semdedup_contract",
+    # exact side: full transitive closure over exactly-verified pairs at
+    # the same threshold on the planted corpus; SemDeDup's cell blocking
+    # can only LOSE pairs, so precision is structural (TRUE) and recall
+    # is bounded below
+    oracle=f"""
+    WITH RECURSIVE {_AUG_CTE},
+    pr AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE {_dot("a.embedding", "b.embedding")}
+                 / ({_norm("a.embedding")} * {_norm("b.embedding")}) >= 0.9
+    ),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION
+        SELECT id_b, id_a FROM pr
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+    ),
+    lab AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_removed_exact,
+           TRUE AS precision_ok, TRUE AS recall_ok
+    FROM lab WHERE cluster_id <> id
+    """,
+    survey_ref="extension: SemDeDup (arXiv:2303.09540 shape) — k-means "
+    "cells -> exact-verified within-cell pairs -> connected components "
+    "-> keep min-id representative. Contract on the planted corpus: "
+    "removal precision 1.0 (every removal chain is exactly verified), "
+    "removal recall >= 0.8 vs the unblocked exact closure",
+    tags=("llm", "dedup", "embedding", "approx"),
+)
+def llm_semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs_planted(spark, sf_dir)
+    sd = similarity.semdedup(
+        embs, "vec_id", "embedding", threshold=0.9, n_cells=8
+    )
+    approx_removed = sd.filter(~F.col("keep")).select("id").withColumn(
+        "in_ap", F.lit(1)
+    )
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", similarity.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    exact_removed = (
+        dedup.dup_clusters(exact_pairs)
+        .filter(F.col("cluster_id") != F.col("id"))
+        .select("id")
+        .withColumn("in_ex", F.lit(1))
+    )
+    m = exact_removed.join(approx_removed, "id", "full")
+    return m.agg(
+        F.sum(F.coalesce("in_ex", F.lit(0))).cast("long").alias("n_removed_exact"),
+        F.sum(
+            F.when(F.col("in_ex").isNotNull() & F.col("in_ap").isNotNull(), 1).otherwise(0)
+        ).alias("n_hit"),
+        F.sum(
+            F.when(F.col("in_ex").isNull() & F.col("in_ap").isNotNull(), 1).otherwise(0)
+        ).alias("n_bad"),
+    ).select(
+        "n_removed_exact",
+        (F.col("n_bad") == 0).alias("precision_ok"),
+        (F.col("n_hit") >= F.col("n_removed_exact") * F.lit(0.8)).alias("recall_ok"),
+    )

@@ -624,3 +624,27 @@ def test_mixture_sample_rates_and_stability(spark, sf_dir):
     assert kept.get("zh", 0) == totals.get("zh", 0)  # rate 1.0 keeps all
     if totals.get("en", 0) >= 50:
         assert 0.3 <= kept.get("en", 0) / totals["en"] <= 0.7
+
+
+def test_semdedup_keep_semantics(spark, sf_dir):
+    """Every cluster keeps exactly its min-id member; removed rows all
+    have an exactly-verified >=threshold path to their representative
+    (precision 1.0 by construction)."""
+    from gmall_flink_2022_spark.llm.similarity import semdedup
+    from gmall_flink_2022_spark.plans.llm_plans import _embs_planted
+
+    sd = semdedup(
+        _embs_planted(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.9, n_cells=8,
+    )
+    rows = [(r["id"], r["cluster_id"], r["keep"]) for r in sd.collect()]
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for i, c, k in rows:
+        assert c <= i  # representative is the min id
+        assert k == (c == i)
+        by_cluster.setdefault(c, []).append(i)
+    for c, members in by_cluster.items():
+        assert min(members) == c  # the representative is a member
+    # the planted corpus has twins -> some dedup must actually happen
+    assert any(not k for _i, _c, k in rows)
