@@ -66,7 +66,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_unique_visit",
     "stream_order_enrich",
     "stream_payment_wide_outer",
-    "stream_uv_dropdup",
+    "stream_stats_upsert_sink",
     "stream_session_window",
     "stream_two_hop_pipeline",
     "stream_visitor_stats_scale",
