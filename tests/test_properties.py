@@ -191,3 +191,47 @@ def test_dup_clusters_matches_union_find(spark, pairs):
     df = spark.createDataFrame(clean, "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40))
+def test_sequence_pack_tiles_shards(spark, token_counts):
+    """For arbitrary corpora: per shard, offsets are contiguous in id
+    order (no gaps/overlaps), empty docs vanish, seq_id is the
+    seq_len-quotient of the offset."""
+    from gmall_flink_2022_spark.llm.packing import sequence_pack
+
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sequence_pack(df, "doc_id", "text", seq_len=7, n_shards=3).collect()
+    assert {r["id"] for r in out} == {i for i, n in enumerate(token_counts) if n > 0}
+    nxt = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["id"])):
+        assert r["tok_offset"] == nxt.get(r["shard"], 0)
+        assert r["seq_id"] == r["tok_offset"] // 7
+        nxt[r["shard"]] = r["tok_offset"] + r["n_tokens"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=60))
+def test_chunk_overlap_covers_all_tokens(spark, n_tokens):
+    """Chunks tile [0, n): first starts at 0, strides are exact, union
+    of [start, end) covers every token index, last end == n."""
+    from gmall_flink_2022_spark.llm.packing import chunk_overlap
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(n_tokens)))], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["tok_start"], r["tok_end"])
+        for r in chunk_overlap(df, "doc_id", "text", chunk_size=10, overlap=4).collect()
+    )
+    if n_tokens == 0:
+        assert out == []
+        return
+    assert out[0][0] == 0
+    assert out[-1][1] == n_tokens
+    covered = set()
+    for s, e in out:
+        covered.update(range(s, e))
+    assert covered == set(range(n_tokens))
