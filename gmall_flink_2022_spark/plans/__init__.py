@@ -41,6 +41,8 @@ _DRIVER_WINDOW_FIRST = [
     "llm_mixture_sample",
     "llm_shuffle_order",
     "llm_semdedup_contract",
+    "stream_llm_dedup_exact",
+    "stream_llm_decontaminate",
     # --- (b) r3-green but changed this round ---
     "dws_keyword_stats_cjk",
     "stream_keyword_stats_cjk",
@@ -82,9 +84,7 @@ _DRIVER_WINDOW_FIRST = [
     # --- (d) r2-green: text / fingerprint / sampling / multimodal ---
     "llm_token_stats",
     "llm_quality_score",
-    "llm_lang_id",
     "llm_fingerprint",
-    "llm_fingerprint_rolling",
 ]
 
 

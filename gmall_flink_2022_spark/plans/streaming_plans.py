@@ -1239,3 +1239,82 @@ def stream_uv_dropdup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "dt")
     )
     return run_stream_to_table(uv, _uniq("uv_dropdup_ttl"), output_mode="append")
+
+
+@register(
+    "stream_llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_ct
+    FROM documents GROUP BY md5(text)
+    """,
+    survey_ref="extension x §2.6: exact dedup AS A STREAMING JOB — "
+    "digest groupBy in update mode into the keyed upsert store (state "
+    "one row per distinct content, emits only digests the trigger "
+    "touched); the continuous-ingest rendering of llm_dedup_exact, "
+    "same oracle",
+    tags=("streaming", "llm", "dedup", "scale"),
+)
+def stream_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_stream_table(spark, sf_dir, "documents")
+    agg = (
+        d.withColumn("digest", F.md5(F.col("text")))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_ct"),
+        )
+        .withColumn("_k", F.col("digest"))
+    )
+    return _run_update_upsert(agg, "llm_dedup_exact_stream")
+
+
+@register(
+    "stream_llm_decontaminate",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM tk, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+        WHERE len(toks) >= 3
+    )
+    SELECT DISTINCT s.doc_id AS id
+    FROM sh s
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0) b
+      ON s.shingle = b.shingle
+    WHERE s.doc_id % 50 <> 0
+    """,
+    survey_ref="extension x §2.6: benchmark decontamination AS A "
+    "STREAMING JOB — stateless stream (shingle explode -> broadcast "
+    "static benchmark-shingle semi-join) into the idempotent keyed "
+    "store, which IS the dedup: zero streaming state, the 100 TB "
+    "continuous-hygiene shape; same oracle as llm_decontaminate",
+    tags=("streaming", "llm", "decontam", "scale"),
+)
+def stream_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import shingles
+
+    stream_docs = read_stream_table(spark, sf_dir, "documents")
+    train = stream_docs.filter(F.col("doc_id") % 50 != 0)
+    bench_sh = (
+        shingles(
+            read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0),
+            "doc_id",
+            "text",
+            3,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        shingles(train, "doc_id", "text", 3)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("id")
+        .withColumn("_k", F.col("id"))
+    )
+    return _run_update_upsert(hits, "llm_decontam_stream")
