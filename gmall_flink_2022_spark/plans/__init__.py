@@ -43,6 +43,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_semdedup_contract",
     "stream_llm_dedup_exact",
     "stream_llm_decontaminate",
+    "stream_mm_features",
     # --- (b) r3-green but changed this round ---
     "dws_keyword_stats_cjk",
     "stream_keyword_stats_cjk",
@@ -78,7 +79,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_embed_planted",
     "llm_dedup_ngram",
     "llm_dedup_simhash",
-    "llm_dedup_simhash64",
     "llm_dup_clusters",
     "llm_corpus_curation",
     # --- (d) r2-green: text / fingerprint / sampling / multimodal ---

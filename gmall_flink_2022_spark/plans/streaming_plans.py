@@ -1318,3 +1318,37 @@ def stream_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_k", F.col("id"))
     )
     return _run_update_upsert(hits, "llm_decontam_stream")
+
+
+def _register_stream_mm() -> None:
+    """Oracle single-sourced from the batch multimodal query."""
+    from .registry import REGISTRY  # llm_plans registered earlier in import order
+
+    mm_oracle = REGISTRY["mm_media_features"].oracle
+
+    @register(
+        "stream_mm_features",
+        oracle=mm_oracle,
+        survey_ref="extension x §2.6: multimodal feature extraction AS A "
+        "STREAMING JOB — the same Arrow-batched mapInPandas decode "
+        "pipeline (llm/multimodal.py) running per micro-batch, stateless "
+        "append; the continuous-ingest rendering of mm_media_features, "
+        "same oracle",
+        tags=("streaming", "llm", "multimodal"),
+    )
+    def stream_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm.multimodal import extract_features, media_from_documents
+
+        d = read_stream_table(spark, sf_dir, "documents")
+        feats = extract_features(media_from_documents(d))
+        out = feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "digest",
+            *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+        )
+        return run_stream_to_table(out, _uniq("mm_features"), output_mode="append")
+
+
+_register_stream_mm()
