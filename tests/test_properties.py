@@ -235,3 +235,36 @@ def test_chunk_overlap_covers_all_tokens(spark, n_tokens):
     for s, e in out:
         covered.update(range(s, e))
     assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=60, unique=True),
+       st.floats(min_value=0.05, max_value=0.5),
+       st.floats(min_value=0.5, max_value=0.95))
+def test_hash_samples_are_nested(spark, ids, f_small, f_big):
+    """Threshold sampling on a shared hash universe nests: the f1-sample
+    is a subset of the f2-sample whenever f1 <= f2 — the property that
+    makes sample-size changes incremental instead of a reshuffle."""
+    from gmall_flink_2022_spark.llm.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    small = {r["id"] for r in hash_sample(df, "id", f_small).collect()}
+    big = {r["id"] for r in hash_sample(df, "id", f_big).collect()}
+    assert small <= big
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=50, unique=True))
+def test_shuffle_order_is_stable_permutation(spark, ids):
+    """shuffle_order yields a permutation of 1..n, identical across
+    runs, and uncorrelated with the unsalted sampling hash order (the
+    salt's whole job)."""
+    from gmall_flink_2022_spark.llm.sampling import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    a = {r["id"]: r["shuffle_rank"] for r in shuffle_order(df, "id").collect()}
+    b = {r["id"]: r["shuffle_rank"] for r in shuffle_order(df, "id").collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, len(ids) + 1))
