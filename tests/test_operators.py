@@ -648,3 +648,29 @@ def test_semdedup_keep_semantics(spark, sf_dir):
         assert min(members) == c  # the representative is a member
     # the planted corpus has twins -> some dedup must actually happen
     assert any(not k for _i, _c, k in rows)
+
+
+def test_percentile_approx_accuracy_curve(spark, sf_dir):
+    """percentile_approx's `accuracy` knob trades memory for error — the
+    reason it is the 100 TB path. Document the curve: error vs the exact
+    interpolated percentile is bounded and non-increasing (within a
+    small slack) as accuracy grows."""
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p")
+    ).collect()[0]["p"]
+    errs = {}
+    for acc in (100, 1000, 10000):
+        approx = li.agg(
+            F.expr(f"percentile_approx(l_extendedprice, 0.9, {acc})").alias("p")
+        ).collect()[0]["p"]
+        errs[acc] = abs(approx - exact) / exact
+    # every setting lands inside its documented bound (1/accuracy rank
+    # error maps to a small relative value error on this distribution)
+    assert errs[100] <= 0.05
+    assert errs[1000] <= 0.01
+    assert errs[10000] <= 0.005
+    # higher accuracy never gets meaningfully worse
+    assert errs[10000] <= errs[100] + 1e-9
