@@ -107,20 +107,35 @@ def _table_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
     flat = mats.reshape(n_tables * n_planes, -1)
     prefixes = [f"{t}:" for t in range(n_tables)]
 
+    dim = flat.shape[1]
+
     def bucketize(s):
         if len(s) == 0:
             return pd.Series([], dtype=object)
-        v = np.stack([np.asarray(x, dtype=np.float64) for x in s])
-        bits = (v @ flat.T >= 0.0).reshape(len(s), n_tables, n_planes)
-        return pd.Series(
-            [
+        # null / wrong-dimension vectors get a null bucket list (explode
+        # then drops the row from candidates) — same degradation as the
+        # expression rendering, instead of failing the Arrow batch
+        vecs = [np.asarray(x, dtype=np.float64) if x is not None else None for x in s]
+        ok = [v is not None and v.shape == (dim,) for v in vecs]
+        if any(ok):
+            good = np.stack([v for v, k in zip(vecs, ok) if k])
+            bits = (good @ flat.T >= 0.0).reshape(-1, n_tables, n_planes)
+        else:
+            bits = np.empty((0, n_tables, n_planes), dtype=bool)
+        out, gi = [], 0
+        for k in ok:
+            if not k:
+                out.append(None)
+                continue
+            row = bits[gi]
+            gi += 1
+            out.append(
                 [
                     p + "".join("1" if b else "0" for b in row[t])
                     for t, p in enumerate(prefixes)
                 ]
-                for row in bits
-            ]
-        )
+            )
+        return pd.Series(out)
 
     # real class objects, not strings: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf's type inference rejects
@@ -233,6 +248,18 @@ def _ivf_train_set(feat: DataFrame, train_max: int, seed: int) -> DataFrame:
     return feat.sample(False, frac, seed).limit(train_max)
 
 
+def _fit_quantizer(c: DataFrame, n_cells: int, seed: int, train_max: int):
+    """Sample-trained k-means coarse quantizer, shared by knn_ivf and
+    kmeans_cells (semdedup) — one definition so a tuning change cannot
+    silently diverge the two. Returns (model, full feature frame)."""
+    from pyspark.ml.clustering import KMeans
+
+    feat = _ivf_features(c)
+    train = _ivf_train_set(feat, train_max=train_max, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(train)
+    return km, feat
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -258,14 +285,10 @@ def knn_ivf(
     placement decides recall): no SQL oracle; recall vs knn_bruteforce
     is asserted in tests.
     """
-    from pyspark.ml.clustering import KMeans
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    feat = _ivf_features(c)
-    train = _ivf_train_set(feat, train_max=train_max, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(train)
+    km, feat = _fit_quantizer(c, n_cells, seed, train_max)
     assigned = (
         km.transform(feat)
         .select("neighbor_id", F.col("prediction").alias("cell"))
@@ -369,14 +392,10 @@ def kmeans_cells(
     """(id, cell): sample-trained k-means coarse partitioning of the
     corpus — the quantizer of knn_ivf exposed as a standalone op (fit on
     a bounded seeded sample, one-pass assignment)."""
-    from pyspark.ml.clustering import KMeans
-
     c = embs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    feat = _ivf_features(c)
-    train = _ivf_train_set(feat, train_max=train_max, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(train)
+    km, feat = _fit_quantizer(c, n_cells, seed, train_max)
     return km.transform(feat).select(
         F.col("neighbor_id").alias(id_col),
         F.col("prediction").cast("long").alias("cell"),

@@ -229,7 +229,7 @@ def stream_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_brand,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
            COUNT(*) AS line_ct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
     survey_ref="§2.3 J3 streaming (stream-static broadcast dim join — the "
@@ -368,15 +368,20 @@ def stream_stats_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.upsert("visitor_stats", batch, pk="_k")
 
     ckpt = tempfile.mkdtemp(prefix="gmall_ckpt_")
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
-    return store.read("visitor_stats").drop("_k")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before cleanup deletes the files the lazy plan reads
+        return store.read("visitor_stats").drop("_k").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register(
@@ -587,15 +592,22 @@ def stream_visitor_stats_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.upsert("visitor_stats_scale", batch, pk="_k")
 
     ckpt = tempfile.mkdtemp(prefix="gmall_ckpt_")
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
-    settled = store.read("visitor_stats_scale").drop("_k")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before cleanup deletes the files the lazy plan reads
+        settled = store.read("visitor_stats_scale").drop("_k").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     # --- verification harness (batch side; NOT part of the pipeline) ---
     # fold the HLL estimate into a per-group tolerance boolean against the
     # exact batch count so the driver hash-checks approximation quality
@@ -878,20 +890,28 @@ def _run_update_upsert(agg: DataFrame, table: str, pk: str = "_k") -> DataFrame:
     from ..sources.dim_store import DimStore
 
     spark = agg.sparkSession
-    store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_scale_store_"))
+    root = tempfile.mkdtemp(prefix="gmall_scale_store_")
+    ckpt = tempfile.mkdtemp(prefix="gmall_ckpt_")
+    store = DimStore(spark, root)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         store.upsert(table, batch, pk=pk)
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmall_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
-    return store.read(table).drop(pk)
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before the finally deletes the store files the
+        # returned plan would otherwise lazily read after cleanup
+        return store.read(table).drop(pk).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _tolerance_ok(approx_col: str, exact_col: str):
@@ -982,7 +1002,7 @@ def order_enrich_scale_agg(li: DataFrame, part: DataFrame) -> DataFrame:
     SELECT p.p_brand,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
            COUNT(*) AS line_ct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
     survey_ref="§2.3 J3 scale path: broadcast dim enrich -> update-mode "
@@ -1233,7 +1253,12 @@ _register_stream_cjk_scale()
 def stream_uv_dropdup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_stream_table(spark, sf_dir, "events")
     uv = (
-        ev.withWatermark("ts", "1 seconds")
+        # the delay must cover the dedup key's event-time spread: two
+        # events of one (user, day) can be up to 24h apart, so a 1-day
+        # watermark is what makes the per-day guarantee hold across
+        # micro-batches (a short delay would evict the key's state
+        # mid-day and re-emit) — exactly the reference's 24h TTL
+        ev.withWatermark("ts", "1 day")
         .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"), "ts")
         .dropDuplicatesWithinWatermark(["user_id", "dt"])
         .select("user_id", "dt")

@@ -544,14 +544,16 @@ def test_table_buckets_udf_matches_expression(spark, sf_dir):
             ],
         ).collect()
     }
-    n_bits = sum(len(tables) * 4 for _ in udf_side)
-    diff = sum(
-        1
+    n_planes = len(tables[0])
+    n_keys = sum(len(tables) for _ in udf_side)
+    bad_bits = sum(
+        sum(1 for x, y in zip(a, b) if x != y)
         for k in udf_side
         for a, b in zip(udf_side[k], expr_side[k])
-        if a != b
     )
-    assert diff / max(n_bits, 1) < 0.005
+    # summation-order sign flips can differ on near-zero dots; allow a
+    # small fraction of BITS (denominator tracks the actual plane count)
+    assert bad_bits / max(n_keys * n_planes, 1) < 0.005
 
 
 def test_sequence_pack_invariants(spark, sf_dir):
@@ -674,3 +676,24 @@ def test_percentile_approx_accuracy_curve(spark, sf_dir):
     assert errs[10000] <= 0.005
     # higher accuracy never gets meaningfully worse
     assert errs[10000] <= errs[100] + 1e-9
+
+
+def test_table_buckets_null_and_ragged_vectors_degrade(spark):
+    """A NULL or wrong-dimension embedding must produce a null bucket
+    list (row silently excluded from candidates, like the expression
+    rendering) — not crash the Arrow batch."""
+    from gmall_flink_2022_spark.llm.similarity import _hyperplanes, _table_buckets
+
+    tables = [_hyperplanes(4, 2, 42)]
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", _table_buckets(F.col("embedding"), tables).alias("b")
+        ).collect()
+    }
+    assert rows[1] is not None and len(rows[1]) == 1
+    assert rows[2] is None and rows[3] is None
