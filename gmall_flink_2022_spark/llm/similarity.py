@@ -113,8 +113,10 @@ def _table_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
         if len(s) == 0:
             return pd.Series([], dtype=object)
         # null / wrong-dimension vectors get a null bucket list (explode
-        # then drops the row from candidates) — same degradation as the
-        # expression rendering, instead of failing the Arrow batch
+        # then drops the row from candidates) instead of failing the
+        # Arrow batch; stricter than the expression rendering, which
+        # folds a null dot to sign "0" and lumps null vecs into the
+        # all-zeros bucket — excluded is the defensible semantics
         vecs = [np.asarray(x, dtype=np.float64) if x is not None else None for x in s]
         ok = [v is not None and v.shape == (dim,) for v in vecs]
         if any(ok):
