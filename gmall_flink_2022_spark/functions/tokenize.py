@@ -106,8 +106,10 @@ CJK_LEXICON: frozenset[str] = frozenset(
     }
 )
 # The char-fallback fixtures (plans.analytics._CJK_SUFS) rely on 壳/膜
-# staying OUT of the dictionary; a guard test pins this.
-assert not any("壳" in w or "膜" in w for w in CJK_LEXICON)
+# staying OUT of the dictionary; a guard test pins this. Raise (not
+# assert) so the invariant also holds under `python -O`.
+if any("壳" in w or "膜" in w for w in CJK_LEXICON):
+    raise ValueError("CJK_LEXICON must not contain 壳/膜 (char-fallback fixtures)")
 _CJK_MAXLEN = max(len(w) for w in CJK_LEXICON)
 _CJK_RANGES = (
     (0x4E00, 0x9FFF),  # CJK unified

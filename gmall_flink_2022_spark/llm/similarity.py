@@ -237,17 +237,29 @@ def _ivf_features(c: DataFrame) -> DataFrame:
 
 
 def _ivf_train_set(feat: DataFrame, train_max: int, seed: int) -> DataFrame:
-    """Seeded, bounded k-means training set: Bernoulli-sample the corpus
-    at the fraction that targets ~``train_max`` rows, then hard-cap with
-    ``limit`` — the fit input is independent of corpus size, so centroid
-    training stays O(train_max) while assignment remains a single full
-    pass. Deterministic for a fixed seed + input layout."""
-    n = feat.count()
-    if n <= train_max:
+    """Seeded, bounded k-means training set without a full-corpus
+    pre-count. The size probe is ``limit(train_max + 1).count()`` —
+    CollectLimit early-exits after at most train_max+1 rows (it runs one
+    partition, then scales up only if short), so the probe cost is
+    O(train_max) regardless of corpus size, unlike the eager full
+    ``count()`` this replaces (round-4 advice). Small corpora train on
+    everything in their ORIGINAL layout (k-means|| init is
+    partition-layout-sensitive; preserving layout keeps centroids
+    reproducible). Large corpora take the hash-order top-``train_max``:
+    ``orderBy(hash).limit(n)`` plans as TakeOrderedAndProject
+    (per-partition heaps + merge) — one pass, O(train_max) task memory,
+    no sampling variance, layout-independent result."""
+    if feat.limit(train_max + 1).count() <= train_max:
         return feat
-    # 20% oversample so the limit (not sampling variance) sets the size
-    frac = min(1.0, 1.2 * train_max / n)
-    return feat.sample(False, frac, seed).limit(train_max)
+    h = F.xxhash64(F.col("neighbor_id").cast("string"), F.lit(seed))
+    # repartition the (≤train_max-row) result by id so the k-means||
+    # init sees a deterministic multi-partition layout rather than the
+    # single hash-ordered partition TakeOrderedAndProject emits
+    return (
+        feat.orderBy(h, F.col("neighbor_id"))
+        .limit(train_max)
+        .repartition(8, F.col("neighbor_id"))
+    )
 
 
 def _fit_quantizer(c: DataFrame, n_cells: int, seed: int, train_max: int):

@@ -906,6 +906,15 @@ def _run_update_upsert(agg: DataFrame, table: str, pk: str = "_k") -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # If every micro-batch was empty (e.g. an empty source), the
+        # empty-batch guard in DimStore.upsert never created the table —
+        # return an empty result with the aggregation's schema instead
+        # of letting store.read raise on the missing path.
+        if not store.exists(table):
+            from pyspark.sql.types import StructType
+
+            schema = StructType([f for f in agg.schema.fields if f.name != pk])
+            return spark.createDataFrame([], schema)
         # materialize before the finally deletes the store files the
         # returned plan would otherwise lazily read after cleanup
         return store.read(table).drop(pk).localCheckpoint(eager=True)
@@ -1255,9 +1264,15 @@ def stream_uv_dropdup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     uv = (
         # the delay must cover the dedup key's event-time spread: two
         # events of one (user, day) can be up to 24h apart, so a 1-day
-        # watermark is what makes the per-day guarantee hold across
-        # micro-batches (a short delay would evict the key's state
-        # mid-day and re-emit) — exactly the reference's 24h TTL
+        # delay is the reference's 24h TTL. NOTE the guarantee is
+        # watermark-relative, not per-key: state for (user, day) is
+        # evicted once the GLOBAL watermark (max event time seen − 1d)
+        # passes that key's first arrival + 1d, so with event-time-
+        # unordered multi-batch replay a later-day batch can advance the
+        # watermark and let a same-day duplicate re-emit. Exact here
+        # because the file source delivers one micro-batch (same
+        # single-batch replay assumption as stream_two_hop_scale); in
+        # production this is the documented at-least-once dedup bound.
         ev.withWatermark("ts", "1 day")
         .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"), "ts")
         .dropDuplicatesWithinWatermark(["user_id", "dt"])

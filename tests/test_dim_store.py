@@ -93,3 +93,30 @@ def test_streaming_cdc_to_dim_store_to_join(spark, tmp_path):
     ).select("order_id", "user_id", "gender")
     rows = {r["order_id"]: r["gender"] for r in wide.collect()}
     assert rows[100] in ("F", "M") and rows[101] is None  # miss -> null (W7)
+
+
+def test_update_upsert_empty_source_returns_empty_schema(spark, tmp_path):
+    """When every micro-batch is empty, DimStore's empty-batch guard never
+    creates the table; _run_update_upsert must return an empty DataFrame
+    with the aggregation's schema rather than raising on the missing
+    path (round-4 advice)."""
+    import os
+
+    from gmall_flink_2022_spark.plans.streaming_plans import _run_update_upsert
+
+    in_dir = str(tmp_path / "empty_src")
+    os.makedirs(in_dir)
+    # schema-only parquet dir: zero rows -> zero non-empty micro-batches
+    spark.createDataFrame([], "user_id long, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    src = spark.readStream.schema("user_id long, ts timestamp").parquet(in_dir)
+    agg = (
+        src.withWatermark("ts", "10 seconds")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .withColumn("_k", F.col("user_id").cast("string"))
+    )
+    out = _run_update_upsert(agg, "empty_source_case")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["user_id", "ct"]
