@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.io import read_stream_table, read_table
 from ..streaming.bounce_state import bounce_detect_stateful
-from ..streaming.runner import run_stream_to_table
+from ..streaming.runner import (
+    DEFAULT_STATE_PARTITIONS,
+    _pinned_shuffle_partitions,
+    run_stream_to_table,
+)
 from ..streaming.uv_state import unique_visit_stateful
 from .registry import register
 
@@ -369,14 +373,15 @@ def stream_stats_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckpt = tempfile.mkdtemp(prefix="gmall_ckpt_")
     try:
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(upsert)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         # materialize before cleanup deletes the files the lazy plan reads
         return store.read("visitor_stats").drop("_k").localCheckpoint(eager=True)
     finally:
@@ -503,14 +508,15 @@ def stream_two_hop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (view["view_ts"] <= pay["pay_ts"]),
     ).select("pay_event_id", "view_event_id", "user_id", "pay_ts")
     hop = os.path.join(stage, "hop_pay_view")
-    q1 = (
-        joined.writeStream.format("parquet")
-        .option("path", hop)
-        .option("checkpointLocation", os.path.join(stage, "ck1"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q1.awaitTermination()
+    with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q1 = (
+            joined.writeStream.format("parquet")
+            .option("path", hop)
+            .option("checkpointLocation", os.path.join(stage, "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
     # second job re-reads the hop exactly like PaymentWideApp re-reads
     # the dwm_order_wide topic
     hop_stream = spark.readStream.schema(
@@ -593,14 +599,15 @@ def stream_visitor_stats_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckpt = tempfile.mkdtemp(prefix="gmall_ckpt_")
     try:
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(upsert)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         # materialize before cleanup deletes the files the lazy plan reads
         settled = store.read("visitor_stats_scale").drop("_k").localCheckpoint(
             eager=True
@@ -682,14 +689,15 @@ def stats_store_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         store = IdempotentBatchStore(
             spark, tempfile.mkdtemp(prefix="gmall_eos_store_")
         )
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(store.write_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(stage, "ck"))
-            .start()
-        )
-        q.awaitTermination()
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(store.write_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(stage, "ck"))
+                .start()
+            )
+            q.awaitTermination()
         # --- replay the final micro-batch, both failure modes ---
         ids = store.committed_ids()
         if not ids:  # empty input -> zero committed micro-batches
@@ -809,17 +817,18 @@ def stream_two_hop_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (view["view_ts"] <= pay["pay_ts"]),
         ).select("pay_event_id", "view_event_id", "user_id", "pay_ts")
         hop = os.path.join(stage, "hop")
-        q1 = (
-            joined.writeStream.format("parquet")
-            .option("path", hop)
-            .option("checkpointLocation", os.path.join(stage, "ck1"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q1.awaitTermination()
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q1 = (
+                joined.writeStream.format("parquet")
+                .option("path", hop)
+                .option("checkpointLocation", os.path.join(stage, "ck1"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q1.awaitTermination()
         # One file per trigger so the second job genuinely crosses
         # micro-batches. NO watermark here: the hop files are not
-        # time-ordered (the join wrote them from 32 shuffle partitions),
+        # time-ordered (the join wrote them from many shuffle partitions),
         # so a watermark would mark almost everything after the first
         # trigger late and silently drop it — update mode without a
         # watermark keeps all window state for the bounded replay, same
@@ -844,14 +853,15 @@ def stream_two_hop_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch: DataFrame, batch_id: int) -> None:
             store.write_batch(batch.drop("_k"), batch_id)
 
-        q2 = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(sink)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(stage, "ck2"))
-            .start()
-        )
-        q2.awaitTermination()
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q2 = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(stage, "ck2"))
+                .start()
+            )
+            q2.awaitTermination()
         ids = store.committed_ids()
         if not ids:  # empty input -> zero committed micro-batches
             return spark.createDataFrame([], "stt string, pair_ct bigint")
@@ -898,14 +908,15 @@ def _run_update_upsert(agg: DataFrame, table: str, pk: str = "_k") -> DataFrame:
         store.upsert(table, batch, pk=pk)
 
     try:
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(upsert)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         # If every micro-batch was empty (e.g. an empty source), the
         # empty-batch guard in DimStore.upsert never created the table —
         # return an empty result with the aggregation's schema instead
@@ -1159,14 +1170,15 @@ def stream_two_hop_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             .coalesce(4)  # 4 hop files -> the replay genuinely crosses triggers
         )
         hop = os.path.join(stage, "hop")
-        q1 = (
-            joined.writeStream.format("parquet")
-            .option("path", hop)
-            .option("checkpointLocation", os.path.join(stage, "ck1"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q1.awaitTermination()
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q1 = (
+                joined.writeStream.format("parquet")
+                .option("path", hop)
+                .option("checkpointLocation", os.path.join(stage, "ck1"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q1.awaitTermination()
         hop_stream = (
             spark.readStream.schema(spark.read.parquet(hop).schema)
             .option("maxFilesPerTrigger", 1)

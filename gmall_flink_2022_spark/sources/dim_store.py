@@ -8,13 +8,16 @@ cache on update (DimSinkFunction.java:36-38).
 
 Spark-native rendering: each dim table is a parquet (Delta/Iceberg on a
 real lakehouse) directory hash-bucketed on the configured pk
-(`__bucket=N/` partition dirs); a micro-batch of CDC rows is merged with
-a PARTITION-PRUNED read -> anti-join -> union -> dynamic partition
-overwrite: only the buckets containing changed keys are read or
-rewritten (the `foreachBatch MERGE INTO` pattern; with Delta available
-this is a real MERGE with file-level pruning — the call-site API stays
-identical). Cache invalidation disappears by construction: downstream
-broadcast joins re-read the dim per micro-batch.
+(`__bucket=N/` partition dirs); a micro-batch of CDC rows is STAGED to
+parquet with a single action (one materialization of the streaming
+plan), then merged with a PARTITION-PRUNED read -> anti-join -> union
+written to a sibling dir whose affected bucket dirs are swapped into
+place: only the buckets containing changed keys are read or rewritten,
+and the first write of a table is just a rename of the staged dir (the
+`foreachBatch MERGE INTO` pattern; with Delta available this is a real
+MERGE with file-level pruning — the call-site API stays identical).
+Cache invalidation disappears by construction: downstream broadcast
+joins re-read the dim per micro-batch.
 
 Scale note: per-batch work is O(dim_size * touched_buckets / n_buckets),
 not O(dim size) — a point update to one key rewrites one bucket. Size
@@ -26,6 +29,7 @@ user dim at 100 TB raise n_buckets accordingly).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -65,42 +69,57 @@ class DimStore:
             batch = batch.dropDuplicates([pk])
 
         bucket = F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(self.n_buckets))
-        # materialize the batch ONCE: every downstream action (empty
-        # guard, affected-bucket collect, merge, write) reads the
-        # checkpoint instead of re-executing the upstream micro-batch
-        # plan — inside foreachBatch that plan is the whole streaming
-        # aggregation, so each extra action would be a full recompute
-        batch = batch.withColumn("__bucket", bucket.cast("int")).localCheckpoint(
-            eager=True
-        )
-        # An empty micro-batch (update mode can trigger with no changed
-        # rows) is a no-op. Without this guard the DDL-on-demand first
-        # write would create a schema-less empty table dir that poisons
-        # every later partition-pruned read.
-        if batch.isEmpty():
-            return
+        batch = batch.withColumn("__bucket", bucket.cast("int"))
         path = self._path(table)
+        # Stage the micro-batch with ONE action on the streaming plan —
+        # inside foreachBatch every extra action (isEmpty, distinct
+        # collect, merge) would re-execute the whole upstream streaming
+        # aggregation, so the batch must be materialized exactly once.
+        # Staging straight to parquet replaces the former eager
+        # localCheckpoint: the same single materialization, but the
+        # bytes land partitioned by bucket, ready to swap into place —
+        # the no-prior-table path needs NO second copy at all.
+        stage = f"{path}.__stage"
+        batch.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+        # explicit schema: an empty batch writes no partition dirs, which
+        # would make schema inference fail (and the read is cheaper)
+        staged = self.spark.read.schema(batch.schema).parquet(stage)
+        # An empty micro-batch (update mode can trigger with no changed
+        # rows) writes no partition dirs: affected == [] is both the
+        # empty guard (the DDL-on-demand first write must not create a
+        # schema-less table dir that poisons later pruned reads) and the
+        # merge pruning set.
+        affected = [
+            r["__bucket"] for r in staged.select("__bucket").distinct().collect()
+        ]
+        if not affected:
+            shutil.rmtree(stage, ignore_errors=True)
+            return
         if self.exists(table):
-            affected = [
-                r["__bucket"] for r in batch.select("__bucket").distinct().collect()
-            ]
             # partition-pruned: untouched buckets are never read
             current = self.spark.read.parquet(path).filter(
                 F.col("__bucket").isin(affected)
             )
-            keep = current.join(batch.select(pk), on=pk, how="left_anti")
-            merged = keep.unionByName(batch, allowMissingColumns=True)
-            # materialize before overwriting the files `keep` reads from
-            # (on a cluster: checkpoint to reliable storage / Delta MERGE)
-            merged = merged.localCheckpoint(eager=True)
+            keep = current.join(staged.select(pk), on=pk, how="left_anti")
+            merged = keep.unionByName(staged, allowMissingColumns=True)
+            # merge into a sibling dir, then swap bucket dirs into place:
+            # the merged plan reads the CURRENT files while writing to a
+            # different location, so no checkpoint-before-overwrite copy
+            # is needed (on a real lakehouse this whole branch is a
+            # Delta/Iceberg MERGE INTO with file-level pruning)
+            merge_dir = f"{path}.__merge"
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(merge_dir)
+            for b in affected:
+                src = os.path.join(merge_dir, f"__bucket={b}")
+                dst = os.path.join(path, f"__bucket={b}")
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+            shutil.rmtree(merge_dir, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
         else:
-            merged = batch  # already checkpointed; nothing to overwrite
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__bucket")
-            .parquet(path)
-        )
+            # first write: the staged dir IS the table — one rename, zero
+            # extra copies (S8 DDL-on-demand)
+            os.replace(stage, path)
 
     def foreach_batch_upserter(self, pk_by_table: dict[str, str]):
         """A foreachBatch function routing a CDC micro-batch (columns:
