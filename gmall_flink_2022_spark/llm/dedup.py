@@ -342,6 +342,114 @@ def simhash_near_pairs(
     )
 
 
+def substring_match_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_len: int = 12,
+    max_gram_df: int = 16,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the substring-level
+    exact-dedup family (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499: remove long token
+    runs that recur across documents; there a suffix array, here the
+    Spark-native rendering).
+
+    Positional token k-grams -> inverted index on the gram -> candidate
+    (doc pair, position pair) hits -> maximal diagonal runs (classic
+    gaps-and-islands on ``pos_a - pos_b``) -> spans of >= ``min_len``
+    tokens. A shared substring of L >= k tokens yields L-k+1 consecutive
+    hits on one diagonal, which merge into a single span of exactly L
+    tokens — so span boundaries are EXACT, not fingerprint-approximate.
+
+    100 TB posture: candidate generation is the same inverted-index
+    trick as :func:`ngram_jaccard_pairs` — documents only meet through a
+    shared gram, never a doc×doc product — and the hot-gram cap
+    (``max_gram_df``, total occurrences) bounds every posting list, so a
+    boilerplate k-gram shared by millions of documents cannot serialize
+    the job through one reducer. A run whose every gram is capped out is
+    missed (df-capped recall, identical in the SQL oracle); near-dup
+    runs at the cap boundary may split into shorter spans. Token
+    positions are 1-based.
+
+    Returns (id_a, id_b, a_start, a_end, b_start, b_end, match_len),
+    id_a < id_b, one row per maximal same-diagonal run.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokenize_col(text_col)
+    # positional k-grams; guard like shingles() (sequence counts down
+    # when stop < start)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i, k)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,gram:string>>"))
+    g = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    ).persist()
+    # cap BEFORE collecting posting lists (same rationale as the
+    # ngram_jaccard cap: a df=m gram expands m^2/2 hit structs in one
+    # task). nd>=2 additionally drops within-doc-only repeats early.
+    freq = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("ct"), F.countDistinct("id").alias("nd")
+    )
+    keep = freq.filter((F.col("nd") >= 2) & (F.col("ct") <= max_gram_df))
+    kg = g.join(keep.select("gram"), "gram", "left_semi")
+    # inverted-list pair expansion (array-side, inside codegen): every
+    # cross-document ordered occurrence pair of the gram.
+    lists = kg.groupBy("gram").agg(
+        F.sort_array(F.collect_list(F.struct("id", "pos"))).alias("occ")
+    )
+    pair = F.flatten(
+        F.transform(
+            F.col("occ"),
+            lambda a: F.transform(
+                F.filter(F.col("occ"), lambda b: b["id"] > a["id"]),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    a["pos"].alias("pos_a"),
+                    b["pos"].alias("pos_b"),
+                ),
+            ),
+        )
+    )
+    hits = lists.select(F.explode(pair).alias("p")).select("p.*")
+    # gaps-and-islands per diagonal: pos_a is unique within
+    # (id_a, id_b, diag) — pos_b = pos_a - diag — so row_number is
+    # deterministic. groupBy(... island) reuses the window's hash
+    # partitioning (subset of the grouping keys): one exchange total.
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    isl = hits.select("id_a", "id_b", diag, "pos_a").withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = isl.groupBy("id_a", "id_b", "diag", "island").agg(
+        F.min("pos_a").alias("a_start"),
+        (F.max("pos_a") + F.lit(k - 1)).alias("a_end"),
+    )
+    return (
+        spans.select(
+            "id_a",
+            "id_b",
+            "a_start",
+            "a_end",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("a_end") - F.col("diag")).alias("b_end"),
+            (F.col("a_end") - F.col("a_start") + 1).alias("match_len"),
+        )
+        .filter(F.col("match_len") >= min_len)
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
     cluster_id = min doc id of the component (deterministic canonical

@@ -136,6 +136,98 @@ def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- substring-level exact dedup
+# Planted corpus: the synthetic documents share essentially no 8-token
+# runs (small vocab, ~30^8 gram space), so the raw-table query is
+# vacuously near-empty. Both engines derive the SAME augmented corpus:
+# each doc gets a twin (+1e6 id) whose text is a doc-specific prefix +
+# substr(text, 30, 300) + doc-specific suffix — a guaranteed long shared
+# token run with its source (possibly clipped mid-token at both cut
+# points, identically on both engines) and nothing shared with anyone
+# else. The span query must recover exactly the planted runs with exact
+# 1-based token boundaries — a full hash contract.
+_SUBSTR_AUG_CTE = """
+aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           'pp' || CAST(doc_id AS VARCHAR) || ' q ' || substr(text, 30, 300)
+                || ' zz' || CAST(doc_id AS VARCHAR)
+    FROM documents
+)
+"""
+
+
+def _docs_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark rendering of _SUBSTR_AUG_CTE (F.substring == DuckDB substr:
+    1-based, length-capped)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twin = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("pp"),
+            F.col("doc_id").cast("string"),
+            F.lit(" q "),
+            F.substring("text", 30, 300),
+            F.lit(" zz"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return d.unionByName(twin)
+
+
+@register(
+    "llm_substring_dedup",
+    oracle=f"""
+    WITH {_SUBSTR_AUG_CTE},
+    tk AS (SELECT doc_id, {TOKS} AS toks FROM aug),
+    g AS (
+        SELECT doc_id AS id, i AS pos,
+               array_to_string(toks[i:i+7], ' ') AS gram
+        FROM tk, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+        WHERE len(toks) >= 8
+    ),
+    keep AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(*) <= 16 AND COUNT(DISTINCT id) >= 2),
+    kg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    hits AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+        FROM kg a JOIN kg b ON a.gram = b.gram AND a.id < b.id
+    ),
+    isl AS (
+        SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+               ) AS island
+        FROM hits
+    ),
+    sp AS (
+        SELECT id_a, id_b, diag,
+               MIN(pos_a) AS a_start, MAX(pos_a) + 7 AS a_end
+        FROM isl GROUP BY id_a, id_b, diag, island
+    )
+    SELECT id_a, id_b,
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(a_end AS BIGINT) AS a_end,
+           CAST(a_start - diag AS BIGINT) AS b_start,
+           CAST(a_end - diag AS BIGINT) AS b_end,
+           CAST(a_end - a_start + 1 AS BIGINT) AS match_len
+    FROM sp WHERE a_end - a_start + 1 >= 12
+    """,
+    survey_ref="extension: substring-level exact dedup (Lee et al. 2021 "
+    "arXiv:2107.06499 suffix-array dedup, Spark-native: positional k-gram "
+    "inverted index -> diagonal gaps-and-islands -> exact token spans; "
+    "df-capped candidate generation, no doc x doc product)",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_match_spans(
+        _docs_substring_planted(spark, sf_dir), "doc_id", "text",
+        k=8, min_len=12, max_gram_df=16,
+    )
+
+
 # ------------------------------------------------------------ MinHash + LSH
 _NH, _BANDS = 8, 2
 _MH_COLS = ",\n           ".join(

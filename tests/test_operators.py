@@ -697,3 +697,52 @@ def test_table_buckets_null_and_ragged_vectors_degrade(spark):
     }
     assert rows[1] is not None and len(rows[1]) == 1
     assert rows[2] is None and rows[3] is None
+
+
+def test_substring_match_spans_exact_boundaries(spark):
+    """Hand-built corpus: a 15-token run shared by docs 1 and 2 (twice in
+    doc 2 -> two diagonals), a 10-token run shared with doc 3 (below
+    min_len -> filtered). Span boundaries must be exact 1-based token
+    indices; within-doc repeats never pair with themselves."""
+    from gmall_flink_2022_spark.llm.dedup import substring_match_spans
+
+    run = " ".join(f"r{i}" for i in range(1, 16))       # 15 tokens
+    short = " ".join(f"r{i}" for i in range(1, 11))     # its 10-token prefix
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 a5 " + run + " b1 b2 b3"),
+            (2, "c1 c2 " + run + " d1 " + run),
+            (3, "e1 " + short + " f1 f2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_match_spans(
+        docs, "doc_id", "text", k=8, min_len=12, max_gram_df=16
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        (1, 2, 6, 20, 3, 17, 15),
+        (1, 2, 6, 20, 19, 33, 15),
+    }
+
+
+def test_substring_match_spans_df_cap(spark):
+    """A gram above the occurrence cap generates no candidates: with the
+    run planted in max_gram_df+1 docs every run-gram caps out, so no
+    spans emerge (the documented df-capped recall trade); raising the cap
+    recovers all pairs."""
+    from gmall_flink_2022_spark.llm.dedup import substring_match_spans
+
+    run = " ".join(f"r{i}" for i in range(1, 16))
+    docs = spark.createDataFrame(
+        [(i, f"u{i} v{i} " + run) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    capped = substring_match_spans(
+        docs, "doc_id", "text", k=8, min_len=12, max_gram_df=4
+    )
+    assert capped.count() == 0
+    full = substring_match_spans(
+        docs, "doc_id", "text", k=8, min_len=12, max_gram_df=16
+    )
+    assert full.count() == 10  # all C(5,2) pairs, one span each

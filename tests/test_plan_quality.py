@@ -269,3 +269,21 @@ def test_shuffle_order_no_global_sort(spark, sf_dir):
     # ranks are a permutation of 1..n
     rows = [r["shuffle_rank"] for r in df.collect()]
     assert sorted(rows) == list(range(1, len(rows) + 1))
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    """Substring dedup must never build a doc x doc product: pairs arise
+    only through the gram inverted index (broadcast semi-join for the df
+    cap), and the span aggregation reuses the diagonal window's hash
+    partitioning — 5 exchanges total (2-phase distinct gram count, cap
+    broadcast, postings, window), none of them cartesian."""
+    df = plans.REGISTRY["llm_substring_dedup"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange") - p.count("ReusedExchange") - p.count(
+        "BroadcastExchange"
+    ) <= 4
+    # the island groupBy rides the window's partitioning: exactly one
+    # exchange keyed on the pair/diagonal
+    assert p.count("hashpartitioning(id_a") == 1
