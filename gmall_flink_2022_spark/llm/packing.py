@@ -21,16 +21,42 @@ Two ops every LM data pipeline runs between "curated documents" and
   chunk count per document is ceil(n/stride), bounded, and the op is
   embarrassingly parallel at any scale.
 
-Token counts use the same whitespace/alnum tokenizer as llm.text
-(functions.tokenize.tokenize_col) so every layout decision is
-hash-checkable against DuckDB.
+Token counts are pluggable (``counter=``): the default "ws" counter is
+the whitespace/alnum tokenizer shared with llm.text
+(functions.tokenize.tokenize_col); "bpe" counts the BPE-ish regex tokens
+(llm.text.BPE_RE) — the same accounting llm.text.token_stats reports as
+``n_bpe_tokens`` — so packing boundaries line up with the token budgets
+used for mixture weighting and corpus stats. Real pipelines drop in a
+true tokenizer the same way: any Column-valued counter keeps the layout
+integer-exact and hash-checkable against DuckDB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from ..functions.tokenize import tokenize_col
+
+
+def _token_count(text_col: str, counter: str | Callable[[str], Column]) -> Column:
+    """Resolve a token-counter spec to a long Column. "ws" = whitespace/
+    alnum tokens; "bpe" = BPE-ish regex tokens (letter runs / digit runs /
+    single punctuation, llm.text.BPE_RE); a callable receives the column
+    name and returns any integer Column (e.g. a real-tokenizer pandas
+    UDF)."""
+    if callable(counter):
+        return counter(text_col).cast("long")
+    if counter == "ws":
+        return F.size(tokenize_col(text_col)).cast("long")
+    if counter == "bpe":
+        from .text import BPE_RE
+
+        return F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)
+        ).cast("long")
+    raise ValueError(f"unknown token counter {counter!r} (want 'ws'|'bpe'|callable)")
 
 
 def sequence_pack(
@@ -39,12 +65,14 @@ def sequence_pack(
     text_col: str,
     seq_len: int = 512,
     n_shards: int = 8,
+    counter: str | Callable[[str], Column] = "ws",
 ) -> DataFrame:
     """(id, shard, seq_id, tok_offset, n_tokens): lay documents end-to-end
     per shard (ordered by id) and cut every ``seq_len`` tokens; a document
     belongs to the sequence containing its first token. Empty documents
-    are dropped (they occupy no tokens)."""
-    n = F.size(tokenize_col(text_col)).cast("long")
+    are dropped (they occupy no tokens). ``counter`` picks the token
+    accounting (see :func:`_token_count`)."""
+    n = _token_count(text_col, counter)
     w = W.partitionBy("shard").orderBy("id")
     return (
         df.select(
@@ -76,16 +104,18 @@ def chunk_overlap(
     text_col: str,
     chunk_size: int = 128,
     overlap: int = 32,
+    counter: str | Callable[[str], Column] = "ws",
 ) -> DataFrame:
     """(id, chunk_id, tok_start, tok_end): sliding windows of
     ``chunk_size`` tokens advancing by ``chunk_size - overlap``; the last
     chunk is truncated at the document end. Every chunk start is a valid
     token index, so consecutive chunks share exactly ``overlap`` tokens
-    except possibly the final one."""
+    except possibly the final one. ``counter`` picks the token accounting
+    (see :func:`_token_count`)."""
     if not 0 <= overlap < chunk_size:
         raise ValueError("require 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    n = F.size(tokenize_col(text_col)).cast("long")
+    n = _token_count(text_col, counter)
     base = df.select(
         F.col(id_col).alias("id"), n.alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)

@@ -1380,6 +1380,42 @@ def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sequence_pack_bpe",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id AS id,
+               doc_id % 8 AS shard,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                   AS n_tokens
+        FROM documents
+    ),
+    nz AS (SELECT * FROM tk WHERE n_tokens > 0)
+    SELECT id, shard,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+                AS BIGINT) AS seq_id,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tok_offset,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM nz
+    """,
+    survey_ref="extension: sequence packing under the BPE-ish token "
+    "counter — layout boundaries use the same token accounting as "
+    "token_stats.n_bpe_tokens / mixture budgets (pluggable counter; a "
+    "real tokenizer drops in as a Column-valued callable)",
+    tags=("llm", "layout"),
+)
+def llm_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import packing
+
+    return packing.sequence_pack(
+        _docs(spark, sf_dir), "doc_id", "text", seq_len=512, n_shards=8,
+        counter="bpe",
+    )
+
+
+@register(
     "llm_chunk_overlap",
     oracle=f"""
     WITH tk AS (SELECT doc_id AS id, len({TOKS}) AS n_tokens FROM documents),

@@ -746,3 +746,40 @@ def test_substring_match_spans_df_cap(spark):
         docs, "doc_id", "text", k=8, min_len=12, max_gram_df=16
     )
     assert full.count() == 10  # all C(5,2) pairs, one span each
+
+
+def test_sequence_pack_bpe_counter_matches_token_stats(spark, sf_dir):
+    """Tokenizer-aware packing: under counter='bpe' the layout's token
+    accounting is EXACTLY token_stats.n_bpe_tokens (boundaries line up
+    with mixture/stats budgets), offsets remain contiguous per shard, and
+    every document's first token lands inside its assigned sequence
+    (seq_id * seq_len <= tok_offset < (seq_id+1) * seq_len). Unknown
+    counter names raise."""
+    import pytest
+
+    from gmall_flink_2022_spark.llm.packing import sequence_pack
+    from gmall_flink_2022_spark.llm.text import token_stats
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = sequence_pack(
+        docs, "doc_id", "text", seq_len=512, n_shards=8, counter="bpe"
+    )
+    bpe = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in token_stats(docs, "doc_id", "text").collect()
+    }
+    rows = sorted(
+        ((r["shard"], r["id"], r["tok_offset"], r["n_tokens"], r["seq_id"])
+         for r in out.collect())
+    )
+    assert rows
+    by_shard: dict[int, int] = {}
+    for shard, id_, off, n, seq in rows:
+        assert n == bpe[id_]  # layout uses the stats accounting
+        assert off == by_shard.get(shard, 0)
+        assert seq * 512 <= off < (seq + 1) * 512
+        by_shard[shard] = off + n
+
+    with pytest.raises(ValueError):
+        sequence_pack(docs, "doc_id", "text", counter="nope")
