@@ -70,3 +70,118 @@ def test_kafka_sink_builds_writer_without_broker(spark):
         topic="t",
     )
     assert writer is not None  # no connection attempted at build time
+
+
+# ---------------------------------------------------------------------------
+# Wire-format round-trip (VERDICT r4 ask #5). The broker is still absent,
+# but the serialization surface is pure code: the Kafka sink turns the
+# projected string `value` into UTF-8 bytes and the consumer hands back
+# (topic, value binary) — both simulated here with exact casts. Loss-free
+# means: parse(original) == parse(decode(encode(original))) row-for-row,
+# including the per-row dynamic topic and the dirty-line side output.
+# ---------------------------------------------------------------------------
+
+
+def _over_the_wire(projected):
+    """What sink -> broker -> source does to sink_projection's output:
+    value serialized to UTF-8 bytes (string->binary cast), topic carried
+    per record, value handed back as binary for the consumer's
+    cast('string') (kafka_source's SimpleStringSchema analog)."""
+    cols = [F.col("value").cast("binary").alias("value")]
+    if "topic" in projected.columns:
+        cols.insert(0, F.col("topic"))
+    wire = projected.select(*cols)
+    back = [F.col("value").cast("string").alias("value")]
+    if "topic" in projected.columns:
+        back.insert(0, F.col("topic"))
+    return wire.select(*back)
+
+
+def test_cdc_envelope_roundtrip_with_dynamic_topic(spark):
+    """CDC envelope (Maxwell-shaped, CustomerDeserialization.java:19-69)
+    survives the wire byte-for-byte — unicode payloads, quotes, nested
+    maps — and the per-row dynamic topic routes each table to its own
+    dwd topic exactly (S5)."""
+    import json
+
+    from gmall_flink_2022_spark.sources.cdc import parse_cdc
+
+    lines = [
+        json.dumps(
+            {
+                "database": "gmall",
+                "tableName": t,
+                "before": {},
+                "after": {"id": str(i), "name": f'电器"quoted" {i}'},
+                "type": op,
+            },
+            ensure_ascii=False,
+        )
+        for i, (t, op) in enumerate(
+            [("order_info", "create"), ("order_detail", "update"),
+             ("base_trademark", "insert")]
+        )
+    ]
+    src = spark.createDataFrame([(l,) for l in lines], "payload string")
+    routed = src.withColumn(
+        "sink_table",
+        F.concat(
+            F.lit("dwd_"),
+            F.get_json_object("payload", "$.tableName"),
+        ),
+    )
+    received = _over_the_wire(
+        sink_projection(routed, value_col="payload", topic_col="sink_table")
+    )
+    # value is loss-free: raw strings identical after encode/decode
+    sent_raw = sorted(r["payload"] for r in src.collect())
+    got_raw = sorted(r["value"] for r in received.collect())
+    assert got_raw == sent_raw
+    # parsed envelopes identical to parsing the originals (create->insert
+    # normalization applies equally on both sides)
+    want = sorted(map(tuple, parse_cdc(src, "payload").collect()))
+    got = sorted(map(tuple, parse_cdc(received).collect()))
+    assert got == want
+    # per-row dynamic topic matched its envelope's table
+    for r in parse_cdc(received).join(
+        received.select("topic", F.col("value").alias("_v")),
+        F.get_json_object(F.col("_v"), "$.tableName") == F.col("tableName"),
+    ).collect():
+        assert r["topic"] == "dwd_" + r["tableName"]
+
+
+def test_log_envelope_roundtrip_preserves_dirty_split(spark):
+    """Log lines (BaseLogApp's ods_base_log consumer) round-trip with the
+    clean/dirty split intact: clean rows parse identically, and the dirty
+    side output carries the ORIGINAL raw line byte-identical (the
+    reference routes the unparsed string, BaseLogApp.java:43)."""
+    import json
+
+    from gmall_flink_2022_spark.sources.logs import (
+        clean_logs,
+        dirty_logs,
+        parse_logs,
+    )
+
+    lines = [
+        json.dumps(
+            {
+                "common": {"mid": "mid_7", "is_new": "1", "ch": "web",
+                           "ar": "110000", "vc": "v2"},
+                "page": {"page_id": "home", "during_time": 1000},
+                "ts": 1718000000000,
+            }
+        ),
+        '{"broken json',  # the dirty line
+    ]
+    src = spark.createDataFrame([(l,) for l in lines], "value string")
+    received = _over_the_wire(sink_projection(src))
+    want_clean = sorted(
+        map(tuple, clean_logs(parse_logs(src)).collect())
+    )
+    got_clean = sorted(
+        map(tuple, clean_logs(parse_logs(received)).collect())
+    )
+    assert got_clean == want_clean and len(got_clean) == 1
+    dirty = [r["value"] for r in dirty_logs(parse_logs(received)).collect()]
+    assert dirty == ['{"broken json']
