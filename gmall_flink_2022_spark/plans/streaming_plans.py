@@ -46,8 +46,11 @@ def _uniq(name: str) -> str:
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
-    survey_ref="§2.4 A1 + §2.6 W1/W3 (streaming tumbling-window agg)",
-    tags=("streaming", "agg"),
+    survey_ref="§2.4 A1 + §2.6 W1/W3 (streaming tumbling-window agg). "
+    "EXACT-DISTINCT PARITY DEMO: complete-mode collect_set mirrors the "
+    "reference's per-window HashSet; deploy stream_visitor_stats_scale "
+    "(update mode + HLL + keyed upsert store) instead",
+    tags=("streaming", "agg", "exact_demo"),
 )
 def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_stream_table(spark, sf_dir, "events")
@@ -127,8 +130,10 @@ def stream_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY date_trunc('day', l_shipdate), l_partkey
     """,
     survey_ref="§2.4 A2 streaming (collect_set exact distinct — the "
-    "streaming-legal rendering of the reference's HashSet accumulator)",
-    tags=("streaming", "agg"),
+    "streaming-legal rendering of the reference's HashSet accumulator). "
+    "EXACT-DISTINCT PARITY DEMO: deploy stream_product_stats_scale "
+    "(update mode + HLL + keyed upsert store) instead",
+    tags=("streaming", "agg", "exact_demo"),
 )
 def stream_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_stream_table(spark, sf_dir, "lineitem")
@@ -476,8 +481,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topology as TWO chained streaming jobs: stream-stream interval "
     "join lands in a hop dir (the 'topic'), a second streaming job "
     "windows and aggregates the hop output; oracle composes both "
-    "stages in one SQL",
-    tags=("streaming", "join", "agg", "pipeline"),
+    "stages in one SQL. EXACT-DISTINCT PARITY DEMO: deploy "
+    "stream_two_hop_scale (update mode + HLL) instead",
+    tags=("streaming", "join", "agg", "pipeline", "exact_demo"),
 )
 def stream_two_hop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_schema = read_table(spark, sf_dir, "events").schema

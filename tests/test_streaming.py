@@ -253,12 +253,19 @@ def test_streaming_registry_no_collect_set_outside_parity_demos():
 
     from gmall_flink_2022_spark.plans import REGISTRY
 
+    # complete-mode exact-distinct demos mirror the reference's
+    # per-window HashSet accumulators; the registry tags them
+    # `exact_demo` (r4 verdict ask #7) so the scale twin is the obvious
+    # deployment default. The allowlist IS the tag — adding a new
+    # collect_set query without tagging it a demo fails this gate, and
+    # tagging it forces a registered scale twin below.
     PARITY_DEMOS = {
-        # complete-mode exact-distinct demos mirroring the reference's
-        # per-window HashSet accumulators; scale twin in parentheses
-        "stream_visitor_stats",  # -> stream_visitor_stats_scale
-        "stream_product_stats",  # -> stream_product_stats_scale
-        "stream_two_hop_pipeline",  # -> stream_two_hop_scale
+        n for n, q in REGISTRY.items() if "exact_demo" in q.tags
+    }
+    assert PARITY_DEMOS == {
+        "stream_visitor_stats",
+        "stream_product_stats",
+        "stream_two_hop_pipeline",
     }
     streaming = {n: q for n, q in REGISTRY.items() if "streaming" in q.tags}
     assert len(streaming) >= 15
