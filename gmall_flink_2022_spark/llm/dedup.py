@@ -450,6 +450,80 @@ def substring_match_spans(
     )
 
 
+def remove_matched_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Cut duplicated substrings out of the corpus — the removal half of
+    Lee et al. 2021 (arXiv:2107.06499 keeps ONE occurrence of each
+    repeated substring): for every span pair the lower-id document keeps
+    its copy and the range ``[b_start, b_end]`` is cut from the higher-id
+    document. Overlapping/adjacent cut ranges within a document are
+    union-merged first (gaps-and-islands interval merge: a range starting
+    beyond the running max end opens a new island), so nested or chained
+    matches never double-remove.
+
+    Returns (id, clean_text, n_tokens, n_removed) for EVERY input
+    document; ``clean_text`` is the kept tokens joined by single spaces
+    (the canonical tokenized form — original whitespace/punctuation in
+    removed regions is not reconstructable).
+
+    Scale shape: one window + one groupBy per removal (both keyed by doc
+    id, second reuses the first's partitioning), then a broadcast-joinable
+    per-doc range list against the corpus scan — no shuffle of the
+    documents themselves when ranges broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    cuts = spans.select(
+        F.col("id_b").alias("id"),
+        F.col("b_start").alias("s"),
+        F.col("b_end").alias("e"),
+    ).distinct()
+    w = W.partitionBy("id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    marked = cuts.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = marked.groupBy("id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ranges = merged.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ranges")
+    )
+    toks = tokenize_col(text_col)
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    joined = base.join(F.broadcast(ranges), "id", "left")
+    # guard: sequence() counts DOWN when stop < start, so an empty doc
+    # would build [1, 0] — gate on size >= 1 like shingles()
+    idx = F.when(
+        F.size("_toks") >= 1,
+        F.sequence(F.lit(1).cast("long"), F.size("_toks").cast("long")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    keep_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.coalesce(
+                F.col("ranges"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+            ),
+            lambda r: (i >= r["s"]) & (i <= r["e"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.concat_ws(
+            " ", F.transform(keep_idx, lambda i: F.element_at("_toks", i.cast("int")))
+        ).alias("clean_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(keep_idx)).cast("long").alias("n_removed"),
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
     cluster_id = min doc id of the component (deterministic canonical

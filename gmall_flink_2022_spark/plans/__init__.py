@@ -20,71 +20,73 @@ from . import tpch_more  # noqa: F401  (registers TPC-H batch-2 queries)
 # sources/io.py). Round-2-green entries rotate out unchanged.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # --- round-4 window. Priorities: (a) the five scale-safe streaming
-    # variants are NEW (VERDICT r2 ask #3, landed this round); (b) entries
-    # whose code churned AFTER their r3 green row (expanded CJK lexicon,
-    # vectorized LSH buckets, sampled IVF training, DimStore empty-batch
-    # guard); (c) the 8 entries whose only green row is round 1; (d) fill
-    # with round-2-green entries ordered by exposure to this round's
-    # churn (streaming runner/DimStore, llm/similarity.py). Left for r5:
-    # mm_frame_*, mm_image_resize, mm_audio_frames, TPC-H batch 2 and the
-    # approx-contract trio — all r2-green with untouched code.
-    # --- (a) new this round ---
+    # --- round-5 window (VERDICT r4 ask #1). Priorities: (a) NEW this
+    # round (substring dedup, BPE packing) plus entries whose code
+    # churned this round: the packing counter refactor (sequence_pack /
+    # chunk_overlap now route through _token_count), the sampled-IVF
+    # size probe, and the DimStore stage-and-swap + streaming-runner
+    # shuffle-partition pinning (every DimStore-backed sink and a
+    # representative runner set); (b) the 23 oracle-paired entries whose
+    # only green rows date from round-1/2 code (mm_* quintet, TPC-H
+    # batch 2, approx contracts + percentiles, sampling trio,
+    # fingerprint/lang/familiarity family, simhash64, stream_uv_dropdup);
+    # (c) fill with the r3-green warehouse spine. The three rows-only ANN
+    # originals stay below slot 50 — their recall contracts are the
+    # driver-checkable surface (llm_knn_ivf_contract fronted, the other
+    # two r4-green on unchanged code).
+    # --- (a) new / churned this round ---
+    "llm_substring_dedup",
+    "llm_sequence_pack_bpe",
+    "llm_sequence_pack",
+    "llm_chunk_overlap",
+    "llm_knn_ivf_contract",
+    "stream_visitor_stats_scale",
+    "stats_store_idempotent_upsert",
+    "stream_stats_upsert_sink",
     "stream_product_stats_scale",
     "stream_order_enrich_scale",
     "stream_session_window_scale",
     "stream_two_hop_scale",
     "stream_keyword_stats_cjk_scale",
-    "llm_sequence_pack",
-    "llm_chunk_overlap",
-    "stream_uv_dropdup_ttl",
-    "llm_mixture_sample",
-    "llm_shuffle_order",
-    "llm_semdedup_contract",
-    "stream_llm_dedup_exact",
-    "stream_llm_decontaminate",
-    "stream_mm_features",
-    # --- (b) r3-green but changed this round ---
-    "dws_keyword_stats_cjk",
-    "stream_keyword_stats_cjk",
-    "llm_knn_lsh_contract",
-    "llm_knn_ivf_contract",
-    "llm_dedup_embed_lsh_contract",
-    "stats_store_idempotent_upsert",
-    "dwd_db_route",
-    # --- (c) green in round 1 only ---
-    "dws_union_stats",
-    "ads_rollup_revenue",
-    "ads_pivot_linestatus",
-    "dwd_semi_active_customers",
-    "dwd_anti_idle_customers",
-    "dws_session_window_native",
-    "dws_keyword_stats_windowed",
-    "udf_surface_token_count",
-    # --- (d) r2-green, churn-adjacent: streaming family ---
-    "stream_visitor_stats",
-    "stream_payment_wide",
-    "stream_product_stats",
-    "stream_user_jump",
     "stream_unique_visit",
-    "stream_order_enrich",
-    "stream_payment_wide_outer",
-    "stream_stats_upsert_sink",
+    "stream_uv_dropdup_ttl",
+    "stream_user_jump",
+    "stream_payment_wide",
     "stream_session_window",
-    "stream_two_hop_pipeline",
-    "stream_visitor_stats_scale",
-    # --- (d) r2-green: similarity / dedup / curation ---
-    "llm_knn_bruteforce",
-    "llm_dedup_embed",
-    "llm_dedup_embed_planted",
-    "llm_dedup_ngram",
-    "llm_dedup_simhash",
-    "llm_dup_clusters",
-    "llm_corpus_curation",
-    # --- (d) r2-green: text / fingerprint / sampling / multimodal ---
-    "llm_token_stats",
-    "llm_quality_score",
-    "llm_fingerprint",
+    # --- (b) only green rows predate two rounds of shared-code churn ---
+    "ads_price_percentiles",
+    "dws_product_stats_approx",
+    "dws_province_stats_approx",
+    "llm_dedup_simhash64",
+    "llm_fingerprint_rolling",
+    "llm_fingerprint_winnow",
+    "llm_lang_id",
+    "llm_ngram_familiarity",
+    "llm_sample_hash",
+    "llm_sample_stratified",
+    "llm_train_val_split",
+    "mm_audio_frames",
+    "mm_frame_dedup",
+    "mm_frame_sample",
+    "mm_image_resize",
+    "mm_media_features",
+    "stream_uv_dropdup",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    # --- (c) r3-green warehouse spine refresh ---
+    "dwm_order_wide",
+    "dws_product_stats",
+    "dws_province_stats",
+    "dwd_log_split_page",
+    "dws_keyword_stats",
+    "scalar_function_surface",
+    "ads_gmv_by_date",
+    "ads_top_brand",
+    "tpch_q3_shipping_priority",
 ]
 
 

@@ -176,10 +176,9 @@ def _docs_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(twin)
 
 
-@register(
-    "llm_substring_dedup",
-    oracle=f"""
-    WITH {_SUBSTR_AUG_CTE},
+# span-detection CTE chain shared by the span query and the removal query
+# (k=8, min_len=12, max_gram_df=16 — mirrors substring_match_spans)
+_SUBSTR_SPAN_CTES = f"""{_SUBSTR_AUG_CTE},
     tk AS (SELECT doc_id, {TOKS} AS toks FROM aug),
     g AS (
         SELECT doc_id AS id, i AS pos,
@@ -205,14 +204,26 @@ def _docs_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a, id_b, diag,
                MIN(pos_a) AS a_start, MAX(pos_a) + 7 AS a_end
         FROM isl GROUP BY id_a, id_b, diag, island
-    )
+    ),
+    fs AS (
+        SELECT id_a, id_b, a_start, a_end,
+               a_start - diag AS b_start, a_end - diag AS b_end,
+               a_end - a_start + 1 AS match_len
+        FROM sp WHERE a_end - a_start + 1 >= 12
+    )"""
+
+
+@register(
+    "llm_substring_dedup",
+    oracle=f"""
+    WITH {_SUBSTR_SPAN_CTES}
     SELECT id_a, id_b,
            CAST(a_start AS BIGINT) AS a_start,
            CAST(a_end AS BIGINT) AS a_end,
-           CAST(a_start - diag AS BIGINT) AS b_start,
-           CAST(a_end - diag AS BIGINT) AS b_end,
-           CAST(a_end - a_start + 1 AS BIGINT) AS match_len
-    FROM sp WHERE a_end - a_start + 1 >= 12
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(b_end AS BIGINT) AS b_end,
+           CAST(match_len AS BIGINT) AS match_len
+    FROM fs
     """,
     survey_ref="extension: substring-level exact dedup (Lee et al. 2021 "
     "arXiv:2107.06499 suffix-array dedup, Spark-native: positional k-gram "
@@ -226,6 +237,65 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_substring_planted(spark, sf_dir), "doc_id", "text",
         k=8, min_len=12, max_gram_df=16,
     )
+
+
+@register(
+    "llm_substring_dedup_removal",
+    oracle=f"""
+    WITH {_SUBSTR_SPAN_CTES},
+    cuts AS (SELECT DISTINCT id_b AS id, b_start AS s, b_end AS e FROM fs),
+    i1 AS (
+        SELECT id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS ni
+        FROM cuts
+    ),
+    i2 AS (
+        SELECT id, s, e,
+               SUM(ni) OVER (PARTITION BY id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM i1
+    ),
+    mr AS (SELECT id, MIN(s) AS s, MAX(e) AS e FROM i2 GROUP BY id, island),
+    tp AS (
+        SELECT doc_id AS id, i AS pos, toks[i] AS tok
+        FROM tk, UNNEST(generate_series(1, len(toks))) AS t(i)
+        WHERE len(toks) >= 1
+    ),
+    rm AS (
+        SELECT DISTINCT tp.id, tp.pos
+        FROM tp JOIN mr ON mr.id = tp.id AND tp.pos BETWEEN mr.s AND mr.e
+    ),
+    kept AS (
+        SELECT tp.id, tp.pos, tp.tok
+        FROM tp LEFT JOIN rm ON tp.id = rm.id AND tp.pos = rm.pos
+        WHERE rm.id IS NULL
+    ),
+    ka AS (
+        SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY id
+    )
+    SELECT tk.doc_id AS id,
+           COALESCE(ka.clean_text, '') AS clean_text,
+           CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           CAST(len(tk.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tk LEFT JOIN ka ON tk.doc_id = ka.id
+    """,
+    survey_ref="extension: substring-dedup REMOVAL (the Lee et al. 2021 "
+    "keep-one-occurrence cut: lower-id doc keeps its copy, the matched "
+    "range is cut from the higher-id doc; overlapping cut ranges "
+    "union-merged before removal)",
+    tags=("llm", "dedup"),
+)
+def llm_substring_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_substring_planted(spark, sf_dir)
+    spans = dedup.substring_match_spans(
+        docs, "doc_id", "text", k=8, min_len=12, max_gram_df=16
+    )
+    return dedup.remove_matched_spans(docs, spans, "doc_id", "text")
 
 
 # ------------------------------------------------------------ MinHash + LSH

@@ -51,6 +51,10 @@ def get_spark(app_name: str = "gmall_spark", **overrides: str) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     conf = dict(_DEFAULTS)
+    # local-mode driver == the one executor: the 1g JVM default starves
+    # 32 threads (broadcast builds OOM ~sf1). Only effective at JVM
+    # launch — a pre-existing session keeps its heap.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     conf.update(overrides)
     for k, v in conf.items():
         builder = builder.config(k, v)

@@ -783,3 +783,32 @@ def test_sequence_pack_bpe_counter_matches_token_stats(spark, sf_dir):
 
     with pytest.raises(ValueError):
         sequence_pack(docs, "doc_id", "text", counter="nope")
+
+
+def test_remove_matched_spans_merge_and_keep_policy(spark):
+    """Removal keeps the lower-id copy and cuts [b_start,b_end] from the
+    higher-id doc; overlapping cut ranges union-merge (no double-remove);
+    untouched docs pass through with n_removed=0; empty docs survive."""
+    from gmall_flink_2022_spark.llm.dedup import remove_matched_spans
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+         (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+         (3, "v1 v2 v3"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    # two overlapping cuts in doc 2 (tokens 2-5 and 4-8 -> merged 2-8)
+    spans = spark.createDataFrame(
+        [(1, 2, 1, 4, 2, 5, 4), (1, 2, 3, 7, 4, 8, 5)],
+        "id_a long, id_b long, a_start long, a_end long, "
+        "b_start long, b_end long, match_len long",
+    )
+    out = {r["id"]: r for r in remove_matched_spans(docs, spans, "doc_id", "text").collect()}
+    assert len(out) == 4
+    assert out[1]["clean_text"].split() == [f"t{i}" for i in range(1, 11)]
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"].split() == ["u1", "u9", "u10"]
+    assert out[2]["n_removed"] == 7  # merged 2..8, not 4+5
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
