@@ -295,3 +295,55 @@ def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("long")
         .alias("n_digit_runs"),
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1 — the subset whose
+# signals exist in this schema; word-count bounds shrunk to the synthetic
+# corpus's length scale so the filter exercises both branches).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule-based KEEP/DROP decisions (Rae et al. 2021
+    §A1.1): quality_score() emits features, this emits the verdicts —
+    per-rule booleans plus the conjunction. Rules: word count within
+    bounds, mean word length within bounds, >= 80% of words contain a
+    letter, and at least 2 stopword occurrences. Empty documents fail
+    closed (every rule false, not null). Narrow map, zero shuffles,
+    all whole-stage-codegen expressions."""
+    toks = tokenize_col(text_col)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda s, x: s + x
+    )
+    # try_divide: empty docs hit 0/0, which ANSI mode turns into a task
+    # error — NULL here, coalesced to a false verdict below (fail-closed)
+    mean_len = F.try_divide(total_len.cast("double"), n.cast("double"))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.try_divide(n_alpha.cast("double"), n.cast("double"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    nonempty = n > 0
+    r_words = nonempty & n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mean = F.coalesce(
+        nonempty & mean_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN),
+        F.lit(False),
+    )
+    r_alpha = F.coalesce(
+        nonempty & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC), F.lit(False)
+    )
+    r_stop = nonempty & (n_stop >= GOPHER_MIN_STOP_HITS)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_len"),
+        r_alpha.alias("r_alpha_frac"),
+        r_stop.alias("r_stopwords"),
+        (r_words & r_mean & r_alpha & r_stop).alias("keep"),
+    )

@@ -5,6 +5,7 @@ from . import scale_plans  # noqa: F401  (registers salted/windowed/UDF queries)
 from . import llm_plans  # noqa: F401  (registers LLM-pipeline queries)
 from . import streaming_plans  # noqa: F401  (registers streaming-mode queries)
 from . import tpch_more  # noqa: F401  (registers TPC-H batch-2 queries)
+from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 
 # ---------------------------------------------------------------------------
 # Driver-window priority. The round driver's correctness gate checks the
@@ -77,16 +78,26 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_revenue",
-    # --- (c) r3-green warehouse spine refresh ---
-    "dwm_order_wide",
-    "dws_product_stats",
-    "dws_province_stats",
-    "dwd_log_split_page",
-    "dws_keyword_stats",
-    "scalar_function_surface",
-    "ads_gmv_by_date",
-    "ads_top_brand",
-    "tpch_q3_shipping_priority",
+    # --- (c) NEW this round, batch 2: TPC-H shape batch 3 (the seven
+    # query shapes the reduced schema forced batch 2 to skip — correlated
+    # scalar subquery, global-scalar HAVING, NOT IN exclusion, nested
+    # semi-joins, multi-correlated EXISTS) plus the paragraph-hash dedup
+    # and Gopher filter-decision ops. These take the nine slots the
+    # r3-green warehouse spine refresh would have used — new code
+    # outranks re-verification of untouched code; the spine
+    # (dwm_order_wide, dws_product_stats, dws_province_stats,
+    # dwd_log_split_page, dws_keyword_stats, scalar_function_surface,
+    # ads_gmv_by_date, ads_top_brand, tpch_q3) rotates into the r6
+    # window instead.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q16_supplier_part_types",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "llm_dedup_paragraph",
+    "llm_gopher_filter",
 ]
 
 

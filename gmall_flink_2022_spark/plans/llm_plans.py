@@ -1627,3 +1627,119 @@ def llm_semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bad") == 0).alias("precision_ok"),
         (F.col("n_hit") >= F.col("n_removed_exact") * F.lit(0.8)).alias("recall_ok"),
     )
+
+
+# ------------------------------------------------------- paragraph dedup
+# The synthetic corpus has no duplicate documents, so the query plants
+# them deterministically (same pattern as llm_dedup_embed_planted):
+# full copies (doc_id%10==0 -> +100000) whose every paragraph dies, and
+# prefix copies (doc_id%10==5 -> +200000, first 40 tokens + a unique
+# tail) where only the whole 20-token windows shared with the original
+# die — exercising full-removal, partial-removal, and untouched paths.
+_PARA_W = 20
+_PARA_CORPUS_SQL = f"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           array_to_string(list_slice({TOKS}, 1, 40), ' ')
+             || ' planted tail marker ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents WHERE doc_id % 10 = 5
+)
+"""
+
+
+def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    plant_full = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    plant_prefix = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(toks, 1, 40)),
+            F.lit(" planted tail marker "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return docs.unionByName(plant_full).unionByName(plant_prefix)
+
+
+@register(
+    "llm_dedup_paragraph",
+    oracle=f"""
+    WITH {_PARA_CORPUS_SQL},
+    tk AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(
+                   list_slice(toks, i*{_PARA_W}+1, i*{_PARA_W}+{_PARA_W}),
+                   ' ') AS seg
+        FROM tk, UNNEST(generate_series(
+                 0, CAST(ceil(len(toks)/{_PARA_W}.0) AS INT) - 1)) AS t(i)
+        WHERE len(toks) > 0
+    ),
+    hs AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM seg),
+    st AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs,
+                  MIN(struct_pack(d := doc_id, p := pos)) AS first
+           FROM hs GROUP BY h),
+    mk AS (SELECT hs.doc_id, hs.pos, hs.seg,
+                  (st.n_docs <= 1 OR (hs.doc_id = (st.first).d
+                                      AND hs.pos = (st.first).p)) AS keep
+           FROM hs JOIN st USING (h))
+    SELECT doc_id AS id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                               ORDER BY pos), '') AS clean_text
+    FROM mk GROUP BY doc_id
+    """,
+    survey_ref="extension: paragraph-hash cross-document dedup (CCNet / "
+    "RefinedWeb line-hash pass, keep-first-occurrence; fixed 20-token "
+    "segmenter stands in for newline paragraphs absent from the flat "
+    "synthetic text)",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.paragraph_dedup(
+        _para_corpus(spark, sf_dir), "doc_id", "text", window=_PARA_W
+    )
+
+
+@register(
+    "llm_gopher_filter",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    feat AS (
+        SELECT doc_id, len(toks) AS n,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS mean_len,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','is','to','in'], t))) AS n_stop
+        FROM tk
+    )
+    SELECT doc_id AS id, n AS n_tokens,
+           (n > 0 AND n BETWEEN 20 AND 100000) AS r_word_count,
+           COALESCE(n > 0 AND mean_len BETWEEN 3.0 AND 10.0, FALSE) AS r_mean_len,
+           COALESCE(n > 0 AND alpha_frac >= 0.8, FALSE) AS r_alpha_frac,
+           (n > 0 AND n_stop >= 2) AS r_stopwords,
+           ((n > 0 AND n BETWEEN 20 AND 100000)
+            AND COALESCE(n > 0 AND mean_len BETWEEN 3.0 AND 10.0, FALSE)
+            AND COALESCE(n > 0 AND alpha_frac >= 0.8, FALSE)
+            AND (n > 0 AND n_stop >= 2)) AS keep
+    FROM feat
+    """,
+    survey_ref="extension: Gopher rule-based quality filter decisions "
+    "(Rae et al. 2021 A1.1 — word-count / mean-word-length / "
+    "alpha-fraction / stopword-hit rules, fail-closed on empty docs)",
+    tags=("llm", "text"),
+)
+def llm_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_filter(_docs(spark, sf_dir), "doc_id", "text")

@@ -812,3 +812,71 @@ def test_remove_matched_spans_merge_and_keep_policy(spark):
     assert out[2]["n_removed"] == 7  # merged 2..8, not 4+5
     assert out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+
+
+def test_paragraph_dedup_keep_first_semantics(spark):
+    """Planted micro-corpus: identical 3-token windows across docs die
+    everywhere except their first (doc, pos) occurrence; within-doc
+    repeats (same doc, one holder) survive untouched."""
+    from gmall_flink_2022_spark.llm.dedup import paragraph_dedup
+
+    base = "a b c d e f"  # two 3-token segments: "a b c" / "d e f"
+    rows = [
+        (1, base),  # canonical copy
+        (2, base),  # full duplicate -> both segments removed
+        (3, "a b c x y z"),  # shares only segment 0
+        (4, "q q q q q q"),  # self-repeating but single-doc -> untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text", window=3).collect()
+    }
+    assert out[1]["n_removed"] == 0 and out[1]["clean_text"] == base
+    assert out[2]["n_removed"] == 2 and out[2]["clean_text"] == ""
+    assert out[3]["n_removed"] == 1 and out[3]["clean_text"] == "x y z"
+    assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == "q q q q q q"
+
+
+def test_paragraph_dedup_separator_mode(spark):
+    """sep='\\n' splits on real paragraph boundaries (the production
+    path for web corpora); ragged last chunks never false-match."""
+    from gmall_flink_2022_spark.llm.dedup import paragraph_dedup
+
+    rows = [
+        (1, "shared para\nunique one"),
+        (2, "shared para\nunique two"),
+        (3, ""),  # empty doc -> no segments, absent from output
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text", sep="\n").collect()
+    }
+    assert out[1]["clean_text"] == "shared para unique one"
+    assert out[2]["n_removed"] == 1 and out[2]["clean_text"] == "unique two"
+    assert 3 not in out  # explode drops segment-less docs
+
+
+def test_gopher_filter_rules(spark):
+    """Each rule fires independently; empty docs fail closed (false, not
+    null) on every rule."""
+    from gmall_flink_2022_spark.llm import text as T
+
+    long_ok = " ".join(["word"] * 30)
+    rows = [
+        (1, long_ok),  # passes length/mean/alpha, fails stopwords
+        (2, "the of " + " ".join(["word"] * 30)),  # passes everything
+        (3, "short doc the of"),  # fails word count only
+        (4, " ".join(["12345"] * 25) + " the of"),  # fails alpha frac
+        (5, ""),  # empty: all rules false
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in T.gopher_filter(df, "doc_id", "text").collect()}
+    assert not out[1]["r_stopwords"] and out[1]["r_word_count"]
+    assert out[2]["keep"]
+    assert not out[3]["r_word_count"] and out[3]["r_stopwords"]
+    assert not out[4]["r_alpha_frac"] and not out[4]["keep"]
+    assert out[5]["n_tokens"] == 0
+    for rule in ("r_word_count", "r_mean_len", "r_alpha_frac", "r_stopwords", "keep"):
+        assert out[5][rule] is False, rule

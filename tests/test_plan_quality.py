@@ -287,3 +287,51 @@ def test_substring_dedup_plan_shape(spark, sf_dir):
     # the island groupBy rides the window's partitioning: exactly one
     # exchange keyed on the pair/diagonal
     assert p.count("hashpartitioning(id_a") == 1
+
+
+def test_tpch_batch3_plan_quality(spark, sf_dir):
+    # Q2: the offer aggregate feeds a window min — partitioning on
+    # partkey is reused, and every dim (part/supplier/nation/region)
+    # broadcasts; no sort-merge join anywhere
+    p = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "Window" in p
+
+    # Q9: LIKE-filtered part broadcasts; the name filter is pushed to
+    # the part scan, not evaluated post-join
+    p = _plan(spark, sf_dir, "tpch_q9_product_profit")
+    assert "BroadcastHashJoin" in p
+    assert "StringContains(p_name,red)" in p
+
+    # Q11: fraction-of-total = 1-row aggregate broadcast onto the
+    # PERSISTED per-part values — both branches read the cache, so the
+    # lineitem side is scanned once, not once per branch
+    p = _plan(spark, sf_dir, "tpch_q11_important_parts")
+    assert "InMemoryTableScan" in p
+    assert p.count("Scan parquet [l_") <= 2  # tree + details, one relation
+
+    # Q16: NOT IN renders as a broadcast anti join, never a nested loop
+    p = _plan(spark, sf_dir, "tpch_q16_supplier_part_types")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
+
+    # Q21: single lineitem pass — order stats and late lines share one
+    # shuffle on l_orderkey; payload pruned to the three needed columns
+    p = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
+    read = p.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" in read and "l_extendedprice" not in read
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_paragraph_dedup_plan_shape(spark, sf_dir):
+    # three shuffles, all on natural keys: segment-hash agg, hash join,
+    # doc reassembly — and no Python in the pipeline
+    p = _plan(spark, sf_dir, "llm_dedup_paragraph")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_gopher_filter_narrow(spark, sf_dir):
+    # pure row-local rule evaluation: no exchange at all
+    p = _plan(spark, sf_dir, "llm_gopher_filter")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
