@@ -1743,3 +1743,65 @@ def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_filter(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ------------------------------------------------------------ BM25 search
+from ..llm import retrieval  # noqa: E402  (keeps module import order obvious)
+
+# fixed literal query set over the synthetic corpus vocabulary — literals
+# appear verbatim on both engines, so no runtime query derivation
+_BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["table", "scan"]),
+    (1, ["window", "agg", "join"]),
+    (2, ["spark", "stream", "merge"]),
+    (3, ["vector", "hash"]),
+]
+_BM25_K = 5
+_BM25_Q_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM base),
+    posting AS (SELECT doc_id, dl, t.term, COUNT(*) AS tf
+                FROM base, UNNEST(toks) AS t(term) GROUP BY 1, 2, 3),
+    q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    sel AS (SELECT q.query_id, p.term, p.doc_id, p.dl, p.tf
+            FROM posting p JOIN q USING (term)),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM sel GROUP BY 1),
+    scored AS (
+        SELECT s.query_id, s.doc_id, s.term,
+               ((CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                / (CAST(d.df AS DOUBLE) + 0.5))
+               * ((CAST(s.tf AS DOUBLE) * 2.2)
+                  / (CAST(s.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(s.dl AS DOUBLE)
+                         / (CAST(c.total_len AS DOUBLE)
+                            / CAST(c.n_docs AS DOUBLE)))))) AS tscore
+        FROM sel s JOIN dft d USING (term) CROSS JOIN corpus c
+    ),
+    agg AS (
+        SELECT query_id, doc_id, COUNT(*) AS n_matched,
+               list_reduce(list(tscore ORDER BY term), (x, y) -> x + y) AS score
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, rnk, doc_id, n_matched, score
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS INT) AS rnk
+          FROM agg)
+    WHERE rnk <= {_BM25_K}
+    """,
+    survey_ref="extension: BM25 keyword retrieval (inverted-index postings "
+    "+ rational-idf scoring + per-query top-k; sorted-fold double sums "
+    "for engine-exact parity — see llm/retrieval.py docstring)",
+    tags=("llm", "retrieval"),
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.bm25_topk(
+        _docs(spark, sf_dir), "doc_id", "text", _BM25_QUERIES, k=_BM25_K
+    )

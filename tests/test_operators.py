@@ -880,3 +880,41 @@ def test_gopher_filter_rules(spark):
     assert out[5]["n_tokens"] == 0
     for rule in ("r_word_count", "r_mean_len", "r_alpha_frac", "r_stopwords", "keep"):
         assert out[5][rule] is False, rule
+
+
+def test_bm25_ranking_semantics(spark):
+    """Hand-computable micro-corpus: a query term that appears in one
+    rare doc must outrank a term-matching doc with common terms; top-k
+    caps and deterministic doc_id tiebreak hold."""
+    from gmall_flink_2022_spark.llm.retrieval import bm25_topk
+
+    rows = [
+        (1, "apple banana banana"),
+        (2, "apple cherry"),
+        (3, "banana banana banana banana"),
+        (4, "cherry cherry cherry"),
+        (5, "apple apple apple"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, "doc_id", "text", [(0, ["cherry"]), (1, ["apple", "banana"])], k=2)
+    got = {(r["query_id"], r["rnk"]): r for r in out.collect()}
+    # query 0: cherry appears in docs 2 and 4; doc 4 has higher tf and
+    # shorter-normalized saturation -> rank 1
+    assert got[(0, 1)]["doc_id"] == 4
+    assert got[(0, 2)]["doc_id"] == 2
+    # query 1: doc 1 matches BOTH terms -> beats any single-term doc
+    assert got[(1, 1)]["doc_id"] == 1 and got[(1, 1)]["n_matched"] == 2
+    # k cap: exactly 2 rows per query
+    assert len(got) == 4
+
+
+def test_bm25_identical_docs_tiebreak(spark):
+    """Bit-identical scores (duplicate docs) fall back to doc_id order —
+    the determinism the oracle hash depends on."""
+    from gmall_flink_2022_spark.llm.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(10, "x y"), (7, "x y"), (9, "x y")], ["doc_id", "text"]
+    )
+    out = bm25_topk(df, "doc_id", "text", [(0, ["x"])], k=3).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [7, 9, 10]

@@ -10,6 +10,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from gmall_flink_2022_spark import plans
 
 
@@ -335,3 +337,57 @@ def test_gopher_filter_narrow(spark, sf_dir):
     p = _plan(spark, sf_dir, "llm_gopher_filter")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_bm25_prunes_before_scoring(spark, sf_dir):
+    """The query-term semi-prune must hit the postings BEFORE df/score
+    work (broadcast join on term), and the whole pipeline stays JVM-side."""
+    p = _plan(spark, sf_dir, "llm_bm25_topk")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """100 TB feature demo: Spark injects a bloom-filter runtime filter on
+    the fact side of a selective dim join natively — the engine-level
+    answer to hand-rolled bloom dedup (no bespoke operator needed). Gated
+    here so a conf/plan regression that silently drops the filter fails."""
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        # production default is 10GB — the fact side must be big enough to
+        # be worth filtering; at test scale force it so the PLAN SHAPE is
+        # checkable
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderstatus"
+        ).count()
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "bloom_filter" in buf.getvalue().lower(), (
+            "runtime bloom filter not injected"
+        )
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Build a key-shifted N-fold replica of a testdata scale factor for
+scaling spot-checks (VERDICT r4 ask #6: sf0.1-only bench history can't
+see nonlinearities — candidate-pair blowup, skew — that a 10x input
+exposes).
+
+Replica i shifts every entity key by i * stride (stride = a power of 10
+above the table's max key), so referential integrity holds WITHIN a
+replica and replicas never collide: joins fan out linearly, aggregates
+get 10x groups, exactly what a larger scale factor would do. Dimension
+tables that a bigger TPC-H would NOT grow (nation, region) are copied
+once. Document text gets a one-token replica prefix so the dedup family
+sees 10 near-duplicate families instead of 10 exact clones of the
+corpus — near-dup candidate generation is stressed, trivial exact-dup
+shortcuts are not rewarded. Embedding vectors are reused as-is (vec_id
+shifted): ANN bucket occupancy grows 10x, the realistic stress.
+
+Schemas are preserved exactly (parquet format version 2.6 keeps the
+events TIMESTAMP(NANOS) column that sources/io.py special-cases), one
+file per table named <table>.parquet, matching the driver layout.
+
+Usage: python tools/make_scaled_sf.py [src_dir] [dst_dir] [factor]
+Defaults: /root/testdata/sf0.1 -> <repo>/.scratch/sf1 x10.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# key columns shifted per replica, by table
+SHIFT_KEYS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONCE = ["region", "nation"]
+# the key space each shifted column lives in (stride must clear the max
+# of the REFERENCED table: o_custkey shifts by the customer stride, etc.)
+KEY_SPACE = {
+    "c_custkey": "customer.c_custkey",
+    "s_suppkey": "supplier.s_suppkey",
+    "p_partkey": "part.p_partkey",
+    "o_orderkey": "orders.o_orderkey",
+    "o_custkey": "customer.c_custkey",
+    "l_orderkey": "orders.o_orderkey",
+    "l_partkey": "part.p_partkey",
+    "l_suppkey": "supplier.s_suppkey",
+    "event_id": "events.event_id",
+    "user_id": "events.user_id",
+    "doc_id": "documents.doc_id",
+    "vec_id": "embeddings.vec_id",
+}
+
+
+def _stride(max_val: int) -> int:
+    s = 10
+    while s <= max_val:
+        s *= 10
+    return s
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
+    )
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+
+    tables = {
+        name: pq.read_table(os.path.join(src, f"{name}.parquet"))
+        for name in list(SHIFT_KEYS) + COPY_ONCE
+    }
+    strides = {
+        space: _stride(pc.max(tables[space.split(".")[0]][space.split(".")[1]]).as_py())
+        for space in set(KEY_SPACE.values())
+    }
+
+    for name in COPY_ONCE:
+        pq.write_table(tables[name], os.path.join(dst, f"{name}.parquet"), version="2.6")
+
+    for name, keys in SHIFT_KEYS.items():
+        t = tables[name]
+        replicas = []
+        for i in range(factor):
+            r = t
+            for k in keys:
+                shift = i * strides[KEY_SPACE[k]]
+                col = pc.add(r[k], pa.scalar(shift, type=r.schema.field(k).type))
+                r = r.set_column(r.schema.get_field_index(k), r.schema.field(k), col)
+            if name == "documents" and i > 0:
+                # one-token prefix: replicas are near-dups, not exact clones
+                txt = pc.binary_join_element_wise(
+                    pa.array([f"rep{i}"] * len(r)), r["text"], " "
+                ).cast(r.schema.field("text").type)
+                r = r.set_column(
+                    r.schema.get_field_index("text"), r.schema.field("text"), txt
+                )
+            replicas.append(r)
+        out = pa.concat_tables(replicas)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"), version="2.6")
+        print(f"{name}: {len(t)} -> {len(out)} rows")
+
+
+if __name__ == "__main__":
+    main()
