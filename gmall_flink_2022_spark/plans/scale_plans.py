@@ -188,3 +188,48 @@ def udf_surface_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, pd_token_count(text) AS n_tokens FROM documents"
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout — multi-dimensional clustering for parquet skipping.
+# The Morton key is integer-exact, so it oracle-checks; the layout
+# (range shuffle + in-partition sort) is covered by the skipping test
+# (tests/test_plan_quality.py::test_zorder_layout_improves_skipping).
+# --------------------------------------------------------------------------
+@register(
+    "events_zorder_key",
+    oracle="""
+    WITH b AS (SELECT MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+                      MIN(value) AS lo_v, MAX(value) AS hi_v FROM events),
+    s AS (
+        SELECT e.event_id,
+               COALESCE(LEAST(CAST(floor(
+                   (CASE WHEN CAST(b.hi_u AS DOUBLE) > CAST(b.lo_u AS DOUBLE)
+                         THEN (CAST(e.user_id AS DOUBLE) - CAST(b.lo_u AS DOUBLE))
+                              / (CAST(b.hi_u AS DOUBLE) - CAST(b.lo_u AS DOUBLE))
+                         ELSE 0.0 END) * 65536.0) AS BIGINT), 65535), 0) AS bu,
+               COALESCE(LEAST(CAST(floor(
+                   (CASE WHEN CAST(b.hi_v AS DOUBLE) > CAST(b.lo_v AS DOUBLE)
+                         THEN (CAST(e.value AS DOUBLE) - CAST(b.lo_v AS DOUBLE))
+                              / (CAST(b.hi_v AS DOUBLE) - CAST(b.lo_v AS DOUBLE))
+                         ELSE 0.0 END) * 65536.0) AS BIGINT), 65535), 0) AS bv
+        FROM events e CROSS JOIN b
+    )
+    SELECT event_id,
+           CAST(list_sum(list_transform(generate_series(0, 15), i ->
+               (((bu >> i) & 1) << (2*i)) + (((bv >> i) & 1) << (2*i + 1))))
+             AS BIGINT) AS zval
+    FROM s
+    """,
+    survey_ref="extension: Z-order (Morton) clustering key for "
+    "multi-dimensional file skipping (Delta OPTIMIZE ZORDER shape; "
+    "operators/layout.py)",
+    tags=("scale", "layout"),
+)
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_layout
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return zorder_layout(ev, ["user_id", "value"]).select(
+        "event_id", F.col("_zval").alias("zval")
+    )

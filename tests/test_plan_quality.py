@@ -391,3 +391,54 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_improves_skipping(spark, sf_dir, tmp_path):
+    """The point of Z-order at 100 TB: after clustering on (user_id,
+    value), per-file min/max stats are tight on BOTH columns, so a
+    selective predicate on the SECOND column alone skips most files —
+    where a linear sort on user_id leaves every file's value range
+    full-width (zero skipping). Checked against real parquet footers."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_2022_spark.operators.layout import zorder_layout
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    zorder_layout(ev, ["user_id", "value"], num_files=16).write.parquet(zdir)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(ldir)
+    )
+
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    band = (lo + (hi - lo) * 0.4, lo + (hi - lo) * 0.5)  # a 10% value slice
+
+    def overlapping_files(d: str) -> tuple[int, int]:
+        import glob
+
+        total = hits = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mn = min(
+                md.row_group(g).column(idx["value"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(idx["value"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if mx >= band[0] and mn <= band[1]:
+                hits += 1
+        return hits, total
+
+    z_hits, z_total = overlapping_files(zdir)
+    l_hits, l_total = overlapping_files(ldir)
+    assert l_hits == l_total, "linear layout should not prune on value"
+    assert z_hits <= z_total // 2, (
+        f"z-order should keep value ranges tight: {z_hits}/{z_total} overlap"
+    )
