@@ -268,3 +268,62 @@ def test_shuffle_order_is_stable_permutation(spark, ids):
     b = {r["id"]: r["shuffle_rank"] for r in shuffle_order(df, "id").collect()}
     assert a == b
     assert sorted(a.values()) == list(range(1, len(ids) + 1))
+
+
+zint = st.integers(min_value=0, max_value=(1 << 16) - 1)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(zint, zint), min_size=1, max_size=40))
+def test_zorder_key_interleave_roundtrip(spark, pairs):
+    """The Spark Morton key equals the reference Python interleave, and
+    de-interleaving recovers the inputs exactly (bijectivity on the
+    16-bit x 2 domain)."""
+    from gmall_flink_2022_spark.operators.layout import zorder_key
+
+    def ref(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(16):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = df.select("a", "b", zorder_key(["a", "b"]).alias("z")).collect()
+    for r in got:
+        assert r["z"] == ref(r["a"], r["b"])
+        assert deinterleave(r["z"]) == (r["a"], r["b"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_bm25_score_tf_monotonicity(spark, docs):
+    """Within one query term, among equal-length docs, score strictly
+    increases with term frequency (the saturation curve is monotone) —
+    and every score is positive."""
+    from gmall_flink_2022_spark.llm.retrieval import bm25_topk
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "doc_id", "text", [(0, ["w1"])], k=len(docs)).collect()
+    assert all(r["score"] > 0 for r in out)
+    by_doc = {r["doc_id"]: r["score"] for r in out}
+    lens = {i: len(words) for i, words in enumerate(docs)}
+    tfs = {i: words.count("w1") for i, words in enumerate(docs)}
+    for i in by_doc:
+        for j in by_doc:
+            if lens[i] == lens[j] and tfs[i] > tfs[j]:
+                assert by_doc[i] > by_doc[j], (i, j)
