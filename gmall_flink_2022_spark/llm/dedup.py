@@ -706,3 +706,34 @@ def paragraph_dedup(
             ),
         ).alias("clean_text"),
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame, quality: DataFrame, score_col: str
+) -> DataFrame:
+    """Quality-based cluster representative selection: instead of the
+    min-id canonical keep (dup_clusters' cluster_id), keep the member
+    with the HIGHEST quality score, ties broken toward the smaller id —
+    the curation policy real pipelines use once a quality signal exists
+    (keep the best copy, drop the rest).
+
+    ``clusters`` is dup_clusters output (id, cluster_id); ``quality`` has
+    (id, score_col). One broadcast-eligible join + one groupBy on
+    cluster_id. The (score, -id) struct max makes the argmax a single
+    shuffle-safe aggregate — no window, no per-cluster sort."""
+    j = clusters.join(quality, "id")
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("q"), (-F.col("id")).cast("long").alias("negid")
+        )
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(best.alias("_b"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            (-F.col("_b.negid")).cast("long").alias("keep_id"),
+            "n_members",
+            F.col("_b.q").alias("keep_score"),
+        )
+    )

@@ -127,3 +127,65 @@ def shuffle_order(df: DataFrame, id_col: str, salt: str = "shuffle|") -> DataFra
         )
         .drop("_u", "_b", "_off")
     )
+
+
+def mixture_temperature_sqrt(
+    df: DataFrame, group_col: str, id_col: str, target_fraction: float = 0.5
+) -> DataFrame:
+    """Temperature-weighted mixture resampling at alpha = 0.5 (the
+    multilingual-LM "square-root temperature": target share of group s
+    proportional to sqrt(n_s), so large sources are downweighted and
+    small ones upweighted relative to natural frequency). Keeps an
+    expected ``target_fraction`` of the corpus via a per-group
+    deterministic Bernoulli in the same hash universe as hash_sample;
+    rates above 1 clamp (upsample-by-repetition is the consumer's job,
+    as in mixture_sample).
+
+    alpha is fixed at 0.5 on purpose: sqrt is IEEE-correctly-rounded on
+    both engines, so the rates — and therefore membership — are
+    engine-exact and oracle-checkable. A general alpha needs pow(),
+    whose libm results differ across engines in the last ulp. The
+    cross-group sqrt sum folds in sorted group order (same convention
+    as retrieval.bm25_topk) so it is partition-order independent.
+
+    One tiny aggregate (group counts) + broadcast back: the corpus scan
+    itself stays a narrow filter.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(group_col).alias("g"),
+                            F.sqrt(F.col("_n").cast("double")).alias("sq"),
+                        )
+                    )
+                ),
+                lambda s: s["sq"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sqsum"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (
+            F.lit(target_fraction)
+            * F.col("_total").cast("double")
+            * F.sqrt(F.col("_n").cast("double"))
+        )
+        / (F.col("_sqsum") * F.col("_n").cast("double")),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.floor(rate * F.lit(float(1 << 32))).cast("long").alias("_thresh"),
+        )
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        _u32(F.col(id_col)) < F.col("_thresh")
+    ).drop("_thresh")

@@ -1805,3 +1805,106 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(
         _docs(spark, sf_dir), "doc_id", "text", _BM25_QUERIES, k=_BM25_K
     )
+
+
+# -------------------------------------------- temperature mixture + keep-best
+_TEMP_FRAC = 0.5
+
+
+@register(
+    "llm_mixture_temperature",
+    oracle=f"""
+    WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS N,
+                   list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+                               (x, y) -> x + y) AS S
+            FROM cnt),
+    rt AS (SELECT c.lang,
+                  LEAST(1.0, ({_TEMP_FRAC} * CAST(t.N AS DOUBLE)
+                              * sqrt(CAST(c.n AS DOUBLE)))
+                             / (t.S * CAST(c.n AS DOUBLE))) AS r
+           FROM cnt c CROSS JOIN tot t)
+    SELECT d.doc_id, d.lang FROM documents d JOIN rt ON rt.lang = d.lang
+    WHERE {_u32_sql("doc_id")} < CAST(floor(r * 4294967296.0) AS BIGINT)
+    """,
+    survey_ref="extension: temperature-weighted mixture resampling "
+    "(alpha=0.5 square-root temperature; sqrt is correctly rounded on "
+    "both engines so rates are engine-exact — llm/sampling.py docstring)",
+    tags=("llm", "sampling"),
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sampling
+
+    return sampling.mixture_temperature_sqrt(
+        _docs(spark, sf_dir), "lang", "doc_id", target_fraction=_TEMP_FRAC
+    ).select("doc_id", "lang")
+
+
+@register(
+    "llm_dup_cluster_keep_best",
+    # same transitive-closure oracle as llm_dup_clusters, extended with
+    # the per-cluster quality argmax ((score, -id) struct max on both
+    # engines -> identical lexicographic comparison)
+    oracle=f"""
+    WITH RECURSIVE {SHINGLE_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bk AS (
+        SELECT DISTINCT doc_id, bucket
+        FROM (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pr AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.4
+    ),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION
+        SELECT id_b, id_a FROM pr
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+    ),
+    cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    qq AS (SELECT doc_id AS id,
+                  CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) AS q
+           FROM tk WHERE len(toks) > 0),
+    j AS (SELECT cl.cluster_id, cl.id, qq.q FROM cl JOIN qq USING (id))
+    SELECT cluster_id,
+           CAST(-((MAX(struct_pack(q := q, negid := -id))).negid) AS BIGINT)
+             AS keep_id,
+           COUNT(*) AS n_members,
+           (MAX(struct_pack(q := q, negid := -id))).q AS keep_score
+    FROM j GROUP BY cluster_id
+    """,
+    survey_ref="extension: quality-based duplicate-cluster representative "
+    "selection (keep the best copy by uniq_ratio, not the min id; "
+    "llm/dedup.py cluster_representatives)",
+    tags=("llm", "dedup", "iterative"),
+)
+def llm_dup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+    clusters = dedup.dup_clusters(pairs)
+    quality = text.quality_score(docs, "doc_id", "text").select("id", "uniq_ratio")
+    return dedup.cluster_representatives(clusters, quality, "uniq_ratio")

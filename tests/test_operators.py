@@ -918,3 +918,45 @@ def test_bm25_identical_docs_tiebreak(spark):
     )
     out = bm25_topk(df, "doc_id", "text", [(0, ["x"])], k=3).collect()
     assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [7, 9, 10]
+
+
+def test_mixture_temperature_downweights_large_sources(spark):
+    """alpha=0.5 semantics: kept FRACTION of a small source exceeds that
+    of a large source, expected total ~= target_fraction * N, and
+    membership is deterministic across invocations."""
+    from gmall_flink_2022_spark.llm.sampling import mixture_temperature_sqrt
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_temperature_sqrt(df, "src", "doc_id", target_fraction=0.5)
+    kept = {r["src"]: 0 for r in []}
+    kept = {}
+    for r in out.groupBy("src").count().collect():
+        kept[r["src"]] = r["count"]
+    frac_big = kept.get("big", 0) / 900
+    frac_small = kept.get("small", 0) / 100
+    assert frac_small > frac_big, (kept, "sqrt temperature must favor small")
+    total = sum(kept.values())
+    assert 0.3 * 1000 < total < 0.7 * 1000, total
+    again = {r["src"]: r["count"] for r in
+             mixture_temperature_sqrt(df, "src", "doc_id", 0.5)
+             .groupBy("src").count().collect()}
+    assert again == kept
+
+
+def test_cluster_representatives_keep_best(spark):
+    """argmax by (score, -id): highest quality wins; exact ties fall to
+    the smaller id."""
+    from gmall_flink_2022_spark.llm.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.4)], "id long, q double"
+    )
+    out = {r["cluster_id"]: r for r in
+           cluster_representatives(clusters, quality, "q").collect()}
+    assert out[1]["keep_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["keep_score"] == 0.9
+    assert out[10]["keep_id"] == 10  # tie at 0.4 -> min id
