@@ -41,14 +41,22 @@ _DRIVER_WINDOW_FIRST = [
     "llm_sequence_pack",
     "llm_chunk_overlap",
     "llm_knn_ivf_contract",
+    # DimStore stage-and-swap churn: four representatives of the eight
+    # DimStore-backed sinks hold window slots (the shared path is
+    # DimStore.upsert; the other four — order_enrich/session_window/
+    # two_hop/keyword_cjk _scale — were r4-green and stay covered by the
+    # full local oracle-parity suite, rotating back in r6). The freed
+    # slots go to this round's batch-3 additions (BM25, z-order,
+    # temperature mixture, keep-best representatives) so every NEW
+    # operator is driver-checked in its birth round.
     "stream_visitor_stats_scale",
     "stats_store_idempotent_upsert",
     "stream_stats_upsert_sink",
     "stream_product_stats_scale",
-    "stream_order_enrich_scale",
-    "stream_session_window_scale",
-    "stream_two_hop_scale",
-    "stream_keyword_stats_cjk_scale",
+    "llm_bm25_topk",
+    "events_zorder_key",
+    "llm_mixture_temperature",
+    "llm_dup_cluster_keep_best",
     "stream_unique_visit",
     "stream_uv_dropdup_ttl",
     "stream_user_jump",
