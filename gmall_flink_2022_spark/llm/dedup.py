@@ -35,6 +35,89 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-dedup-first machinery for the near-dup family. Round-5 10x scaling
+# spot-check (BENCH_sf1_spotcheck.json): pair generation and verification
+# are quadratic in duplicate-FAMILY size, so a dup-heavy corpus blew the
+# near-dup ops up 26-133x on 10x input. Collapsing bit-identical texts to
+# one representative first makes the heavy path linear again; family
+# membership is restored algebraically at the end (within-family pairs are
+# emitted directly — identical texts share every shingle — and rep-level
+# pairs fan out to member pairs). Document-frequency caps are computed
+# with family multiplicities (weighted df), so capping behaves EXACTLY as
+# on the uncollapsed corpus and the exact oracles stay green.
+# ---------------------------------------------------------------------------
+
+
+def _exact_text_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Identical-text families keyed by the exact_dedup digest:
+    (rep_id = min id, sorted members, fam_n, one text copy)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .withColumn("_dig", F.md5("_txt"))
+        .groupBy("_dig")
+        .agg(
+            F.min("id").alias("rep_id"),
+            F.array_sort(F.collect_list("id")).alias("members"),
+            F.count(F.lit(1)).alias("fam_n"),
+            F.first("_txt").alias("_txt"),
+        )
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members_df: DataFrame,
+    payload: list[str],
+    swap: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Representative-level (id_a, id_b, payload...) -> member-level
+    pairs (payload identical for every member combination because
+    members share the representative's exact text/vector).
+
+    A member of the b-side family can carry a SMALLER id than its
+    a-side counterpart, flipping the pair's canonical order — any
+    side-asymmetric payload columns (e.g. n_a/n_b) must flip with it;
+    list them in ``swap``."""
+    ma = members_df.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
+    mb = members_df.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
+    flipped = F.col("_ea") > F.col("_eb")
+    out_cols: dict[str, F.Column] = {}
+    for a, b in swap:
+        out_cols[a] = F.when(flipped, F.col(b)).otherwise(F.col(a)).alias(a)
+        out_cols[b] = F.when(flipped, F.col(a)).otherwise(F.col(b)).alias(b)
+    cols = [out_cols.get(c, F.col(c)) for c in payload]
+    return (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(F.explode("_ma").alias("_ea"), F.col("_mb"), *payload)
+        .select("_ea", F.explode("_mb").alias("_eb"), *payload)
+        .select(
+            F.least("_ea", "_eb").alias("id_a"),
+            F.greatest("_ea", "_eb").alias("id_b"),
+            *cols,
+        )
+    )
+
+
+def _within_family_pairs(
+    members_df: DataFrame, rep_payload: DataFrame, payload: list[str]
+) -> DataFrame:
+    """All (a < b) member pairs inside each family of size >= 2, carrying
+    the representative's payload row (joined on rep_id). Members arrive
+    sorted, so posexplode + suffix-slice keeps id_a < id_b."""
+    fam = members_df.filter(F.col("fam_n") >= 2).join(rep_payload, "rep_id")
+    return fam.select(
+        F.posexplode("members").alias("_i", "_a"), F.col("members"), *payload
+    ).select(
+        F.col("_a").alias("id_a"),
+        F.explode(
+            F.slice(F.col("members"), F.col("_i") + 2, F.size("members"))
+        ).alias("id_b"),
+        *payload,
+    )
+
+
 def shingles(
     df: DataFrame,
     id_col: str,
@@ -71,9 +154,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = 64,
     prune_rare: bool = False,
+    pre_dedup: bool = True,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard similarity of shingle sets >=
     threshold.
+
+    ``pre_dedup`` (default on): collapse bit-identical texts before
+    shingling (see the exact-dedup-first block comment above). The df
+    cap/prune sees family-weighted frequencies, so results are
+    bit-identical to the uncollapsed run — property-tested in
+    test_operators.py::test_ngram_pairs_pre_dedup_equivalence.
 
     The hot-shingle cap is ON BY DEFAULT (``max_shingle_df=64``): a
     shingle appearing in k documents expands k²/2 candidate structs in a
@@ -93,11 +183,28 @@ def ngram_jaccard_pairs(
       Pure pruning — identical result — worth one extra aggregation on
       real long-tail corpora.
     """
-    sh = shingles(df, id_col, text_col, n).persist()
+    groups = None
+    if pre_dedup:
+        groups = _exact_text_groups(df, id_col, text_col).persist()
+        reps = groups.select(F.col("rep_id").alias("id"), "_txt")
+        sh = shingles(reps, "id", "_txt", n).persist()
+        wts = groups.select(F.col("rep_id").alias("id"), "fam_n")
+    else:
+        sh = shingles(df, id_col, text_col, n).persist()
+        wts = None
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand_src = sh
     if prune_rare or max_shingle_df is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_ct"))
+        if wts is not None:
+            # family-weighted document frequency == df over the
+            # uncollapsed corpus (each member contributes one holder)
+            freq = (
+                sh.join(F.broadcast(wts), "id")
+                .groupBy("shingle")
+                .agg(F.sum("fam_n").alias("df_ct"))
+            )
+        else:
+            freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_ct"))
         lo = 2 if prune_rare else 1
         hi_pred = (
             (F.col("df_ct") <= max_shingle_df)
@@ -147,7 +254,37 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
     )
-    return out
+    if groups is None:
+        return out
+    payload = ["common", "n_a", "n_b", "jaccard"]
+    cross = _expand_rep_pairs(
+        out, groups.select("rep_id", "members"), payload, swap=(("n_a", "n_b"),)
+    )
+    # within-family pairs: identical texts share every cap-surviving
+    # shingle, so common = |capped shingle set| and n_a = n_b = n_sh —
+    # exactly what the uncollapsed run reports for such a pair. Families
+    # whose shingles were all capped away (or that have none) share no
+    # candidate shingle and are not emitted, same as the original.
+    capped_ct = cand_src.groupBy("id").agg(F.count(F.lit(1)).alias("common"))
+    wpay = (
+        sizes.join(capped_ct, "id")
+        .select(
+            F.col("id").alias("rep_id"),
+            "common",
+            F.col("n_sh").alias("n_a"),
+            F.col("n_sh").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    within = _within_family_pairs(
+        groups.select("rep_id", "members", "fam_n"), wpay, payload
+    )
+    return cross.unionByName(within)
 
 
 def _minhash_cols(num_hashes: int) -> list:
@@ -179,15 +316,41 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 2,
     threshold: float = 0.4,
+    pre_dedup: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     Signatures are banded (num_hashes/bands rows per band); documents
     sharing any band bucket become candidates; candidates are verified
     with exact Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+
+    ``pre_dedup`` (default on): collapse bit-identical texts first (see
+    the exact-dedup-first block comment above). Identical texts have
+    identical signatures, so the uncollapsed run always finds every
+    within-family pair with Jaccard exactly 1.0 — emitted here directly
+    (families with at least one shingle), while signature/bucket/verify
+    work runs on unique texts only.
     """
-    sh = shingles(df, id_col, text_col, n).persist()
-    return minhash_lsh_pairs_from_shingles(sh, num_hashes, bands, threshold)
+    if not pre_dedup:
+        sh = shingles(df, id_col, text_col, n).persist()
+        return minhash_lsh_pairs_from_shingles(sh, num_hashes, bands, threshold)
+    groups = _exact_text_groups(df, id_col, text_col).persist()
+    reps = groups.select(F.col("rep_id").alias("id"), "_txt")
+    sh = shingles(reps, "id", "_txt", n).persist()
+    rep_pairs = minhash_lsh_pairs_from_shingles(sh, num_hashes, bands, threshold)
+    cross = _expand_rep_pairs(
+        rep_pairs, groups.select("rep_id", "members"), ["jaccard"]
+    )
+    # n/(n + n - n) is exactly 1.0 for any shingle count n >= 1
+    wpay = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_n_sh"))
+        .select(F.col("id").alias("rep_id"), F.lit(1.0).alias("jaccard"))
+    )
+    within = _within_family_pairs(
+        groups.select("rep_id", "members", "fam_n"), wpay, ["jaccard"]
+    )
+    return cross.unionByName(within)
 
 
 def minhash_lsh_pairs_from_shingles(

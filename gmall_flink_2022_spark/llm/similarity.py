@@ -357,6 +357,7 @@ def embedding_near_dups_lsh(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    pre_dedup: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with LSH candidate blocking —
     no side-channel bucket column (cf. :func:`embedding_near_dups`,
@@ -366,11 +367,49 @@ def embedding_near_dups_lsh(
     per-plane collision prob is ~0.86, so 8 planes x 8 tables gives
     ~0.94 pair recall while scanning a tiny fraction of the O(n^2)
     pair space. Candidate generation is linear in corpus size — the
-    100 TB shape."""
+    100 TB shape.
+
+    ``pre_dedup`` (default on): bit-identical vectors are collapsed to
+    one representative BEFORE hashing/blocking, and family membership is
+    expanded back algebraically afterwards — within-family pairs emit
+    directly (their cosine is a per-family constant), cross-family rep
+    pairs fan out to member pairs. Semantics are unchanged (identical
+    vectors always collide in every table, so the original would find
+    exactly these pairs, at quadratic cost). Motivation: the round-5
+    10x scaling spot-check (BENCH_sf1_spotcheck.json) showed 133x cost
+    growth on a 10x corpus whose replicas share vectors — bucket joins
+    and cosine verification were quadratic in duplicate-family size.
+    With pre-dedup the heavy path sees only unique vectors; only the
+    final (output-sized) expansion scales with family size."""
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
     e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    within = None
+    if pre_dedup:
+        groups = (
+            e.groupBy("vec")
+            .agg(
+                F.min("id").alias("rep_id"),
+                F.array_sort(F.collect_list("id")).alias("members"),
+            )
+            .persist()
+        )
+        fam = groups.filter(F.size("members") >= 2)
+        within = (
+            fam.select(
+                "vec", F.posexplode("members").alias("_i", "w_a"), F.col("members")
+            )
+            .select(
+                F.col("w_a").alias("id_a"),
+                F.explode(
+                    F.slice(F.col("members"), F.col("_i") + 2, F.size("members"))
+                ).alias("id_b"),
+                cosine(F.col("vec"), F.col("vec")).alias("sim"),
+            )
+        )
+        members = groups.select("rep_id", "members")
+        e = groups.select(F.col("rep_id").alias("id"), "vec")
     bucketed = e.select(
         "id", "vec", F.explode(_table_buckets(F.col("vec"), tables)).alias("bucket")
     )
@@ -388,11 +427,34 @@ def embedding_near_dups_lsh(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    rep_pairs = (
         cands.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    if within is None:
+        return rep_pairs
+    # expand representative pairs to member pairs (id_a < id_b preserved
+    # by least/greatest; sim is identical for every member combination
+    # because members share the representative's exact vector)
+    ma = members.select(
+        F.col("rep_id").alias("id_a"), F.col("members").alias("_ma")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("id_b"), F.col("members").alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(F.explode("_ma").alias("ea"), F.col("_mb"), "sim")
+        .select("ea", F.explode("_mb").alias("eb"), "sim")
+        .select(
+            F.least("ea", "eb").alias("id_a"),
+            F.greatest("ea", "eb").alias("id_b"),
+            "sim",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def kmeans_cells(

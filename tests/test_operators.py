@@ -960,3 +960,89 @@ def test_cluster_representatives_keep_best(spark):
     assert out[1]["keep_id"] == 2 and out[1]["n_members"] == 3
     assert out[1]["keep_score"] == 0.9
     assert out[10]["keep_id"] == 10  # tie at 0.4 -> min id
+
+
+def _dup_heavy_corpus(spark, sf_dir):
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs
+    for i in (1, 2):
+        corpus = corpus.unionByName(
+            d2.select((F.col("doc_id") + 100000 * i).alias("doc_id"), "text")
+        )
+    return corpus
+
+
+def test_ngram_pairs_pre_dedup_equivalence(spark, sf_dir):
+    """Exact-dedup-first must be invisible: identical pair sets (ids AND
+    payload columns incl. the side-sensitive n_a/n_b) on a corpus where
+    20% of docs have two bit-identical copies — with the df cap, without
+    it, and with rare-pruning."""
+    from gmall_flink_2022_spark.llm import dedup
+
+    corpus = _dup_heavy_corpus(spark, sf_dir)
+    for kw in (
+        {},
+        {"max_shingle_df": None},
+        {"max_shingle_df": None, "prune_rare": True},
+    ):
+        on = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                corpus, "doc_id", "text", threshold=0.5, pre_dedup=True, **kw
+            ).collect()
+        }
+        off = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                corpus, "doc_id", "text", threshold=0.5, pre_dedup=False, **kw
+            ).collect()
+        }
+        assert on == off, kw
+        assert on, f"vacuous equivalence {kw}"
+
+
+def test_minhash_pairs_pre_dedup_equivalence(spark, sf_dir):
+    from gmall_flink_2022_spark.llm import dedup
+
+    corpus = _dup_heavy_corpus(spark, sf_dir)
+    on = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            corpus, "doc_id", "text", threshold=0.4, pre_dedup=True
+        ).collect()
+    }
+    off = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            corpus, "doc_id", "text", threshold=0.4, pre_dedup=False
+        ).collect()
+    }
+    assert on == off and on
+
+
+def test_embed_lsh_pre_dedup_equivalence(spark, sf_dir):
+    from gmall_flink_2022_spark.llm import similarity
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d2 = embs.filter(F.col("vec_id") % 5 == 0)
+    corpus = embs.unionByName(
+        d2.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    kw = dict(threshold=0.9)
+    on = {
+        (r["id_a"], r["id_b"], round(r["sim"], 12))
+        for r in similarity.embedding_near_dups_lsh(
+            corpus, "vec_id", "embedding", pre_dedup=True, **kw
+        ).collect()
+    }
+    off = {
+        (r["id_a"], r["id_b"], round(r["sim"], 12))
+        for r in similarity.embedding_near_dups_lsh(
+            corpus, "vec_id", "embedding", pre_dedup=False, **kw
+        ).collect()
+    }
+    assert on == off and on
