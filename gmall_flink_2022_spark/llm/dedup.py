@@ -49,6 +49,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _should_pre_dedup(
+    df: DataFrame, digest: F.Column, min_dup_fraction: float = 0.05
+) -> bool:
+    """The "auto" probe: one scan with a map-side HLL — collapse only
+    when a meaningful fraction of rows are duplicates. On an all-unique
+    corpus the collapse machinery costs a full text shuffle and buys
+    nothing (measured: +54% on llm_dedup_ngram at sf0.1); on a dup-heavy
+    corpus it is the difference between linear and quadratic. The probe
+    itself is O(n) scan + O(1) state — the right trade both ways."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(digest, 0.02).alias("d"),
+    ).first()
+    if not row["n"]:
+        return False
+    return (1.0 - row["d"] / row["n"]) >= min_dup_fraction
+
+
 def _exact_text_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Identical-text families keyed by the exact_dedup digest:
     (rep_id = min id, sorted members, fam_n, one text copy)."""
@@ -154,16 +172,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = 64,
     prune_rare: bool = False,
-    pre_dedup: bool = True,
+    pre_dedup: bool | str = "auto",
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard similarity of shingle sets >=
     threshold.
 
-    ``pre_dedup`` (default on): collapse bit-identical texts before
-    shingling (see the exact-dedup-first block comment above). The df
-    cap/prune sees family-weighted frequencies, so results are
-    bit-identical to the uncollapsed run — property-tested in
-    test_operators.py::test_ngram_pairs_pre_dedup_equivalence.
+    ``pre_dedup``: collapse bit-identical texts before shingling (see
+    the exact-dedup-first block comment above). The df cap/prune sees
+    family-weighted frequencies, so results are bit-identical to the
+    uncollapsed run — property-tested in
+    test_operators.py::test_ngram_pairs_pre_dedup_equivalence. The
+    default "auto" probes the duplicate fraction with one HLL scan and
+    collapses only when >=5% of rows are duplicates (collapse costs a
+    text shuffle, so it must earn its keep).
 
     The hot-shingle cap is ON BY DEFAULT (``max_shingle_df=64``): a
     shingle appearing in k documents expands k²/2 candidate structs in a
@@ -183,6 +204,8 @@ def ngram_jaccard_pairs(
       Pure pruning — identical result — worth one extra aggregation on
       real long-tail corpora.
     """
+    if pre_dedup == "auto":
+        pre_dedup = _should_pre_dedup(df, F.md5(F.col(text_col)))
     groups = None
     if pre_dedup:
         groups = _exact_text_groups(df, id_col, text_col).persist()
@@ -316,7 +339,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 2,
     threshold: float = 0.4,
-    pre_dedup: bool = True,
+    pre_dedup: bool | str = "auto",
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -324,13 +347,16 @@ def minhash_lsh_pairs(
     sharing any band bucket become candidates; candidates are verified
     with exact Jaccard >= threshold. Returns (id_a, id_b, jaccard).
 
-    ``pre_dedup`` (default on): collapse bit-identical texts first (see
-    the exact-dedup-first block comment above). Identical texts have
+    ``pre_dedup`` (default "auto": one HLL duplicate-fraction probe
+    decides): collapse bit-identical texts first (see the
+    exact-dedup-first block comment above). Identical texts have
     identical signatures, so the uncollapsed run always finds every
     within-family pair with Jaccard exactly 1.0 — emitted here directly
     (families with at least one shingle), while signature/bucket/verify
     work runs on unique texts only.
     """
+    if pre_dedup == "auto":
+        pre_dedup = _should_pre_dedup(df, F.md5(F.col(text_col)))
     if not pre_dedup:
         sh = shingles(df, id_col, text_col, n).persist()
         return minhash_lsh_pairs_from_shingles(sh, num_hashes, bands, threshold)

@@ -357,7 +357,7 @@ def embedding_near_dups_lsh(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
-    pre_dedup: bool = True,
+    pre_dedup: bool | str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with LSH candidate blocking —
     no side-channel bucket column (cf. :func:`embedding_near_dups`,
@@ -369,7 +369,10 @@ def embedding_near_dups_lsh(
     pair space. Candidate generation is linear in corpus size — the
     100 TB shape.
 
-    ``pre_dedup`` (default on): bit-identical vectors are collapsed to
+    ``pre_dedup`` (default "auto": an HLL duplicate-fraction probe
+    decides, same policy as dedup._should_pre_dedup — collapse costs a
+    vector shuffle, so it must earn its keep): bit-identical vectors
+    are collapsed to
     one representative BEFORE hashing/blocking, and family membership is
     expanded back algebraically afterwards — within-family pairs emit
     directly (their cosine is a per-family constant), cross-family rep
@@ -385,6 +388,10 @@ def embedding_near_dups_lsh(
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
     e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if pre_dedup == "auto":
+        from .dedup import _should_pre_dedup
+
+        pre_dedup = _should_pre_dedup(e, F.md5(F.col("vec").cast("string")))
     within = None
     if pre_dedup:
         groups = (

@@ -1046,3 +1046,15 @@ def test_embed_lsh_pre_dedup_equivalence(spark, sf_dir):
         ).collect()
     }
     assert on == off and on
+
+
+def test_pre_dedup_auto_probe(spark, sf_dir):
+    """The auto probe says NO on an all-unique corpus (collapse would be
+    pure overhead) and YES once >=5% of rows repeat."""
+    from gmall_flink_2022_spark.llm.dedup import _should_pre_dedup
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert _should_pre_dedup(docs, F.md5(F.col("text"))) is False
+    dup_heavy = _dup_heavy_corpus(spark, sf_dir)
+    assert _should_pre_dedup(dup_heavy, F.md5(F.col("text"))) is True
