@@ -790,3 +790,112 @@ def ads_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.expr("percentile(l_extendedprice, 0.5)") * F.lit(0.01)
         ).alias("approx_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE + GROUPING — the remaining grouping-sets surface beyond ROLLUP.
+# --------------------------------------------------------------------------
+@register(
+    "ads_cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_ref="engine completeness: CUBE grouping sets + GROUPING "
+    "indicator (distinguishes a real NULL group from a cube subtotal)",
+    tags=("ads", "rollup"),
+)
+def ads_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "revenue", "n")
+
+
+# --------------------------------------------------------------------------
+# Ranking-function breadth: ntile / percent_rank / cume_dist over a TOTAL
+# order (acctbal, custkey) — ties broken by key so quartile assignment is
+# deterministic and engine-identical; the rank ratios are exact integer
+# divisions done once in double.
+# --------------------------------------------------------------------------
+@register(
+    "ads_customer_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    survey_ref="engine completeness: ntile / percent_rank / cume_dist "
+    "window functions (§2.5 ranking surface beyond row_number/rank)",
+    tags=("ads", "window"),
+)
+def ads_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding (hopping) event-time windows — each event lands in
+# size/slide = 2 overlapping windows; the oracle replays the hop
+# arithmetic by unnesting both containing window starts.
+# --------------------------------------------------------------------------
+@register(
+    "dws_events_sliding",
+    oracle="""
+    WITH hop AS (
+        SELECT e.value,
+               to_timestamp(s) AS wstart
+        FROM events e,
+        UNNEST(generate_series(
+            CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) - 300,
+            CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT),
+            300)) AS t(s)
+        WHERE epoch(e.ts) >= s AND epoch(e.ts) < s + 600
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(wstart + INTERVAL 600 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM hop GROUP BY wstart
+    """,
+    survey_ref="§2.4 window family: sliding/hopping event-time windows "
+    "(10-minute size, 5-minute slide — the Flink HOP window surface; "
+    "tumbling covered by A1-A4)",
+    tags=("dws", "window"),
+)
+def dws_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.groupBy(F.window("ts", "600 seconds", "300 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", fmt).alias("stt"),
+            F.date_format("w.end", fmt).alias("edt"),
+            "n_events",
+            "total_value",
+        )
+    )

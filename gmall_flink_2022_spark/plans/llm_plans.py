@@ -1704,6 +1704,7 @@ def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segmenter stands in for newline paragraphs absent from the flat "
     "synthetic text)",
     tags=("llm", "dedup"),
+    bench=True,
 )
 def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(
@@ -1800,6 +1801,7 @@ _BM25_Q_SQL = ", ".join(
     "+ rational-idf scoring + per-query top-k; sorted-fold double sums "
     "for engine-exact parity — see llm/retrieval.py docstring)",
     tags=("llm", "retrieval"),
+    bench=True,
 )
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(

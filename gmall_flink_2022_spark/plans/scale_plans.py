@@ -225,6 +225,7 @@ def udf_surface_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi-dimensional file skipping (Delta OPTIMIZE ZORDER shape; "
     "operators/layout.py)",
     tags=("scale", "layout"),
+    bench=True,
 )
 def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import zorder_layout

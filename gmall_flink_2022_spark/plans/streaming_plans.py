@@ -1410,3 +1410,49 @@ def _register_stream_mm() -> None:
 
 
 _register_stream_mm()
+
+
+@register(
+    "stream_events_sliding",
+    oracle="""
+    WITH hop AS (
+        SELECT e.value,
+               to_timestamp(s) AS wstart
+        FROM events e,
+        UNNEST(generate_series(
+            CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) - 300,
+            CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT),
+            300)) AS t(s)
+        WHERE epoch(e.ts) >= s AND epoch(e.ts) < s + 600
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(wstart + INTERVAL 600 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM hop GROUP BY wstart
+    """,
+    survey_ref="§2.4 window family: SLIDING (hopping) windows as a real "
+    "streaming job — each event updates size/slide = 2 overlapping "
+    "window states (the Flink HOP surface; batch twin "
+    "dws_events_sliding). Count/sum state only — bounded per window, "
+    "no distinct sets",
+    tags=("streaming", "agg", "window"),
+)
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_stream_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    agg = (
+        ev.withWatermark("ts", "1 seconds")
+        .groupBy(F.window("ts", "600 seconds", "300 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", fmt).alias("stt"),
+            F.date_format("w.end", fmt).alias("edt"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_table(agg, _uniq("events_sliding"), output_mode="complete")
