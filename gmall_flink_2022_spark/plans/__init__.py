@@ -58,17 +58,17 @@ _DRIVER_WINDOW_FIRST = [
     "llm_mixture_temperature",
     "llm_dup_cluster_keep_best",
     # late-round batch 3: CUBE+GROUPING, ranking-function breadth,
-    # sliding windows (batch + real streaming job). These displace four
-    # r4-green streaming entries (uv_dropdup_ttl, user_jump,
-    # payment_wide, session_window — unchanged code, re-verified every
-    # run by the local oracle-parity suite; stream_unique_visit stays as
-    # the stateful-pandas runner representative, and the sliding job
-    # itself exercises run_stream_to_table).
+    # sliding windows (batch + real streaming job), and the BaseDBApp
+    # streaming router. These displace five r4-green streaming entries
+    # (uv_dropdup_ttl, user_jump, payment_wide, session_window,
+    # unique_visit — unchanged code, re-verified every run by the local
+    # oracle-parity suite, rotating back in r6; the sliding job itself
+    # exercises run_stream_to_table).
     "ads_cube_revenue",
     "ads_customer_quartiles",
     "dws_events_sliding",
     "stream_events_sliding",
-    "stream_unique_visit",
+    "stream_db_route",
     # --- (b) only green rows predate two rounds of shared-code churn ---
     "ads_price_percentiles",
     "dws_product_stats_approx",

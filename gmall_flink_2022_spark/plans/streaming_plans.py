@@ -1456,3 +1456,45 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, _uniq("events_sliding"), output_mode="complete")
+
+
+@register(
+    "stream_db_route",
+    oracle="""
+    WITH cfg(source_table, sink_type, sink_table) AS (
+        VALUES ('view', 'kafka', 'dwd_page_log'),
+               ('click', 'kafka', 'dwd_display_log'),
+               ('purchase', 'kafka', 'dwd_order_info'),
+               ('signup', 'hbase', 'dim_user_info')
+    )
+    SELECT e.event_id, e.user_id, e.event_type, c.sink_type, c.sink_table
+    FROM events e JOIN cfg c ON e.event_type = c.source_table
+    """,
+    survey_ref="§3.1 BaseDBApp as a STREAMING job: the dynamic router "
+    "(P5/J5/W5) on a live stream — stream-static broadcast join against "
+    "the routing config, re-resolved per micro-batch (the cache-aside "
+    "replacement design, SURVEY §4); batch twin dwd_db_route. "
+    "(dwd/BaseDBApp.java:50-61, TableProcessFunction.java:74-78)",
+    tags=("streaming", "dwd", "join"),
+)
+def stream_db_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dwd import route_cdc
+    from .warehouse import _ROUTES
+
+    ev = (
+        read_stream_table(spark, sf_dir, "events")
+        .withColumnRenamed("event_type", "tableName")
+        .withColumn("type", F.lit("insert"))
+    )
+    cfg = spark.createDataFrame(
+        [(s, "insert", t, tbl) for s, t, tbl in _ROUTES],
+        "source_table string, operate_type string, sink_type string, sink_table string",
+    )
+    routed = route_cdc(ev, cfg).select(
+        "event_id",
+        "user_id",
+        F.col("tableName").alias("event_type"),
+        "sink_type",
+        "sink_table",
+    )
+    return run_stream_to_table(routed, _uniq("db_route"), output_mode="append")
