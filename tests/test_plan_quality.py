@@ -442,3 +442,33 @@ def test_zorder_layout_improves_skipping(spark, sf_dir, tmp_path):
     assert z_hits <= z_total // 2, (
         f"z-order should keep value ranges tight: {z_hits}/{z_total} overlap"
     )
+
+
+def test_registry_wide_no_row_python(spark, sf_dir):
+    """Every batch registry query must stay off the row-at-a-time Python
+    path (BatchEvalPython). Arrow-batched pandas UDFs are allowed only
+    where vectorized Python is the documented fast path (LSH bucket
+    gemm, CJK segmentation, multimodal mapInPandas). Streaming-tagged
+    queries are excluded (invoking them RUNS the job)."""
+    ARROW_OK = {  # documented vectorized-Python surfaces
+        "llm_knn_lsh", "llm_knn_ivf", "llm_knn_ivf_contract",
+        "llm_knn_lsh_contract", "llm_dedup_embed_lsh",
+        "llm_dedup_embed_lsh_contract", "llm_semdedup_contract",
+        "dws_keyword_stats_cjk", "udf_surface_token_count",
+        "mm_media_features", "mm_frame_sample", "mm_frame_dedup",
+        "mm_image_resize", "mm_audio_frames",
+    }
+    offenders, arrow_offenders = [], []
+    for name, q in plans.REGISTRY.items():
+        if "streaming" in q.tags:
+            continue
+        p = _plan(spark, sf_dir, name)
+        if "BatchEvalPython" in p:
+            offenders.append(name)
+        if "ArrowEvalPython" in p and name not in ARROW_OK and "MapInPandas" not in p:
+            arrow_offenders.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
+    assert not arrow_offenders, (
+        f"undocumented pandas UDFs in: {arrow_offenders} — add to ARROW_OK "
+        "with a rationale or move the logic JVM-side"
+    )
