@@ -487,14 +487,32 @@ def simhash_near_pairs(
     bits: int = 16,
     max_hamming: int = 3,
     n_splits: int = 2,
+    pre_dedup: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidate generation
     buckets on ``n_splits`` equal signature slices: a pair within
     Hamming distance d must agree exactly on at least one slice when
     n_splits > d (pigeonhole) — so ``n_splits = max_hamming + 1`` is
     the exact-recall setting; fewer splits trade recall for fewer,
-    bigger buckets. Distance verified exactly on the bit string."""
-    sig = simhash_signatures(df, id_col, text_col, bits).persist()
+    bigger buckets. Distance verified exactly on the bit string.
+
+    ``pre_dedup`` (default "auto", HLL probe): identical texts share a
+    signature, so families collapse before bucketing/verification and
+    expand back afterwards (within-family Hamming is exactly 0) — see
+    the exact-dedup-first block comment above."""
+    if pre_dedup == "auto":
+        pre_dedup = _should_pre_dedup(df, F.md5(F.col(text_col)))
+    groups = None
+    if pre_dedup:
+        groups = _exact_text_groups(df, id_col, text_col).persist()
+        src, id_use, text_use = (
+            groups.select(F.col("rep_id").alias("__rid"), "_txt"),
+            "__rid",
+            "_txt",
+        )
+    else:
+        src, id_use, text_use = df, id_col, text_col
+    sig = simhash_signatures(src, id_use, text_use, bits).persist()
     width = bits // n_splits
     slices = [
         F.concat(F.lit(f"s{k}_"), F.substring("simhash", k * width + 1, width))
@@ -516,7 +534,7 @@ def simhash_near_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
@@ -529,6 +547,16 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if groups is None:
+        return pairs
+    cross = _expand_rep_pairs(pairs, groups.select("rep_id", "members"), ["hamming"])
+    wpay = groups.join(
+        sig.select(F.col("id").alias("rep_id")), "rep_id"
+    ).select("rep_id", F.lit(0).cast("long").alias("hamming"))
+    within = _within_family_pairs(
+        groups.select("rep_id", "members", "fam_n"), wpay, ["hamming"]
+    )
+    return cross.unionByName(within)
 
 
 def substring_match_spans(

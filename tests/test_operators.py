@@ -1058,3 +1058,22 @@ def test_pre_dedup_auto_probe(spark, sf_dir):
     assert _should_pre_dedup(docs, F.md5(F.col("text"))) is False
     dup_heavy = _dup_heavy_corpus(spark, sf_dir)
     assert _should_pre_dedup(dup_heavy, F.md5(F.col("text"))) is True
+
+
+def test_simhash_pairs_pre_dedup_equivalence(spark, sf_dir):
+    from gmall_flink_2022_spark.llm import dedup
+
+    corpus = _dup_heavy_corpus(spark, sf_dir)
+    on = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            corpus, "doc_id", "text", pre_dedup=True
+        ).collect()
+    }
+    off = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            corpus, "doc_id", "text", pre_dedup=False
+        ).collect()
+    }
+    assert on == off and on
