@@ -67,7 +67,7 @@ _DRIVER_WINDOW_FIRST = [
     "ads_cube_revenue",
     "ads_customer_quartiles",
     "dws_events_sliding",
-    "stream_events_sliding",
+    "stream_events_sliding_scale",
     "stream_db_route",
     # --- (b) only green rows predate two rounds of shared-code churn ---
     "ads_price_percentiles",

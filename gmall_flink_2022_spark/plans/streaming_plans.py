@@ -1498,3 +1498,50 @@ def stream_db_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sink_table",
     )
     return run_stream_to_table(routed, _uniq("db_route"), output_mode="append")
+
+
+@register(
+    "stream_events_sliding_scale",
+    oracle="""
+    WITH hop AS (
+        SELECT e.value,
+               to_timestamp(s) AS wstart
+        FROM events e,
+        UNNEST(generate_series(
+            CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) - 300,
+            CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT),
+            300)) AS t(s)
+        WHERE epoch(e.ts) >= s AND epoch(e.ts) < s + 600
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(wstart + INTERVAL 600 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM hop GROUP BY wstart
+    """,
+    survey_ref="sliding-window scale path: UPDATE output mode + keyed "
+    "upsert store (only windows a trigger touches are re-emitted; "
+    "complete-mode demo stream_events_sliding re-emits every window per "
+    "trigger). Watermark-evicted window state, exact measures, same hop "
+    "oracle",
+    tags=("streaming", "agg", "window", "scale"),
+)
+def stream_events_sliding_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_stream_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    agg = (
+        ev.withWatermark("ts", "1 seconds")
+        .groupBy(F.window("ts", "600 seconds", "300 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", fmt).alias("stt"),
+            F.date_format("w.end", fmt).alias("edt"),
+            "n_events",
+            "total_value",
+        )
+        .withColumn("_k", F.col("stt"))
+    )
+    return _run_update_upsert(agg, "events_sliding_scale")
