@@ -38,7 +38,10 @@ _DRIVER_WINDOW_FIRST = [
     # --- (a) new / churned this round ---
     "llm_substring_dedup",
     "llm_sequence_pack_bpe",
-    "llm_sequence_pack",
+    # (llm_sequence_pack shares the churned _token_count path with the
+    # fronted BPE variant and stays pytest-verified; its slot goes to
+    # the new PageRank entry)
+    "llm_pagerank_centrality",
     "llm_chunk_overlap",
     "llm_knn_ivf_contract",
     # DimStore stage-and-swap churn: four representatives of the eight

@@ -1910,3 +1910,91 @@ def llm_dup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup.dup_clusters(pairs)
     quality = text.quality_score(docs, "doc_id", "text").select("id", "uniq_ratio")
     return dedup.cluster_representatives(clusters, quality, "uniq_ratio")
+
+
+# ------------------------------------------------------------- PageRank
+from ..llm.graph import PR_SCALE, pagerank  # noqa: E402
+
+_PR_ITERS = 5
+
+
+def _pr_oracle_iterations(n_iters: int) -> str:
+    blocks, prev = [], "pr0"
+    for t in range(1, n_iters + 1):
+        blocks.append(f"""
+    c{t} AS (
+        SELECT e.dst, SUM(p.pr // p.deg) AS sumc
+        FROM ed e JOIN {prev} p ON e.src = p.id
+        GROUP BY e.dst
+    ),
+    pr{t} AS (
+        SELECT p.id, p.deg, p.n,
+               CAST(({15 * PR_SCALE} // (100 * p.n))
+                    + ((85 * COALESCE(c.sumc, 0)) // 100) AS BIGINT) AS pr
+        FROM {prev} p LEFT JOIN c{t} c ON c.dst = p.id
+    )""")
+        prev = f"pr{t}"
+    return ",".join(blocks), prev
+
+
+_PR_BLOCKS, _PR_LAST = _pr_oracle_iterations(_PR_ITERS)
+
+
+@register(
+    "llm_pagerank_centrality",
+    # the near-dup pair CTE is the (exact) MinHash oracle from
+    # llm_dedup_minhash; PageRank itself is 5 unrolled fixed-point
+    # iterations — integer sums and floor divisions are engine-exact,
+    # see llm/graph.py docstring
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bk AS (
+        SELECT DISTINCT doc_id, bucket
+        FROM (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pr AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.4
+    ),
+    ed AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION
+        SELECT id_b, id_a FROM pr
+    ),
+    dg AS (SELECT src AS id, COUNT(*) AS deg FROM ed GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM dg),
+    pr0 AS (SELECT id, deg, n, CAST({PR_SCALE} // n AS BIGINT) AS pr
+            FROM dg CROSS JOIN nn),
+    {_PR_BLOCKS}
+    SELECT id, pr FROM {_PR_LAST}
+    """,
+    survey_ref="extension: PageRank centrality over the near-dup graph "
+    "(second iterative BSP algorithm beside dup_clusters' connected "
+    "components; fixed-point integer arithmetic for engine-exact "
+    "parity — llm/graph.py)",
+    tags=("llm", "graph", "iterative"),
+)
+def llm_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.4
+    ).select("id_a", "id_b")
+    return pagerank(pairs, iterations=_PR_ITERS)

@@ -1077,3 +1077,22 @@ def test_simhash_pairs_pre_dedup_equivalence(spark, sf_dir):
         ).collect()
     }
     assert on == off and on
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """Hand-checkable graph: a 3-star (hub 1 - leaves 2,3,4). The hub
+    must outrank the leaves, ranks are deterministic integers, and
+    total mass stays within N floor-ulps of the scale per iteration."""
+    from gmall_flink_2022_spark.llm.graph import PR_SCALE, pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["pr"] for r in pagerank(pairs, iterations=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2] == out[3] == out[4]  # symmetric leaves
+    assert out[1] > out[2]  # hub dominates
+    total = sum(out.values())
+    assert abs(total - PR_SCALE) < 6 * 4 * 100  # <= iters * N * div-ulp slack
+    again = {r["id"]: r["pr"] for r in pagerank(pairs, iterations=5).collect()}
+    assert again == out  # bit-stable across runs
