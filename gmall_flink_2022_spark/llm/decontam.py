@@ -26,7 +26,10 @@ def contaminated_ids(
 ) -> DataFrame:
     """Distinct ids of ``docs`` sharing at least one n-gram shingle with
     ``bench`` -> one column ``id``."""
-    doc_sh = shingles(docs, id_col, text_col, n)
+    # dedupe=False: the semi join + id-distinct below dedup anyway, so
+    # the per-(id, shingle) distinct would be a wasted full shuffle of
+    # the training-corpus shingle table (the big side)
+    doc_sh = shingles(docs, id_col, text_col, n, dedupe=False)
     bench_sh = shingles(bench, id_col, text_col, n).select("shingle").distinct()
     return (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")

@@ -142,12 +142,18 @@ def shingles(
     text_col: str,
     n: int = 3,
     tokens_col: str | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
     Tokens via the engine tokenizer; shingle = n consecutive tokens
     joined by a single space. Pass ``tokens_col`` to reuse an existing
     array<string> token column instead of re-tokenizing (one regex pass
-    per corpus scan saved in composed pipelines)."""
+    per corpus scan saved in composed pipelines).
+
+    ``dedupe=False`` skips the per-(id, shingle) distinct — a FULL
+    SHUFFLE of the shingle table — for consumers whose downstream op
+    dedups anyway (e.g. a semi-join + id-distinct); Jaccard-style
+    consumers need the distinct semantics and must keep the default."""
     toks = F.col(tokens_col) if tokens_col else tokenize_col(text_col)
     # guard: sequence() counts down when stop < start, so gate on size>=n;
     # docs with fewer than n tokens produce no shingles (explode drops them).
@@ -158,10 +164,8 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    return out.distinct() if dedupe else out
 
 
 def ngram_jaccard_pairs(
