@@ -42,7 +42,9 @@ _DRIVER_WINDOW_FIRST = [
     # fronted BPE variant and stays pytest-verified; its slot goes to
     # the new PageRank entry)
     "llm_pagerank_centrality",
-    "llm_chunk_overlap",
+    # (llm_chunk_overlap likewise rides the fronted BPE counter path;
+    # its slot goes to the new BPE pair-count entry)
+    "llm_bpe_pair_counts",
     "llm_knn_ivf_contract",
     # DimStore stage-and-swap churn: four representatives of the eight
     # DimStore-backed sinks hold window slots (the shared path is

@@ -1998,3 +1998,58 @@ def llm_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.4
     ).select("id_a", "id_b")
     return pagerank(pairs, iterations=_PR_ITERS)
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT toks[i] || ' ' || toks[i+1] AS pair
+        FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 2
+    ),
+    ct AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+    FROM ct ORDER BY n DESC, pair LIMIT 20
+    """,
+    survey_ref="extension: BPE-merge pair statistics — the counting core "
+    "of one tokenizer-training step (corpus-wide adjacent-token pair "
+    "counts over the BPE-ish pre-tokenization, top-20 merge candidates); "
+    "full BPE training iterates this aggregation per merge",
+    tags=("llm", "text", "tokenizer"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(text.BPE_RE), 0
+    )
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    ct = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    # top-20 via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps + merge); the ranking window then runs over 20 rows, never
+    # a single-partition sort of the whole pair vocabulary
+    top = ct.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "pair", "n", "rk"
+    )
