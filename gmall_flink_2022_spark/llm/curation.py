@@ -70,3 +70,68 @@ def curate(
     pairs = minhash_lsh_pairs_from_shingles(sh, threshold=jaccard_threshold)
     drop_near = pairs.select(F.col("id_b").alias("id")).distinct()
     return edocs.join(drop_near, "id", "left_anti").select("id")
+
+
+def curate_full(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    jaccard_threshold: float = 0.4,
+    n_contam: int = 6,
+) -> DataFrame:
+    """The full modern curation pipeline in ONE lazy plan:
+
+        paragraph-hash dedup (CCNet pass, keep-first, reassemble)
+        -> Gopher rule filter on the cleaned text
+        -> exact dedup (min-id representative per content digest)
+        -> MinHash near-dup removal (pairwise min-keep)
+        -> benchmark decontamination (shared-shingle semi-join)
+
+    Returns surviving (id, clean_text). Every stage is one of the
+    engine's oracle-verified operators; the composition chains them on
+    the REWRITTEN text (paragraph removal changes tokenization for every
+    downstream stage), which is exactly what the end-to-end oracle
+    replays. Stage order mirrors production practice: structural cleanup
+    first (paragraph dedup), then cheap row-local rules, then the
+    exact/near dedup cascade, decontamination last (it must see final
+    text).
+
+    Scale shape: the cleaned survivors persist once and feed three
+    consumers (digest dedup, shingle table, final anti-joins); the
+    benchmark side broadcasts. No stage re-reads the source."""
+    from .decontam import contaminated_ids
+    from .dedup import minhash_lsh_pairs, paragraph_dedup
+    from .text import gopher_filter
+
+    cleaned = (
+        paragraph_dedup(docs, id_col, text_col, window=window)
+        .filter(F.col("clean_text") != "")
+        .select("id", F.col("clean_text").alias("ctext"))
+    )
+    gkeep = (
+        gopher_filter(cleaned, "id", "ctext")
+        .filter(F.col("keep"))
+        .select("id")
+    )
+    q = cleaned.join(gkeep, "id", "left_semi")
+    keep_exact = (
+        q.groupBy(F.md5("ctext").alias("digest"))
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    e = q.join(keep_exact, "id", "left_semi").persist()
+    pairs = minhash_lsh_pairs(e, "id", "ctext", threshold=jaccard_threshold)
+    drop_near = pairs.select(F.col("id_b").alias("id")).distinct()
+    d = e.join(drop_near, "id", "left_anti").persist()
+    # 6-gram contamination test (the GPT-3 13-gram filter's spirit; 3-grams
+    # over this synthetic 64-word vocabulary collide on unrelated docs)
+    bad = contaminated_ids(
+        d, bench.select(F.col(id_col).alias("id"), F.col(text_col).alias("ctext")),
+        "id", "ctext", n=n_contam,
+    )
+    return (
+        d.join(bad.withColumnRenamed("id", "__bad"), d["id"] == F.col("__bad"), "left_anti")
+        .select("id", F.col("ctext").alias("clean_text"))
+    )

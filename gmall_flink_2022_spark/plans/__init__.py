@@ -56,7 +56,9 @@ _DRIVER_WINDOW_FIRST = [
     # operator is driver-checked in its birth round.
     "stream_visitor_stats_scale",
     "stats_store_idempotent_upsert",
-    "stream_stats_upsert_sink",
+    # (stream_stats_upsert_sink shares the DimStore/eos path with the
+    # entry above; its slot goes to the flagship composed pipeline)
+    "llm_curation_pipeline_full",
     "stream_product_stats_scale",
     "llm_bm25_topk",
     "events_zorder_key",

@@ -2053,3 +2053,130 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
         "pair", "n", "rk"
     )
+
+
+# -------------------------------------------- full curation pipeline (v2)
+_TOKS_CT = TOKS.replace("lower(text)", "lower(ctext)")
+_CURATE_FULL_ORACLE = f"""
+    WITH {_PARA_CORPUS_SQL},
+    tk AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(
+                   list_slice(toks, i*{_PARA_W}+1, i*{_PARA_W}+{_PARA_W}),
+                   ' ') AS seg
+        FROM tk, UNNEST(generate_series(
+                 0, CAST(ceil(len(toks)/{_PARA_W}.0) AS INT) - 1)) AS t(i)
+        WHERE len(toks) > 0
+    ),
+    hs AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM seg),
+    st AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs,
+                  MIN(struct_pack(d := doc_id, p := pos)) AS first
+           FROM hs GROUP BY h),
+    mk AS (SELECT hs.doc_id, hs.pos, hs.seg,
+                  (st.n_docs <= 1 OR (hs.doc_id = (st.first).d
+                                      AND hs.pos = (st.first).p)) AS keep
+           FROM hs JOIN st USING (h)),
+    cleaned AS (
+        SELECT doc_id AS id,
+               COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                                   ORDER BY pos), '') AS ctext
+        FROM mk GROUP BY doc_id
+    ),
+    nz AS (SELECT id, ctext FROM cleaned WHERE ctext <> ''),
+    tk2 AS (SELECT id, ctext, {_TOKS_CT} AS toks FROM nz),
+    feat AS (
+        SELECT id, ctext, len(toks) AS n,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS mean_len,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','is','to','in'], t))) AS n_stop
+        FROM tk2
+    ),
+    q AS (
+        SELECT id, ctext FROM feat
+        WHERE (n > 0 AND n BETWEEN 20 AND 100000)
+          AND COALESCE(n > 0 AND mean_len BETWEEN 3.0 AND 10.0, FALSE)
+          AND COALESCE(n > 0 AND alpha_frac >= 0.8, FALSE)
+          AND (n > 0 AND n_stop >= 2)
+    ),
+    ex AS (SELECT MIN(id) AS id FROM q GROUP BY md5(ctext)),
+    e AS (SELECT q.id, q.ctext FROM q JOIN ex USING (id)),
+    tk3 AS (SELECT id AS doc_id, {_TOKS_CT} AS toks FROM e),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM tk3, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+        WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bk AS (
+        SELECT DISTINCT doc_id, bucket
+        FROM (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    prs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.4
+    ),
+    dropn AS (SELECT DISTINCT id_b AS id FROM prs),
+    d AS (SELECT e.id, e.ctext FROM e
+          WHERE NOT EXISTS (SELECT 1 FROM dropn WHERE dropn.id = e.id)),
+    btk AS (SELECT {TOKS} AS toks FROM documents WHERE doc_id % 13 = 0),
+    bsh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, i, i + 5), ' ') AS shingle
+        FROM btk, UNNEST(generate_series(1, len(toks) - 5)) AS t(i)
+        WHERE len(toks) >= 6
+    ),
+    dtk AS (SELECT id, {_TOKS_CT} AS toks FROM d),
+    dsh AS (
+        SELECT id, array_to_string(list_slice(toks, i, i + 5), ' ') AS shingle
+        FROM dtk, UNNEST(generate_series(1, len(toks) - 5)) AS t(i)
+        WHERE len(toks) >= 6
+    ),
+    contam AS (SELECT DISTINCT ds.id FROM dsh ds
+               JOIN bsh ON ds.shingle = bsh.shingle)
+    SELECT d.id, d.ctext AS clean_text FROM d
+    WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.id = d.id)
+"""
+
+
+@register(
+    "llm_curation_pipeline_full",
+    oracle=_CURATE_FULL_ORACLE,
+    survey_ref="extension FLAGSHIP: the full modern curation pipeline in "
+    "one lazy plan — paragraph-hash dedup (planted corpus) -> Gopher "
+    "rules on the REWRITTEN text -> exact dedup -> MinHash near-dup "
+    "min-keep -> benchmark decontamination; end-to-end oracle replays "
+    "every stage on the chained text",
+    tags=("llm", "pipeline"),
+    bench=True,
+)
+def llm_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import curate_full
+
+    docs = _para_corpus(spark, sf_dir)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "text"
+    )
+    return curate_full(docs, bench, "doc_id", "text", window=_PARA_W)
