@@ -1545,3 +1545,26 @@ def stream_events_sliding_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_k", F.col("stt"))
     )
     return _run_update_upsert(agg, "events_sliding_scale")
+
+
+def _register_stream_gopher() -> None:
+    from .registry import REGISTRY as _R  # reuse the batch oracle verbatim
+
+    @register(
+        "stream_llm_gopher_filter",
+        oracle=_R["llm_gopher_filter"].oracle,
+        survey_ref="streaming rendering of the Gopher rule filter: "
+        "stateless narrow map per micro-batch (append mode, no state "
+        "store) — the LLM-hygiene family runs batch OR streaming on "
+        "the same operator code",
+        tags=("streaming", "llm", "text"),
+    )
+    def stream_llm_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm.text import gopher_filter
+
+        d = read_stream_table(spark, sf_dir, "documents")
+        out = gopher_filter(d, "doc_id", "text")
+        return run_stream_to_table(out, _uniq("gopher_stream"), output_mode="append")
+
+
+_register_stream_gopher()
