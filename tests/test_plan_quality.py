@@ -472,3 +472,13 @@ def test_registry_wide_no_row_python(spark, sf_dir):
         f"undocumented pandas UDFs in: {arrow_offenders} — add to ARROW_OK "
         "with a rationale or move the logic JVM-side"
     )
+
+
+def test_curation_full_plan_shape(spark, sf_dir):
+    """The flagship pipeline: one lazy plan, persisted survivors reused
+    by the digest/shingle/anti-join consumers, benchmark side broadcast,
+    nothing row-Python."""
+    p = _plan(spark, sf_dir, "llm_curation_pipeline_full")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "InMemoryTableScan" in p  # persisted survivor set reused
+    assert "BroadcastHashJoin" in p  # benchmark shingles broadcast

@@ -327,3 +327,30 @@ def test_bm25_score_tf_monotonicity(spark, docs):
         for j in by_doc:
             if lens[i] == lens[j] and tfs[i] > tfs[j]:
                 assert by_doc[i] > by_doc[j], (i, j)
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "x9"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(words, min_size=1, max_size=30), min_size=1, max_size=12))
+def test_paragraph_dedup_properties(spark, docs):
+    """(1) Untouched docs reassemble to exactly the original text
+    (segmentation is lossless); (2) removals are bounded by the
+    duplicate-segment surplus; (3) when the first pass removes nothing,
+    a second pass is a no-op (idempotence on already-clean corpora —
+    note a REMOVING pass can shift window boundaries, so idempotence is
+    only guaranteed from a clean state)."""
+    from gmall_flink_2022_spark.llm.dedup import paragraph_dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(df, "doc_id", "text", window=4)
+    got = {r["id"]: r for r in out.collect()}
+    for i, _txt in rows:
+        if got[i]["n_removed"] == 0:
+            assert got[i]["clean_text"] == rows[i][1]
+        assert 0 <= got[i]["n_removed"] <= got[i]["n_segments"]
+    if all(r["n_removed"] == 0 for r in got.values()):
+        again = paragraph_dedup(df, "doc_id", "text", window=4).collect()
+        assert all(r["n_removed"] == 0 for r in again)
