@@ -25,6 +25,29 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.tokenize import tokenize_col
 
 
+def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
+    """Right-size the task count for explode-heavy operators.
+
+    Shingling/segmenting blows each input row up 10-100x, but Spark
+    sizes file splits by INPUT bytes (spark.sql.files.maxPartitionBytes)
+    — a few-MB parquet of long documents scans as 1-2 partitions, and
+    the whole explode+aggregate pipeline then runs on 1-2 of the
+    cluster's cores (measured: 7x slowdown on the 10x spot-check corpus,
+    BENCH_sf1_spotcheck.json). When the incoming partition count is
+    below the cluster's parallelism, pay ONE round-robin shuffle of the
+    raw rows to fan out; on properly-partitioned large inputs (splits >=
+    cores) this is a no-op, so the guard never adds a shuffle at real
+    scale. Streaming frames are left to the source's micro-batch
+    partitioning."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by content digest. Returns one row per
     distinct content: (digest, keep_id = min id, dup_ct)."""
@@ -164,7 +187,9 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    out = ensure_explode_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
+    )
     return out.distinct() if dedupe else out
 
 
@@ -613,7 +638,8 @@ def substring_match_spans(
         ),
     ).otherwise(F.array().cast("array<struct<pos:bigint,gram:string>>"))
     g = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        ensure_explode_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
         .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     ).persist()
     # cap BEFORE collecting posting lists (same rationale as the
@@ -870,7 +896,7 @@ def paragraph_segments(
                 lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    return df.select(
+    return ensure_explode_parallelism(df).select(
         F.col(id_col).alias("id"), F.posexplode(segs).alias("pos", "seg")
     )
 

@@ -52,8 +52,11 @@ def bm25_topk(
     query, ties broken by doc_id ascending.
     """
     spark = df.sparkSession
+    from .dedup import ensure_explode_parallelism
+
     base = (
-        df.select(F.col(id_col).alias("doc_id"), tokenize_col(text_col).alias("_toks"))
+        ensure_explode_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), tokenize_col(text_col).alias("_toks"))
         .withColumn("dl", F.size("_toks"))
         .persist()
     )

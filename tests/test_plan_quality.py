@@ -283,9 +283,12 @@ def test_substring_dedup_plan_shape(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # roundrobin = the conditional explode fan-out (ensure_explode_
+    # parallelism; a no-op on well-partitioned inputs) — not a join/agg
+    # shuffle, so it doesn't count against the pair-generation budget
     assert p.count("Exchange") - p.count("ReusedExchange") - p.count(
         "BroadcastExchange"
-    ) <= 4
+    ) - p.count("RoundRobinPartitioning") <= 4
     # the island groupBy rides the window's partitioning: exactly one
     # exchange keyed on the pair/diagonal
     assert p.count("hashpartitioning(id_a") == 1
