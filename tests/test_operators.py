@@ -1096,3 +1096,24 @@ def test_pagerank_fixed_point_semantics(spark):
     assert abs(total - PR_SCALE) < 6 * 4 * 100  # <= iters * N * div-ulp slack
     again = {r["id"]: r["pr"] for r in pagerank(pairs, iterations=5).collect()}
     assert again == out  # bit-stable across runs
+
+
+def test_ensure_explode_parallelism_guard(spark, sf_dir):
+    """The fan-out fires only when it should: a 1-partition batch frame
+    gets repartitioned to cluster parallelism, an already-parallel frame
+    passes through untouched (no extra shuffle), and streaming frames
+    are never touched (.rdd would throw)."""
+    from gmall_flink_2022_spark.llm.dedup import ensure_explode_parallelism
+    from gmall_flink_2022_spark.sources.io import read_stream_table, read_table
+
+    dp = spark.sparkContext.defaultParallelism
+    small = read_table(spark, sf_dir, "documents")
+    assert small.rdd.getNumPartitions() < dp  # the starved-scan premise
+    assert ensure_explode_parallelism(small).rdd.getNumPartitions() == dp
+
+    wide = small.repartition(dp * 2)
+    out = ensure_explode_parallelism(wide)
+    assert out is wide  # untouched, not just same count
+
+    sdf = read_stream_table(spark, sf_dir, "documents")
+    assert ensure_explode_parallelism(sdf) is sdf
