@@ -81,6 +81,11 @@ def _should_pre_dedup(
     nothing (measured: +54% on llm_dedup_ngram at sf0.1); on a dup-heavy
     corpus it is the difference between linear and quadratic. The probe
     itself is O(n) scan + O(1) state — the right trade both ways."""
+    if df.isStreaming:
+        # no eager probe on an unbounded frame; the uncollapsed path is
+        # always correct, and a streaming caller that KNOWS its corpus
+        # is dup-heavy can pass pre_dedup=True explicitly
+        return False
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(digest, 0.02).alias("d"),
