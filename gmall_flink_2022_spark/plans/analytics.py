@@ -899,3 +899,92 @@ def dws_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel conversion — multi-step sequential semantics (view ->
+# click within 1h of first view -> purchase within 1h of that click).
+# Distinct from the interval join (pairwise) and CEP bounce (absence):
+# each step's anchor is the MIN qualifying timestamp of the previous
+# step, so the steps are genuinely ordered, not just co-windowed.
+# --------------------------------------------------------------------------
+@register(
+    "dws_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_viewed,
+           (SELECT COUNT(*) FROM s2) AS n_clicked,
+           (SELECT COUNT(*) FROM s3) AS n_purchased,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS view_to_click,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) AS click_to_purchase
+    """,
+    survey_ref="extension: ordered funnel conversion (anchored min-per-step "
+    "sequential windows; complements the pairwise interval join J1/J2 and "
+    "the CEP absence pattern W6)",
+    tags=("dws", "funnel", "agg"),
+)
+def dws_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_clicked"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            (F.col("n_clicked").cast("double") / F.col("n_viewed").cast("double")).alias(
+                "view_to_click"
+            ),
+            (
+                F.col("n_purchased").cast("double")
+                / F.col("n_clicked").cast("double")
+            ).alias("click_to_purchase"),
+        )
+    )
