@@ -903,7 +903,7 @@ def dws_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Ordered funnel conversion — multi-step sequential semantics (view ->
-# click within 1h of first view -> purchase within 1h of that click).
+# click within 24h of first view -> purchase within 24h of that click).
 # Distinct from the interval join (pairwise) and CEP bounce (absence):
 # each step's anchor is the MIN qualifying timestamp of the previous
 # step, so the steps are genuinely ordered, not just co-windowed.
@@ -919,14 +919,14 @@ def dws_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.user_id, MIN(e.ts) AS t2
         FROM events e JOIN s1 ON s1.user_id = e.user_id
         WHERE e.event_type = 'click'
-          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
         GROUP BY e.user_id
     ),
     s3 AS (
         SELECT e.user_id, MIN(e.ts) AS t3
         FROM events e JOIN s2 ON s2.user_id = e.user_id
         WHERE e.event_type = 'purchase'
-          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
         GROUP BY e.user_id
     )
     SELECT (SELECT COUNT(*) FROM s1) AS n_viewed,
@@ -954,7 +954,7 @@ def dws_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s1, "user_id")
         .filter(
             (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOUR"))
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
@@ -964,7 +964,7 @@ def dws_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "user_id")
         .filter(
             (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOUR"))
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
