@@ -1117,3 +1117,45 @@ def test_ensure_explode_parallelism_guard(spark, sf_dir):
 
     sdf = read_stream_table(spark, sf_dir, "documents")
     assert ensure_explode_parallelism(sdf) is sdf
+
+
+def test_make_scaled_sf_tool(spark, sf_dir, tmp_path):
+    """The scaling-spot-check generator: N-fold row counts, referential
+    integrity within replicas, dims copied once, schemas preserved."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sf2x")
+    subprocess.run(
+        [sys.executable, "tools/make_scaled_sf.py", sf_dir, out, "2"],
+        check=True,
+        cwd="/root/repo",
+        capture_output=True,
+    )
+    for t, mult in [("lineitem", 2), ("orders", 2), ("customer", 2),
+                    ("documents", 2), ("nation", 1), ("region", 1)]:
+        src_n = pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows
+        dst_n = pq.read_metadata(f"{out}/{t}.parquet").num_rows
+        assert dst_n == src_n * mult, t
+        assert (
+            pq.read_schema(f"{out}/{t}.parquet")
+            == pq.read_schema(f"{sf_dir}/{t}.parquet")
+        ), t
+    # referential integrity: every order's customer exists
+    import duckdb
+
+    con = duckdb.connect()
+    orphans = con.execute(
+        f"""SELECT COUNT(*) FROM '{out}/orders.parquet' o
+            LEFT JOIN '{out}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            WHERE c.c_custkey IS NULL"""
+    ).fetchone()[0]
+    assert orphans == 0
+    # replica docs are near-dups, not exact clones
+    dup_texts = con.execute(
+        f"""SELECT COUNT(*) - COUNT(DISTINCT text)
+            FROM '{out}/documents.parquet'"""
+    ).fetchone()[0]
+    assert dup_texts == 0
