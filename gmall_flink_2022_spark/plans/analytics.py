@@ -988,3 +988,54 @@ def dws_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts — users grouped by first-activity week, counted again
+# in each of the following k weeks. The remaining classic analytics
+# shape: self-join of an entity's FIRST event against all its activity.
+# --------------------------------------------------------------------------
+@register(
+    "dws_retention_cohorts",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    ),
+    j AS (
+        SELECT f.cw,
+               CAST(date_diff('day', f.cw, a.aw) // 7 AS BIGINT) AS k,
+               a.user_id
+        FROM first f JOIN act a USING (user_id)
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, k,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM j WHERE k BETWEEN 0 AND 3
+    GROUP BY cw, k
+    """,
+    survey_ref="extension: weekly retention cohorts (first-activity week "
+    "x weeks-since-cohort matrix; both engines truncate weeks to Monday "
+    "so the day-difference is an exact multiple of 7)",
+    tags=("dws", "cohort", "agg"),
+)
+def dws_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    j = act.join(first, "user_id").select(
+        "cw",
+        (F.datediff(F.col("aw"), F.col("cw")) / 7).cast("long").alias("k"),
+        "user_id",
+    )
+    return (
+        j.filter(F.col("k").between(0, 3))
+        .groupBy(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"), "k")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
