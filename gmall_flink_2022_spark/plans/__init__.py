@@ -122,6 +122,17 @@ _DRIVER_WINDOW_FIRST = [
     "llm_gopher_filter",
 ]
 
+# r6 window candidates (new-or-rotated entries WITHOUT an r5 driver row,
+# all green in the local sf0.01 oracle-parity suite): llm_dedup_editdist,
+# dws_funnel_conversion, dws_retention_cohorts, stream_events_sliding
+# (complete demo), stream_llm_gopher_filter, llm_sequence_pack,
+# llm_chunk_overlap, the five rotated r4-green streaming entries
+# (unique_visit, uv_dropdup_ttl, user_jump, payment_wide,
+# session_window), the four rotated DimStore _scale entries, and the
+# r3-green warehouse spine (dwm_order_wide, dws_product_stats,
+# dws_province_stats, dwd_log_split_page, dws_keyword_stats,
+# scalar_function_surface, ads_gmv_by_date, ads_top_brand, tpch_q3).
+
 
 def _prioritize() -> None:
     front = {n: REGISTRY.pop(n) for n in _DRIVER_WINDOW_FIRST if n in REGISTRY}
