@@ -25,6 +25,60 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.tokenize import tokenize_col
 
 
+def _parse_byte_size(s: str) -> int:
+    """Parse a Spark byte-size conf string ("134217728", "134217728b",
+    "128m", "1g", ...) into bytes."""
+    s = s.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40}
+    for suf in sorted(units, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * units[suf]
+    return int(s)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many scan partitions Spark will give ``df``'s file
+    sources, using Spark's own split formula (FilePartition.maxSplitBytes
+    + greedy bin-packing): maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, paddedTotal / defaultParallelism)), partitions
+    ~= ceil(paddedTotal / maxSplitBytes). Works entirely from
+    ``df.inputFiles()`` (analyzed logical plan only — no physical plan,
+    no AQE finalization, no job) plus session confs. Returns None when
+    the frame has no stat-able file sources (e.g. a local relation)."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    spark = df.sparkSession
+    max_pb = _parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    open_cost = _parse_byte_size(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    dp = spark.sparkContext.defaultParallelism
+    padded_total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            # remote store: can't stat cheaply — count one full split,
+            # which is conservative (many files => no-op, as at scale)
+            size = max_pb
+        else:
+            try:
+                size = os.path.getsize(parsed.path or f)
+            except OSError:
+                size = max_pb
+        padded_total += size + open_cost
+    max_split = min(max_pb, max(open_cost, padded_total // max(dp, 1)))
+    return max(1, math.ceil(padded_total / max(max_split, 1)))
+
+
 def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
     """Right-size the task count for explode-heavy operators.
 
@@ -33,17 +87,27 @@ def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
     — a few-MB parquet of long documents scans as 1-2 partitions, and
     the whole explode+aggregate pipeline then runs on 1-2 of the
     cluster's cores (measured: 7x slowdown on the 10x spot-check corpus,
-    BENCH_sf1_spotcheck.json). When the incoming partition count is
-    below the cluster's parallelism, pay ONE round-robin shuffle of the
-    raw rows to fan out; on properly-partitioned large inputs (splits >=
-    cores) this is a no-op, so the guard never adds a shuffle at real
-    scale. Streaming frames are left to the source's micro-batch
+    BENCH_sf1_spotcheck.json). When the ESTIMATED file-split count of
+    the frame's sources is below the cluster's parallelism, pay ONE
+    round-robin shuffle of the raw rows to fan out; on
+    properly-partitioned large inputs (splits >= cores) this is a no-op,
+    so the guard never adds a shuffle at real scale.
+
+    The estimate comes from ``df.inputFiles()`` + Spark's split formula
+    (:func:`_estimated_scan_partitions`) rather than
+    ``df.rdd.getNumPartitions()`` — with AQE enabled, touching ``.rdd``
+    finalizes the adaptive plan and can eagerly execute upstream shuffle
+    stages during plan CONSTRUCTION (r5 ADVICE). The trade: a frame
+    that was already widened by an upstream shuffle of a tiny file
+    source gets one redundant (tiny, harmless) round-robin shuffle; a
+    frame with no file sources at all (local relation) is left alone.
+    Streaming frames are left to the source's micro-batch
     partitioning."""
     if df.isStreaming:
         return df
-    sc = df.sparkSession.sparkContext
-    dp = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    est = _estimated_scan_partitions(df)
+    if est is not None and est < dp:
         return df.repartition(dp)
     return df
 
@@ -72,6 +136,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_PRE_DEDUP_PROBE_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = None  # type: ignore[assignment]
+
+
 def _should_pre_dedup(
     df: DataFrame, digest: F.Column, min_dup_fraction: float = 0.05
 ) -> bool:
@@ -80,19 +147,41 @@ def _should_pre_dedup(
     corpus the collapse machinery costs a full text shuffle and buys
     nothing (measured: +54% on llm_dedup_ngram at sf0.1); on a dup-heavy
     corpus it is the difference between linear and quadratic. The probe
-    itself is O(n) scan + O(1) state — the right trade both ways."""
+    itself is O(n) scan + O(1) state — the right trade both ways.
+
+    Documented trade (r5 ADVICE): the probe is EAGER — it runs at
+    operator-CONSTRUCTION time, so building a plan that is never
+    executed still pays one corpus scan, and in composed pipelines it
+    materializes the upstream chain during plan building. Accepted
+    because the alternative (deciding collapse at action time) cannot
+    change the already-returned plan. To avoid paying it repeatedly
+    when one source frame feeds several near-dup operators (e.g.
+    curate_full), the result is memoized per (frame object, digest
+    expression, threshold) in a WeakKeyDictionary."""
+    global _PRE_DEDUP_PROBE_CACHE
     if df.isStreaming:
         # no eager probe on an unbounded frame; the uncollapsed path is
         # always correct, and a streaming caller that KNOWS its corpus
         # is dup-heavy can pass pre_dedup=True explicitly
         return False
+    import weakref
+
+    if _PRE_DEDUP_PROBE_CACHE is None:
+        _PRE_DEDUP_PROBE_CACHE = weakref.WeakKeyDictionary()
+    key = (str(digest), min_dup_fraction)
+    per_frame = _PRE_DEDUP_PROBE_CACHE.setdefault(df, {})
+    if key in per_frame:
+        return per_frame[key]
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(digest, 0.02).alias("d"),
     ).first()
     if not row["n"]:
-        return False
-    return (1.0 - row["d"] / row["n"]) >= min_dup_fraction
+        decision = False
+    else:
+        decision = (1.0 - row["d"] / row["n"]) >= min_dup_fraction
+    per_frame[key] = decision
+    return decision
 
 
 def _exact_text_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -916,9 +1005,13 @@ def paragraph_dedup(
     """Cross-document paragraph-hash dedup with keep-first-occurrence
     (the CCNet / RefinedWeb line-hash pass: a paragraph seen in more than
     one document survives only at its first corpus position, ordered by
-    (doc id, position)). Returns one row per input document:
-    (id, n_segments, n_removed, clean_text) — clean_text is the document
-    reassembled from its surviving paragraphs in order.
+    (doc id, position)). Returns one row per input document THAT YIELDS
+    AT LEAST ONE SEGMENT: (id, n_segments, n_removed, clean_text) —
+    clean_text is the document reassembled from its surviving paragraphs
+    in order. Documents whose text produces zero segments (empty or
+    whitespace-only, same contract as paragraph_segments) are absent
+    from the output; a caller replacing text with clean_text should
+    left-join this result back to the input ids and coalesce.
 
     Scale shape: segment hashes aggregate once (shuffle on hash: count of
     distinct holder docs + lexicographic-min (id, pos) = the canonical

@@ -58,7 +58,7 @@ def pagerank(
         .select("id", "deg", "n", F.expr(f"{PR_SCALE} div n").alias("pr"))
         .localCheckpoint(eager=True)
     )
-    teleport = f"({15 * PR_SCALE} div (100 * n))"
+    teleport = f"({(100 - damping_pct) * PR_SCALE} div (100 * n))"
     spread = f"(({damping_pct} * coalesce(sumc, 0)) div 100)"
     for _ in range(iterations):
         contrib = (

@@ -21,7 +21,10 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, computed in
-    double, sequential accumulation (deterministic, oracle-portable)."""
+    double, sequential accumulation (deterministic, oracle-portable).
+    Zero-norm vectors yield NULL (try_divide) rather than an ANSI
+    divide-by-zero error, so `sim >= threshold` predicates drop them
+    uniformly on every path."""
     def _dbl(c: Column) -> Column:
         return F.transform(c, lambda x: x.cast("double"))
 
@@ -29,7 +32,7 @@ def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def knn_bruteforce(
@@ -414,6 +417,12 @@ def embedding_near_dups_lsh(
                 ).alias("id_b"),
                 cosine(F.col("vec"), F.col("vec")).alias("sim"),
             )
+            # Same verification predicate every other pair gets, so
+            # pre_dedup=True is strictly equivalent to pre_dedup=False:
+            # duplicate all-zero vectors yield sim = 0/0 (null) and
+            # cosine(v,v) can round below a threshold of exactly 1.0 —
+            # both cases the uncollapsed path would drop.
+            .filter(F.col("sim") >= threshold)
         )
         members = groups.select("rep_id", "members")
         e = groups.select(F.col("rep_id").alias("id"), "vec")

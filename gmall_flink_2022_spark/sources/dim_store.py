@@ -121,13 +121,35 @@ class DimStore:
             # extra copies (S8 DDL-on-demand)
             os.replace(stage, path)
 
+    # foreach_batch_upserter collects the distinct sink_table list (and
+    # per-table column-name lists) to the driver each micro-batch. That is
+    # CONFIG-cardinality data — the routing table (TableProcess) has one
+    # row per dimension table, a few dozen in the reference — so the
+    # collect is bounded by configuration, not by CDC volume. The cap
+    # below turns a misrouted high-cardinality column (e.g. someone maps
+    # a business key into sink_table) into a loud error instead of a
+    # silent driver flood/OOM.
+    MAX_SINK_TABLES = 1000
+
     def foreach_batch_upserter(self, pk_by_table: dict[str, str]):
         """A foreachBatch function routing a CDC micro-batch (columns:
         sink_table, after map, ...) into per-table upserts — the streaming
-        sink shape of DimSinkFunction."""
+        sink shape of DimSinkFunction. The distinct sink_table list must
+        stay config-bounded (see MAX_SINK_TABLES)."""
 
         def fn(batch: DataFrame, batch_id: int) -> None:
-            tables = [r["sink_table"] for r in batch.select("sink_table").distinct().collect()]
+            cap = self.MAX_SINK_TABLES
+            tables = [
+                r["sink_table"]
+                for r in batch.select("sink_table").distinct().limit(cap + 1).collect()
+            ]
+            if len(tables) > cap:
+                raise ValueError(
+                    f"foreach_batch_upserter saw more than {cap} distinct "
+                    "sink_table values in one micro-batch — sink_table must "
+                    "be a config-cardinality routing key (is a data column "
+                    "misrouted into it?)"
+                )
             for t in tables:
                 rows = batch.filter(F.col("sink_table") == t)
                 # key union computed distributed-side: explode+distinct

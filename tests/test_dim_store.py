@@ -120,3 +120,26 @@ def test_update_upsert_empty_source_returns_empty_schema(spark, tmp_path):
     out = _run_update_upsert(agg, "empty_source_case")
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["user_id", "ct"]
+
+
+def test_upserter_sink_table_cardinality_guard(spark, tmp_path):
+    """sink_table is a CONFIG-cardinality routing key; a misrouted
+    high-cardinality column must fail loudly (r5 VERDICT ask #7), not
+    flood the driver with one upsert per distinct value."""
+    import pytest
+
+    from gmall_flink_2022_spark.sources.dim_store import DimStore
+
+    store = DimStore(spark, str(tmp_path / "dims"))
+    store.MAX_SINK_TABLES = 5  # shrink the cap for the test
+    bad = spark.range(20).select(
+        F.concat(F.lit("dim_"), F.col("id")).alias("sink_table"),
+        F.create_map(F.lit("id"), F.col("id").cast("string")).alias("after"),
+    )
+    fn = store.foreach_batch_upserter({})
+    with pytest.raises(ValueError, match="distinct sink_table"):
+        fn(bad, 0)
+    # a config-bounded batch still routes fine under the shrunk cap
+    ok = bad.filter(F.col("sink_table").isin("dim_1", "dim_2"))
+    fn(ok, 1)
+    assert {r["id"] for r in store.read("dim_1").collect()} == {"1"}

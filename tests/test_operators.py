@@ -1048,6 +1048,30 @@ def test_embed_lsh_pre_dedup_equivalence(spark, sf_dir):
     assert on == off and on
 
 
+def test_embed_lsh_pre_dedup_equivalence_zero_vectors(spark):
+    """r5 ADVICE regression: duplicate all-zero vectors make the
+    within-family cosine 0/0 (null). The uncollapsed path drops those
+    pairs at the sim >= threshold verification; the pre-dedup path must
+    apply the identical predicate to its within-family payload."""
+    from gmall_flink_2022_spark.llm import similarity
+
+    rows = [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(4)] + [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.9, dim=4, n_planes=4, n_tables=2)
+    for flag in (True, False):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_dups_lsh(
+                embs, "vec_id", "embedding", pre_dedup=flag, **kw
+            ).collect()
+        }
+        assert (10, 11) in got, flag
+        assert not any(a < 10 for a, _ in got), (flag, got)  # no null-sim rows
+
+
 def test_pre_dedup_auto_probe(spark, sf_dir):
     """The auto probe says NO on an all-unique corpus (collapse would be
     pure overhead) and YES once >=5% of rows repeat."""
@@ -1058,6 +1082,30 @@ def test_pre_dedup_auto_probe(spark, sf_dir):
     assert _should_pre_dedup(docs, F.md5(F.col("text"))) is False
     dup_heavy = _dup_heavy_corpus(spark, sf_dir)
     assert _should_pre_dedup(dup_heavy, F.md5(F.col("text"))) is True
+
+
+def test_pre_dedup_probe_memoized(spark, sf_dir, monkeypatch):
+    """Repeat probes of the SAME frame (curate_full feeds one survivor
+    frame to several near-dup operators) must not rescan: the second
+    call is served from the per-frame memo without calling .agg."""
+    from gmall_flink_2022_spark.llm.dedup import _should_pre_dedup
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = _should_pre_dedup(docs, F.md5(F.col("text")))
+
+    def boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("probe rescanned a memoized frame")
+
+    # patch the concrete class (pyspark.sql.DataFrame is the abstract
+    # base in Spark 4; the classic subclass defines its own agg)
+    monkeypatch.setattr(type(docs), "agg", boom)
+    assert _should_pre_dedup(docs, F.md5(F.col("text"))) is first
+    # a different digest expression on the same frame IS a fresh probe
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        _should_pre_dedup(docs, F.md5(F.concat(F.col("text"), F.lit("x"))))
 
 
 def test_simhash_pairs_pre_dedup_equivalence(spark, sf_dir):
@@ -1098,11 +1146,32 @@ def test_pagerank_fixed_point_semantics(spark):
     assert again == out  # bit-stable across runs
 
 
+def test_pagerank_honors_damping_pct(spark):
+    """Non-default damping must conserve probability mass too (the r5
+    ADVICE bug: teleport hard-coded 15/100, so damping_pct=50 leaked 35%
+    of the mass). At damping_pct=0 the ranks are exactly uniform."""
+    from gmall_flink_2022_spark.llm.graph import PR_SCALE, pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    for d in (50, 0):
+        out = {
+            r["id"]: r["pr"]
+            for r in pagerank(pairs, iterations=3, damping_pct=d).collect()
+        }
+        total = sum(out.values())
+        assert abs(total - PR_SCALE) < 4 * 4 * 100, (d, total)
+    # pure teleport: uniform distribution, exactly PR_SCALE div 4 each
+    assert set(out.values()) == {PR_SCALE // 4}
+
+
 def test_ensure_explode_parallelism_guard(spark, sf_dir):
-    """The fan-out fires only when it should: a 1-partition batch frame
-    gets repartitioned to cluster parallelism, an already-parallel frame
-    passes through untouched (no extra shuffle), and streaming frames
-    are never touched (.rdd would throw)."""
+    """The fan-out fires only when it should: a starved file scan gets
+    repartitioned to cluster parallelism, a source whose estimated split
+    count already reaches parallelism passes through untouched (no extra
+    shuffle), local relations are left alone, and streaming frames are
+    never touched."""
     from gmall_flink_2022_spark.llm.dedup import ensure_explode_parallelism
     from gmall_flink_2022_spark.sources.io import read_stream_table, read_table
 
@@ -1111,12 +1180,59 @@ def test_ensure_explode_parallelism_guard(spark, sf_dir):
     assert small.rdd.getNumPartitions() < dp  # the starved-scan premise
     assert ensure_explode_parallelism(small).rdd.getNumPartitions() == dp
 
-    wide = small.repartition(dp * 2)
-    out = ensure_explode_parallelism(wide)
-    assert out is wide  # untouched, not just same count
+    # shrink the split size so the SAME file estimates as well-split:
+    # the guard must become a pass-through (identity, not just count)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4k")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        wide = read_table(spark, sf_dir, "documents")
+        out = ensure_explode_parallelism(wide)
+        assert out is wide  # untouched, not just same count
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
+
+    local = spark.range(3).withColumn("text", F.lit("a b c"))
+    local = local.select("id", "text").where(F.col("id") >= 0)
+    assert ensure_explode_parallelism(local) is local  # no file sources
 
     sdf = read_stream_table(spark, sf_dir, "documents")
     assert ensure_explode_parallelism(sdf) is sdf
+
+
+def test_estimated_scan_partitions_formula(spark, sf_dir):
+    """The estimator mirrors Spark's FilePartition math and never
+    touches the physical plan: estimate ~ ceil(padded / maxSplit) with
+    maxSplit = min(maxPartitionBytes, max(openCost, padded/parallelism)),
+    and derived (post-shuffle) frames still estimate from their leaf
+    files without triggering a job."""
+    import math
+    import os
+
+    from gmall_flink_2022_spark.llm.dedup import _estimated_scan_partitions
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    from gmall_flink_2022_spark.llm.dedup import _parse_byte_size
+
+    df = read_table(spark, sf_dir, "documents")
+    files = df.inputFiles()
+    size = sum(os.path.getsize(f.replace("file:", "")) for f in files)
+    mpb = _parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    oc = _parse_byte_size(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    dp = spark.sparkContext.defaultParallelism
+    padded = size + oc * len(files)
+    max_split = min(mpb, max(oc, padded // dp))
+    expect = max(1, math.ceil(padded / max_split))
+    assert _estimated_scan_partitions(df) == expect
+
+    derived = df.groupBy("lang").count()
+    assert _estimated_scan_partitions(derived) == expect  # same leaves
 
 
 def test_make_scaled_sf_tool(spark, sf_dir, tmp_path):
