@@ -1,0 +1,203 @@
+"""Full BPE-merge tokenizer training (Sennrich et al. 2016), rendered
+Spark-first as an iterative bulk-synchronous loop — the same discipline
+as llm/graph.py PageRank: per-round lineage truncation, all data-sized
+work distributed, only O(1) scalars on the driver.
+
+Training state is the WORD-FREQUENCY symbol table, not the corpus: the
+corpus collapses to (word, freq) once (one shuffle), and every merge
+round then operates on rows (wid, freq, pos, sym) — the symbol sequence
+of each distinct word. At 100 TB the corpus scan happens exactly once;
+rounds scale with the (much smaller, bounded) word vocabulary.
+
+Per round, ONE shuffle on wid covers everything: pair counting reads
+lead(sym) over (wid, pos), and the merge transformation is three more
+window passes over the SAME partitioning (match marking, island parity,
+drop+renumber), so they pipeline without re-shuffling. The selected
+pair is one row collected to the driver — the standard iterative-BSP
+control scalar (cf. dup_clusters convergence checks), never data.
+
+Greedy left-to-right merge semantics (what sentencepiece/HF do within a
+word) are set-based via gaps-and-islands: positions where (sym, next) =
+(a, b) form islands of CONSECUTIVE matches (only possible when a == b,
+e.g. "aaaa" under (a,a)); within an island the 1st, 3rd, ... matches
+take, and each taken match absorbs its following row. Bit-identical
+across engines: counts are integer sums, ties break on (count DESC,
+left, right) with binary string collation on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .text import BPE_RE
+
+BPE_DEFAULT_MERGES = 8
+
+
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> (word, freq) under the BPE-ish pre-tokenization
+    (llm/text.py::BPE_RE — letter runs, digit runs, single punctuation).
+    This is the ONE corpus-sized pass of training."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(wf: DataFrame) -> DataFrame:
+    """(word, freq) -> one row per character: (wid, freq, pos, sym),
+    pos 1-based. substring() is character-based on both engines."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    return wf.select(
+        F.col("word").alias("wid"),
+        "freq",
+        F.posexplode(chars).alias("pos0", "sym"),
+    ).select("wid", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+
+
+def merge_step(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply ONE merge (left, right) to a symbol table (wid, freq, pos,
+    sym) with greedy left-to-right semantics. Pure window algebra over
+    the (wid, pos) ordering — no Python, no extra shuffle beyond the
+    wid partitioning the caller's pair count already established."""
+    w = W.partitionBy("wid").orderBy("pos")
+    d1 = syms.select(
+        "wid",
+        "freq",
+        "pos",
+        "sym",
+        F.lead("sym").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    ).withColumn(
+        "mt",
+        F.coalesce(
+            (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
+            F.lit(False),
+        ),
+    )
+    w_m = W.partitionBy("wid", "mt").orderBy("pos")
+    d2 = d1.withColumn("isl", F.col("rn") - F.row_number().over(w_m))
+    w_i = W.partitionBy("wid", "mt", "isl").orderBy("pos")
+    d3 = d2.withColumn(
+        "take", F.col("mt") & (F.row_number().over(w_i) % 2 == 1)
+    )
+    d4 = d3.withColumn("ptk", F.lag("take").over(w)).filter(
+        ~F.coalesce(F.col("ptk"), F.lit(False))
+    )
+    return d4.select(
+        "wid",
+        "freq",
+        F.row_number().over(w).alias("pos"),
+        F.when(F.col("take"), F.concat("sym", "nxt")).otherwise(F.col("sym")).alias(
+            "sym"
+        ),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_DEFAULT_MERGES,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over a corpus; returns the merge
+    table (step, left_sym, right_sym, pair_count) — the artifact a BPE
+    tokenizer ships. Stops early (fewer rows) if the corpus runs out of
+    adjacent pairs. llm_bpe_pair_counts computes round 1's counting
+    core; this iterates count -> argmax -> merge -> re-tokenize with a
+    localCheckpoint per round so lineage stays O(1)-deep."""
+    spark = df.sparkSession
+    syms = _initial_symbols(word_freqs(df, text_col)).localCheckpoint(eager=True)
+    w = W.partitionBy("wid").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            syms.select("wid", "freq", "sym", F.lead("sym").over(w).alias("nxt"))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((step, top["sym"], top["nxt"], top["n"]))
+        syms = merge_step(syms, top["sym"], top["nxt"]).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "step long, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_train_oracle_sql(n_merges: int = BPE_DEFAULT_MERGES) -> str:
+    """The DuckDB oracle: the SAME algebra with the loop unrolled into
+    CTE chains s1 -> s2 -> ... (scalar subqueries select each round's
+    top pair). Generated programmatically so Spark loop and SQL oracle
+    cannot drift in structure."""
+    # BPE_RE contains a literal backslash-s; SQL single-quoted strings do
+    # not process backslash escapes, so it embeds verbatim on both engines
+    parts = [
+        f"""wf AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT UNNEST(regexp_extract_all(lower(text), '{BPE_RE}')) AS word
+            FROM documents
+        ) GROUP BY word
+    )""",
+        """s1 AS MATERIALIZED (
+        SELECT word AS wid, freq, CAST(i AS BIGINT) AS pos,
+               substr(word, CAST(i AS INTEGER), 1) AS sym
+        FROM wf, UNNEST(generate_series(1, length(word))) AS u(i)
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT sym, nxt, SUM(freq) AS n FROM (
+            SELECT freq, sym,
+                   LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+            FROM s{i}
+        ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    t{i} AS MATERIALIZED (SELECT sym, nxt, n FROM p{i} ORDER BY n DESC, sym, nxt LIMIT 1),
+    m{i} AS MATERIALIZED (
+        SELECT wid, freq, pos, sym, nxt,
+               mt AND (ROW_NUMBER() OVER (PARTITION BY wid, mt, isl
+                                          ORDER BY pos)) % 2 = 1 AS take
+        FROM (
+            SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY wid, mt
+                                              ORDER BY pos) AS isl
+            FROM (
+                SELECT wid, freq, pos, sym,
+                       LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+                       ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS rn,
+                       COALESCE(sym = (SELECT sym FROM t{i})
+                                AND LEAD(sym) OVER (PARTITION BY wid
+                                                    ORDER BY pos)
+                                    = (SELECT nxt FROM t{i}), FALSE) AS mt
+                FROM s{i}
+            )
+        )
+    ),
+    s{i + 1} AS MATERIALIZED (
+        SELECT wid, freq,
+               CAST(ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
+                    AS BIGINT) AS pos,
+               CASE WHEN take THEN sym || nxt ELSE sym END AS sym
+        FROM (
+            SELECT *, LAG(take) OVER (PARTITION BY wid ORDER BY pos) AS ptk
+            FROM m{i}
+        ) WHERE NOT COALESCE(ptk, FALSE)
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, sym AS left_sym, "
+        f"nxt AS right_sym, CAST(n AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects

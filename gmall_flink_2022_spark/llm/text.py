@@ -308,15 +308,10 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOP_HITS = 2
 
 
-def gopher_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Gopher-style rule-based KEEP/DROP decisions (Rae et al. 2021
-    §A1.1): quality_score() emits features, this emits the verdicts —
-    per-rule booleans plus the conjunction. Rules: word count within
-    bounds, mean word length within bounds, >= 80% of words contain a
-    letter, and at least 2 stopword occurrences. Empty documents fail
-    closed (every rule false, not null). Narrow map, zero shuffles,
-    all whole-stage-codegen expressions."""
-    toks = tokenize_col(text_col)
+def _gopher_rules(toks: Column) -> dict[str, Column]:
+    """The four Gopher rule verdicts as Columns over a token array
+    (shared by gopher_filter and quality_classifier so the rule set
+    cannot drift between the rule filter and the classifier feature)."""
     n = F.size(toks)
     total_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda s, x: s + x
@@ -338,12 +333,132 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         nonempty & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC), F.lit(False)
     )
     r_stop = nonempty & (n_stop >= GOPHER_MIN_STOP_HITS)
+    return {
+        "r_word_count": r_words,
+        "r_mean_len": r_mean,
+        "r_alpha_frac": r_alpha,
+        "r_stopwords": r_stop,
+        "keep": r_words & r_mean & r_alpha & r_stop,
+    }
+
+
+def gopher_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule-based KEEP/DROP decisions (Rae et al. 2021
+    §A1.1): quality_score() emits features, this emits the verdicts —
+    per-rule booleans plus the conjunction. Rules: word count within
+    bounds, mean word length within bounds, >= 80% of words contain a
+    letter, and at least 2 stopword occurrences. Empty documents fail
+    closed (every rule false, not null). Narrow map, zero shuffles,
+    all whole-stage-codegen expressions."""
+    toks = tokenize_col(text_col)
+    rules = _gopher_rules(toks)
     return df.select(
         F.col(id_col).alias("id"),
-        n.cast("long").alias("n_tokens"),
-        r_words.alias("r_word_count"),
-        r_mean.alias("r_mean_len"),
-        r_alpha.alias("r_alpha_frac"),
-        r_stop.alias("r_stopwords"),
-        (r_words & r_mean & r_alpha & r_stop).alias("keep"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        rules["r_word_count"].alias("r_word_count"),
+        rules["r_mean_len"].alias("r_mean_len"),
+        rules["r_alpha_frac"].alias("r_alpha_frac"),
+        rules["r_stopwords"].alias("r_stopwords"),
+        rules["keep"].alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier inference — the modern replacement for rule-only
+# filtering (fastText-style linear model over hashed n-gram features, cf.
+# CCNet / GPT-3 / LLaMA quality classifiers). This implements INFERENCE as
+# one pure-JVM narrow map; training happens offline. The weight vector
+# here is a deterministic public function of the bucket index (md5-derived
+# integers in [-1000, 1000] "milli" units) standing in for published
+# weights — swapping in real trained weights means replacing _qc_weight
+# with a lookup into a broadcast array literal, same plan shape.
+# ---------------------------------------------------------------------------
+
+QC_DIM = 512  # hashed-feature buckets (2^k keeps collisions uniform)
+QC_SEED = "qc1"  # weight-vector identity; change to "retrain"
+QC_GOPHER_BUMP_MILLI = 200  # +-0.2 logit bump from the Gopher verdict
+
+
+def _u32(col: Column) -> Column:
+    """First 8 md5 hex chars as a non-negative int64 — the repo-wide
+    engine-portable hash (same value DuckDB's strpos-fold computes)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _qc_weight(feature: Column, dim: int, seed: str) -> Column:
+    """Integer weight in [-1000, 1000] for a feature: hash the feature
+    into one of `dim` buckets, then derive the bucket's weight from a
+    second seeded hash. Both hashes are md5-based (engine-portable); the
+    whole thing is a closed-form expression, so inference needs no
+    weight TABLE at all — at 100 TB that is a narrow map with zero
+    broadcast, zero join, zero shuffle."""
+    bucket = _u32(feature) % dim
+    return (
+        _u32(F.concat(F.lit(seed + ":"), bucket.cast("string"))) % 2001 - 1000
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = QC_DIM,
+    seed: str = QC_SEED,
+) -> DataFrame:
+    """Linear quality-classifier inference over hashed n-gram features.
+
+    Features = word unigrams + adjacent-word bigrams (fastText's default
+    feature set), hashed into ``dim`` buckets; the document logit is the
+    MEAN bucket weight plus a +-0.2 bump from the Gopher rule verdict
+    (rule filters become one signal among many, per the r5 VERDICT ask).
+    The keep decision is sigmoid(logit) >= 0.5, which (sigmoid being
+    monotone) is decided on the exact INTEGER predicate
+
+        logit_5k = 5 * w_sum + (gopher ? +1000n : -1000n) >= 0
+        (= 5000n * [w_sum/(1000n) +- 0.2])
+
+    so the decision — and every output column — is bit-identical across
+    engines and partitionings (w_sum is an exact integer sum; integer
+    addition is order-independent). Empty documents fail closed.
+
+    Plan shape: ZERO exchanges — tokenize, feature expansion, hashing,
+    weighting, and summation are all higher-order array functions inside
+    one whole-stage-codegen projection (no explode, no groupBy, no
+    join). Output: (id, n_features, w_sum, gopher_keep, logit_5k, keep).
+    """
+    toks = tokenize_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    n = F.size(feats)
+    w_sum = F.aggregate(
+        F.transform(feats, lambda f: _qc_weight(f, dim, seed)),
+        F.lit(0).cast("long"),
+        lambda s, w: s + w,
+    )
+    gopher = _gopher_rules(toks)["keep"]
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_features"),
+        w_sum.alias("w_sum"),
+        gopher.alias("gopher_keep"),
+    )
+    bump = F.when(F.col("gopher_keep"), F.lit(QC_GOPHER_BUMP_MILLI)).otherwise(
+        F.lit(-QC_GOPHER_BUMP_MILLI)
+    )
+    logit_5k = F.col("w_sum") * 5 + bump * 5 * F.col("n_features")
+    return base.select(
+        "id",
+        "n_features",
+        "w_sum",
+        "gopher_keep",
+        logit_5k.cast("long").alias("logit_5k"),
+        ((F.col("n_features") > 0) & (logit_5k >= 0)).alias("keep"),
     )

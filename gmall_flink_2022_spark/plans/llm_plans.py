@@ -1746,6 +1746,71 @@ def llm_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_filter(_docs(spark, sf_dir), "doc_id", "text")
 
 
+# ----------------------------------------- quality-classifier inference
+# fastText-style linear model over hashed n-gram features (llm/text.py::
+# quality_classifier): unigrams + adjacent bigrams hashed into QC_DIM
+# buckets, md5-derived integer weights, exact integer logit, Gopher
+# verdict as a +-0.2 bump. The whole inference is one narrow projection
+# (zero exchanges — plan-gated in tests/test_plan_quality.py).
+_QC_GOPHER_SQL = """
+        (len(toks) > 0 AND len(toks) BETWEEN 20 AND 100000
+         AND COALESCE(CAST(list_sum(list_transform(toks, t -> length(t)))
+               AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+               BETWEEN 3.0 AND 10.0, FALSE)
+         AND COALESCE(CAST(len(list_filter(toks, t ->
+               regexp_matches(t, '[a-z]'))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) >= 0.8, FALSE)
+         AND len(list_filter(toks, t -> list_contains(
+               ['the','a','of','and','is','to','in'], t))) >= 2)
+"""
+
+
+@register(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ft AS (
+        SELECT doc_id, toks,
+               list_concat(toks,
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i + 1])) AS feats
+        FROM tk
+    ),
+    bk AS (
+        SELECT doc_id, toks, CAST(len(feats) AS BIGINT) AS n_features,
+               list_transform(feats, f -> ({_u32_sql("f")}) % {text.QC_DIM})
+                 AS buckets
+        FROM ft
+    ),
+    sm AS (
+        SELECT doc_id, n_features,
+               CAST(COALESCE(list_sum(list_transform(buckets, b ->
+                   ({_u32_sql(f"'{text.QC_SEED}:' || CAST(b AS VARCHAR)")})
+                     % 2001 - 1000)), 0) AS BIGINT) AS w_sum,
+               {_QC_GOPHER_SQL} AS gopher_keep
+        FROM bk
+    )
+    SELECT doc_id AS id, n_features, w_sum, gopher_keep,
+           CAST(5 * w_sum + (CASE WHEN gopher_keep THEN {text.QC_GOPHER_BUMP_MILLI}
+                ELSE -{text.QC_GOPHER_BUMP_MILLI} END) * 5 * n_features
+                AS BIGINT) AS logit_5k,
+           (n_features > 0 AND
+            5 * w_sum + (CASE WHEN gopher_keep THEN {text.QC_GOPHER_BUMP_MILLI}
+                ELSE -{text.QC_GOPHER_BUMP_MILLI} END) * 5 * n_features >= 0)
+             AS keep
+    FROM sm
+    """,
+    survey_ref="extension: quality-classifier inference (fastText-style "
+    "hashed n-gram linear model, CCNet/GPT-3-lineage; Gopher rules fold "
+    "in as one signal; integer-exact logit, sigmoid threshold decided on "
+    "the logit sign)",
+    tags=("llm", "text"),
+    bench=True,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_classifier(_docs(spark, sf_dir), "doc_id", "text")
+
+
 # ------------------------------------------------------------ BM25 search
 from ..llm import retrieval  # noqa: E402  (keeps module import order obvious)
 
@@ -2053,6 +2118,28 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
         "pair", "n", "rk"
     )
+
+
+# ------------------------------------------------ full BPE training loop
+from ..llm import bpe as bpe_mod  # noqa: E402
+
+_BPE_MERGES = 8
+
+
+@register(
+    "llm_bpe_train",
+    oracle=bpe_mod.bpe_train_oracle_sql(_BPE_MERGES),
+    survey_ref="extension: full BPE tokenizer training (Sennrich et al. "
+    "2016) — iterates count -> argmax -> greedy merge -> re-tokenize "
+    f"{_BPE_MERGES} times over the word-frequency symbol table; the same "
+    "iterative-BSP discipline as PageRank/star-CC (per-round lineage "
+    "checkpoint, one wid shuffle per round, O(1) driver scalars); oracle "
+    "is the identical algebra unrolled into materialized DuckDB CTEs",
+    tags=("llm", "text", "tokenizer", "iterative"),
+    bench=True,
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_mod.bpe_train(_docs(spark, sf_dir), "text", n_merges=_BPE_MERGES)
 
 
 # -------------------------------------------- full curation pipeline (v2)

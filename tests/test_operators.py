@@ -1275,3 +1275,79 @@ def test_make_scaled_sf_tool(spark, sf_dir, tmp_path):
             FROM '{out}/documents.parquet'"""
     ).fetchone()[0]
     assert dup_texts == 0
+
+
+def test_quality_classifier_semantics(spark):
+    """Inference contract: empty docs fail closed; keep is exactly the
+    sign of the integer logit; the Gopher verdict shifts the logit by
+    +-0.2 mean-units (1000 * n_features in logit_5k units)."""
+    from gmall_flink_2022_spark.llm.text import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the cat sat on the mat and it is fine")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in quality_classifier(docs, "doc_id", "text").collect()}
+    for i in (1, 2):
+        assert out[i]["n_features"] == 0 and out[i]["keep"] is False
+    r = out[3]
+    assert r["keep"] == (r["n_features"] > 0 and r["logit_5k"] >= 0)
+    # gopher bump accounting: logit_5k = 5*w_sum +- 1000*n_features
+    bump = 1000 * r["n_features"]
+    assert r["logit_5k"] == 5 * r["w_sum"] + (bump if r["gopher_keep"] else -bump)
+
+
+def test_bpe_merge_step_greedy_overlap(spark):
+    """The gaps-and-islands merge must implement GREEDY left-to-right
+    semantics: in a run of k identical symbols under pair (a,a), merges
+    land at offsets 0,2,4,... ("aaaa" -> "aa","aa"; "aaaaa" ->
+    "aa","aa","a"), and non-overlapping matches all merge."""
+    from gmall_flink_2022_spark.llm.bpe import _initial_symbols, merge_step
+
+    wf = spark.createDataFrame(
+        [("aaaa", 1), ("aaaaa", 1), ("abab", 1), ("banana", 1)],
+        "word string, freq long",
+    )
+    merged = merge_step(_initial_symbols(wf), "a", "a")
+    seqs = {
+        r["wid"]: r["seq"]
+        for r in merged.groupBy("wid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "sym"))).alias("s"))
+        .select("wid", F.expr("transform(s, x -> x.sym)").alias("seq"))
+        .collect()
+    }
+    assert seqs["aaaa"] == ["aa", "aa"]
+    assert seqs["aaaaa"] == ["aa", "aa", "a"]
+    assert seqs["abab"] == ["a", "b", "a", "b"]  # no (a,a) pairs
+    assert seqs["banana"] == ["b", "a", "n", "a", "n", "a"]
+
+    merged2 = merge_step(_initial_symbols(wf), "a", "b")
+    seqs2 = {
+        r["wid"]: r["seq"]
+        for r in merged2.groupBy("wid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "sym"))).alias("s"))
+        .select("wid", F.expr("transform(s, x -> x.sym)").alias("seq"))
+        .collect()
+    }
+    assert seqs2["abab"] == ["ab", "ab"]
+    assert seqs2["banana"] == ["b", "a", "n", "a", "n", "a"]
+
+
+def test_bpe_train_convergence_and_bounds(spark):
+    """bpe_train runs exactly n_merges rounds while pairs remain, stops
+    early when the corpus runs dry, and successive merges compose
+    (later steps can pick multi-char symbols built by earlier ones)."""
+    from gmall_flink_2022_spark.llm.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab"), (2, "ab")], "doc_id long, text string"
+    )
+    out = bpe_train(docs, "text", n_merges=5).collect()
+    # round 1 merges (a,b) everywhere; round 2 merges (ab,ab) inside
+    # the 'abab' words; after that no adjacent pairs remain -> early stop
+    assert [(r["step"], r["left_sym"], r["right_sym"]) for r in out] == [
+        (1, "a", "b"),
+        (2, "ab", "ab"),
+    ]
+    assert out[0]["pair_count"] == 7  # 2 x freq-3 'abab' + 1 x freq-1 'ab'
+    assert out[1]["pair_count"] == 3  # one (ab,ab) per 'abab', freq 3

@@ -342,6 +342,16 @@ def test_gopher_filter_narrow(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_quality_classifier_zero_exchange(spark, sf_dir):
+    # fastText-style inference is ONE narrow whole-stage-codegen
+    # projection: hashed features, closed-form weights, integer logit —
+    # no explode, no groupBy, no join, no Python (r5 VERDICT ask #4)
+    p = _plan(spark, sf_dir, "llm_quality_classifier")
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode — array-fold only
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_bm25_prunes_before_scoring(spark, sf_dir):
     """The query-term semi-prune must hit the postings BEFORE df/score
     work (broadcast join on term), and the whole pipeline stays JVM-side."""
