@@ -357,6 +357,128 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- incremental dedup vs persisted index
+# (llm/incremental.py) — the continuous-ingest shape: arrivals dedupe
+# against the corpus through the DimStore-persisted digest/signature
+# index; corpus text is never re-read (plan-asserted in
+# tests/test_plan_quality.py). The oracle recomputes the same decisions
+# from the raw tables — the index is an implementation detail the
+# contract must be equivalent to.
+_INC_AGREE = " + ".join(
+    f"(CASE WHEN s.mh{i} = t.mh{i} THEN 1 ELSE 0 END)" for i in range(_NH)
+)
+_INC_MIN_AGREE = 4
+
+
+def _inc_round_sql(u: str, corpus: str, arrivals: str) -> str:
+    """One incremental-dedup round as a CTE chain: decisions ``d{u}`` of
+    ``arrivals`` (doc_id, text) against ``corpus`` (doc_id, text) —
+    exact digest hit, else best signature-agreement >= {_INC_MIN_AGREE}
+    among LSH band collisions, else new. Mirrors
+    llm/incremental.py::incremental_dedup term for term."""
+    sh = (
+        "SELECT DISTINCT doc_id, "
+        "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle "
+        "FROM {src}, UNNEST(generate_series(1, len(toks) - 2)) AS t(i) "
+        "WHERE len(toks) >= 3"
+    )
+    return f"""
+    {u}cd AS (SELECT md5(text) AS digest, MIN(doc_id) AS keep_id
+              FROM {corpus} GROUP BY md5(text)),
+    {u}ex AS (SELECT a.doc_id, a.text, c.keep_id AS exact_match
+              FROM {arrivals} a LEFT JOIN {u}cd c ON md5(a.text) = c.digest),
+    {u}ne AS (SELECT doc_id, text FROM {u}ex WHERE exact_match IS NULL),
+    {u}ctk AS (SELECT doc_id, {TOKS} AS toks FROM {corpus}),
+    {u}csh AS ({sh.format(src=u + "ctk")}),
+    {u}csig AS (SELECT doc_id, {_MH_COLS} FROM {u}csh GROUP BY doc_id),
+    {u}atk AS (SELECT doc_id, {TOKS} AS toks FROM {u}ne),
+    {u}ash AS ({sh.format(src=u + "atk")}),
+    {u}asig AS (SELECT doc_id, {_MH_COLS} FROM {u}ash GROUP BY doc_id),
+    {u}abk AS (SELECT DISTINCT doc_id, bucket FROM
+               (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM {u}asig)),
+    {u}cbk AS (SELECT DISTINCT doc_id, bucket FROM
+               (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM {u}csig)),
+    {u}cand AS (SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS c_id
+                FROM {u}abk a JOIN {u}cbk c ON a.bucket = c.bucket),
+    {u}ver AS (SELECT a_id, c_id, {_INC_AGREE} AS agree
+               FROM {u}cand JOIN {u}asig s ON s.doc_id = a_id
+               JOIN {u}csig t ON t.doc_id = c_id),
+    {u}best AS (SELECT a_id, c_id, agree FROM (
+                  SELECT a_id, c_id, agree,
+                         ROW_NUMBER() OVER (PARTITION BY a_id
+                                            ORDER BY agree DESC, c_id) AS rn
+                  FROM {u}ver WHERE agree >= {_INC_MIN_AGREE}) WHERE rn = 1),
+    d{u} AS (SELECT e.doc_id,
+                    CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+                         WHEN b.a_id IS NOT NULL THEN 'near'
+                         ELSE 'new' END AS dup_kind,
+                    COALESCE(e.exact_match, b.c_id) AS match_id,
+                    CAST(CASE WHEN e.exact_match IS NOT NULL THEN {_NH}
+                              WHEN b.a_id IS NOT NULL THEN b.agree
+                         END AS BIGINT) AS agree_n
+             FROM {u}ex e LEFT JOIN {u}best b ON e.doc_id = b.a_id)"""
+
+
+# deterministic demo split: 80% of docs form the indexed corpus; arrivals
+# are the other 20% (mostly new) plus planted exact replicas (id+100000)
+# and planted near variants (id+200000, three appended tokens)
+_INC_SPLIT_SQL = """
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+    arrv AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+             UNION ALL
+             SELECT doc_id + 100000, text FROM corpus WHERE doc_id % 7 = 0
+             UNION ALL
+             SELECT doc_id + 200000, text || ' zz qq vv'
+             FROM corpus WHERE doc_id % 11 = 0)"""
+
+
+def _inc_corpus_arrivals(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    arrivals = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz qq vv")).alias("text"),
+            )
+        )
+    )
+    return corpus, arrivals
+
+
+@register(
+    "llm_dedup_incremental",
+    oracle=f"""
+    WITH {_INC_SPLIT_SQL},
+    {_inc_round_sql("r1", "corpus", "arrv")}
+    SELECT doc_id, dup_kind, match_id, agree_n FROM dr1
+    """,
+    survey_ref="extension: INCREMENTAL dedup against a persisted "
+    "digest+MinHash index (DimStore S7 machinery, "
+    "function/DimSinkFunction.java:29-66) — arrivals dedupe against the "
+    "corpus without re-reading corpus text; new docs update the index "
+    "(r5 VERDICT ask #2)",
+    tags=("llm", "dedup", "incremental"),
+    bench=True,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..llm import incremental as inc
+    from ..sources.dim_store import DimStore
+
+    corpus, arrivals = _inc_corpus_arrivals(spark, sf_dir)
+    store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_dedup_idx_"))
+    inc.build_dedup_index(store, corpus)
+    return inc.ingest_with_dedup(store, arrivals)
+
+
 # ----------------------------------------------------------------- SimHash
 _SBITS = 16
 _HEXPOS = "strpos('0123456789abcdef', substr(h, %d, 1)) - 1"

@@ -1568,3 +1568,82 @@ def _register_stream_gopher() -> None:
 
 
 _register_stream_gopher()
+
+
+def _register_stream_incremental_dedup() -> None:
+    """Continuous-ingest incremental dedup: TWO micro-batches through
+    the persisted index; batch 2's arrivals dedupe against everything
+    batch 1 added, proving the index advances between batches. The
+    oracle unrolls both rounds (round-2 corpus = round-1 corpus plus
+    round-1 'new' docs) from the raw tables."""
+    from .llm_plans import _INC_SPLIT_SQL, _inc_round_sql
+
+    @register(
+        "stream_llm_dedup_incremental",
+        oracle=f"""
+        WITH {_INC_SPLIT_SQL},
+        {_inc_round_sql("r1", "corpus", "arrv")},
+        newdocs AS (SELECT a.doc_id, a.text FROM arrv a
+                    JOIN dr1 d ON a.doc_id = d.doc_id
+                    WHERE d.dup_kind = 'new'),
+        corpus2 AS (SELECT doc_id, text FROM corpus
+                    UNION ALL SELECT doc_id, text FROM newdocs),
+        arr2 AS (SELECT doc_id + 300000 AS doc_id, text FROM arrv
+                 WHERE doc_id % 3 = 0),
+        {_inc_round_sql("r2", "corpus2", "arr2")}
+        SELECT doc_id, dup_kind, match_id, agree_n FROM dr1
+        UNION ALL
+        SELECT doc_id, dup_kind, match_id, agree_n FROM dr2
+        """,
+        survey_ref="extension: incremental dedup as a STREAMING job "
+        "(foreachBatch ingest against the DimStore index; batch N+1 "
+        "dedupes against batch N's additions — the keyed first-per-key "
+        "state of dwm/UniqueVisitApp.java:44-50 with content identity "
+        "as the key; r5 VERDICT ask #2)",
+        tags=("streaming", "llm", "dedup", "incremental"),
+    )
+    def stream_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob
+        import time
+
+        from ..llm import incremental as inc
+        from ..sources.dim_store import DimStore
+        from .llm_plans import _inc_corpus_arrivals
+
+        corpus, arr1 = _inc_corpus_arrivals(spark, sf_dir)
+        arr2 = arr1.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"), "text"
+        )
+        stage = tempfile.mkdtemp(prefix="gmall_inc_in_")
+        try:
+            in_dir = os.path.join(stage, "in")
+            arr1.coalesce(1).write.parquet(in_dir, mode="overwrite")
+            # push batch-1 files into the past so the file source's
+            # mtime ordering is deterministic even on coarse clocks
+            past = time.time() - 3600
+            for f in glob.glob(os.path.join(in_dir, "*.parquet")):
+                os.utime(f, (past, past))
+            arr2.coalesce(1).write.parquet(in_dir, mode="append")
+            store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_inc_idx_"))
+            inc.build_dedup_index(store, corpus)
+            out_dir = os.path.join(stage, "out")
+            sdf = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            q = (
+                sdf.writeStream.foreachBatch(
+                    inc.foreach_batch_ingester(store, out_dir)
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(stage, "ck"))
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+_register_stream_incremental_dedup()

@@ -1,0 +1,119 @@
+"""Incremental dedup against the persisted DimStore index (r5 VERDICT
+ask #2): decisions, cross-batch index advancement, and the defining
+plan property — the corpus side is served by the index, never by a
+corpus text scan."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from gmall_flink_2022_spark.llm import incremental as inc
+from gmall_flink_2022_spark.sources.dim_store import DimStore
+
+
+def _store(spark):
+    return DimStore(spark, tempfile.mkdtemp(prefix="inc_idx_test_"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "pack my box with five dozen liquor jugs for the party tonight"),
+    (3, "sphinx of black quartz judge my vow said the old man slowly"),
+]
+
+
+def test_incremental_decisions(spark):
+    store = _store(spark)
+    inc.build_dedup_index(store, _df(spark, CORPUS))
+    arrivals = _df(
+        spark,
+        [
+            (10, CORPUS[0][1]),  # exact copy of doc 1
+            (11, CORPUS[1][1] + " extra"),  # near variant of doc 2
+            (12, "completely different content about spark query planning"),
+            (13, "xy"),  # too short for any shingle -> new
+        ],
+    )
+    out = {r["doc_id"]: r for r in inc.incremental_dedup(store, arrivals).collect()}
+    assert out[10]["dup_kind"] == "exact" and out[10]["match_id"] == 1
+    assert out[10]["agree_n"] == 8
+    assert out[11]["dup_kind"] == "near" and out[11]["match_id"] == 2
+    assert out[11]["agree_n"] >= 4
+    assert out[12]["dup_kind"] == "new" and out[12]["match_id"] is None
+    assert out[13]["dup_kind"] == "new"
+
+
+def test_incremental_index_advances_between_batches(spark):
+    """batch 2 must dedupe against batch 1's additions — the property
+    that distinguishes incremental ingest from two independent runs."""
+    store = _store(spark)
+    inc.build_dedup_index(store, _df(spark, CORPUS))
+    b1 = _df(spark, [(20, "a brand new document about window functions in sql")])
+    d1 = {r["doc_id"]: r for r in inc.ingest_with_dedup(store, b1).collect()}
+    assert d1[20]["dup_kind"] == "new"
+    b2 = _df(
+        spark,
+        [
+            (30, "a brand new document about window functions in sql"),  # = 20
+            (31, "a brand new document about window functions in rust"),  # near 20
+        ],
+    )
+    d2 = {r["doc_id"]: r for r in inc.ingest_with_dedup(store, b2).collect()}
+    assert d2[30]["dup_kind"] == "exact" and d2[30]["match_id"] == 20
+    assert d2[31]["dup_kind"] == "near" and d2[31]["match_id"] == 20
+    # exact/near arrivals must NOT have been added to the index
+    sig_ids = {r["doc_id"] for r in store.read(inc.SIG_TABLE).collect()}
+    assert 20 in sig_ids and 30 not in sig_ids and 31 not in sig_ids
+
+
+def test_incremental_within_batch_dups_are_both_new(spark):
+    """Contract: arrivals compare against the INDEX only; two identical
+    arrivals in one batch are both 'new', and the index keeps one
+    digest row with the smaller id as canonical."""
+    store = _store(spark)
+    inc.build_dedup_index(store, _df(spark, CORPUS))
+    twins = _df(
+        spark,
+        [(40, "twin content never seen before in this corpus at all"),
+         (41, "twin content never seen before in this corpus at all")],
+    )
+    d = {r["doc_id"]: r["dup_kind"] for r in inc.ingest_with_dedup(store, twins).collect()}
+    assert d == {40: "new", 41: "new"}
+    dig = {r["keep_id"] for r in store.read(inc.DIGEST_TABLE).collect()}
+    assert 40 in dig and 41 not in dig
+    # and the NEXT batch sees the canonical copy
+    d3 = inc.incremental_dedup(
+        store, _df(spark, [(50, "twin content never seen before in this corpus at all")])
+    ).collect()[0]
+    assert d3["dup_kind"] == "exact" and d3["match_id"] == 40
+
+
+def test_incremental_plan_reads_index_not_corpus_text(spark, sf_dir):
+    """THE defining scale property (r5 VERDICT ask #2 'done' bar): the
+    decision plan's corpus side is the index parquet — no scan of the
+    corpus documents table appears anywhere in the plan."""
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = _store(spark)
+    inc.build_dedup_index(store, docs)
+    # arrivals live in their OWN parquet dir, so any 'documents' scan in
+    # the plan could only be a corpus re-read
+    arr_dir = tempfile.mkdtemp(prefix="inc_arrivals_")
+    docs.limit(20).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    ).write.mode("overwrite").parquet(arr_dir)
+    arrivals = spark.read.parquet(arr_dir)
+    decisions = inc.incremental_dedup(store, arrivals)
+    plan = decisions._jdf.queryExecution().toString()
+    assert "documents" not in plan
+    assert store.root in plan  # corpus side = the index store
+    files = decisions.inputFiles()
+    assert files and all("documents" not in f for f in files)
+    assert any(store.root in f for f in files)
