@@ -21,117 +21,91 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 # sources/io.py). Round-2-green entries rotate out unchanged.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # --- round-5 window (VERDICT r4 ask #1). Priorities: (a) NEW this
-    # round (substring dedup, BPE packing) plus entries whose code
-    # churned this round: the packing counter refactor (sequence_pack /
-    # chunk_overlap now route through _token_count), the sampled-IVF
-    # size probe, and the DimStore stage-and-swap + streaming-runner
-    # shuffle-partition pinning (every DimStore-backed sink and a
-    # representative runner set); (b) the 23 oracle-paired entries whose
-    # only green rows date from round-1/2 code (mm_* quintet, TPC-H
-    # batch 2, approx contracts + percentiles, sampling trio,
-    # fingerprint/lang/familiarity family, simhash64, stream_uv_dropdup);
-    # (c) fill with the r3-green warehouse spine. The three rows-only ANN
-    # originals stay below slot 50 — their recall contracts are the
-    # driver-checkable surface (llm_knn_ivf_contract fronted, the other
-    # two r4-green on unchanged code).
-    # --- (a) new / churned this round ---
-    "llm_substring_dedup",
-    "llm_sequence_pack_bpe",
-    # (llm_sequence_pack shares the churned _token_count path with the
-    # fronted BPE variant and stays pytest-verified; its slot goes to
-    # the new PageRank entry)
-    "llm_pagerank_centrality",
-    # (llm_chunk_overlap likewise rides the fronted BPE counter path;
-    # its slot goes to the new BPE pair-count entry)
-    "llm_bpe_pair_counts",
-    "llm_knn_ivf_contract",
-    # DimStore stage-and-swap churn: four representatives of the eight
-    # DimStore-backed sinks hold window slots (the shared path is
-    # DimStore.upsert; the other four — order_enrich/session_window/
-    # two_hop/keyword_cjk _scale — were r4-green and stay covered by the
-    # full local oracle-parity suite, rotating back in r6). The freed
-    # slots go to this round's batch-3 additions (BM25, z-order,
-    # temperature mixture, keep-best representatives) so every NEW
-    # operator is driver-checked in its birth round.
-    "stream_visitor_stats_scale",
-    "stats_store_idempotent_upsert",
-    # (stream_stats_upsert_sink shares the DimStore/eos path with the
-    # entry above; its slot goes to the flagship composed pipeline)
-    "llm_curation_pipeline_full",
-    "stream_product_stats_scale",
-    "llm_bm25_topk",
-    "events_zorder_key",
-    "llm_mixture_temperature",
-    "llm_dup_cluster_keep_best",
-    # late-round batch 3: CUBE+GROUPING, ranking-function breadth,
-    # sliding windows (batch + real streaming job), and the BaseDBApp
-    # streaming router. These displace five r4-green streaming entries
-    # (uv_dropdup_ttl, user_jump, payment_wide, session_window,
-    # unique_visit — unchanged code, re-verified every run by the local
-    # oracle-parity suite, rotating back in r6; the sliding job itself
-    # exercises run_stream_to_table).
-    "ads_cube_revenue",
-    "ads_customer_quartiles",
-    "dws_events_sliding",
-    "stream_events_sliding_scale",
-    "stream_db_route",
-    # --- (b) only green rows predate two rounds of shared-code churn ---
-    "ads_price_percentiles",
-    "dws_product_stats_approx",
-    "dws_province_stats_approx",
-    "llm_dedup_simhash64",
-    "llm_fingerprint_rolling",
-    "llm_fingerprint_winnow",
-    "llm_lang_id",
-    "llm_ngram_familiarity",
-    "llm_sample_hash",
-    "llm_sample_stratified",
-    "llm_train_val_split",
-    "mm_audio_frames",
-    "mm_frame_dedup",
-    "mm_frame_sample",
-    "mm_image_resize",
-    "mm_media_features",
-    "stream_uv_dropdup",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue",
-    # --- (c) NEW this round, batch 2: TPC-H shape batch 3 (the seven
-    # query shapes the reduced schema forced batch 2 to skip — correlated
-    # scalar subquery, global-scalar HAVING, NOT IN exclusion, nested
-    # semi-joins, multi-correlated EXISTS) plus the paragraph-hash dedup
-    # and Gopher filter-decision ops. These take the nine slots the
-    # r3-green warehouse spine refresh would have used — new code
-    # outranks re-verification of untouched code; the spine
-    # (dwm_order_wide, dws_product_stats, dws_province_stats,
-    # dwd_log_split_page, dws_keyword_stats, scalar_function_surface,
-    # ads_gmv_by_date, ads_top_brand, tpch_q3) rotates into the r6
-    # window instead.
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q16_supplier_part_types",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_supplier",
-    "llm_dedup_paragraph",
-    "llm_gopher_filter",
+    # --- round-6 window (VERDICT r5 ask #1): close the verification
+    # gaps. Priorities: (a) everything NEW this round — the four r6
+    # operators (incremental dedup batch+stream, full BPE training,
+    # quality-classifier inference) are driver-checked in their birth
+    # round; (b) the six entries with no driver row yet (born late in
+    # r5, green in the local sf0.01 parity suite since); (c) the
+    # r3-green cohort — their green rows are three rounds old and
+    # pre-date the tokenize/DimStore/io churn of r4-r5; fronting them
+    # makes every entry's latest green row at most 2 rounds old.
+    # Capacity: 10 + 43 r3 entries = 53 candidates for 50 slots, so
+    # three r3 entries whose exact code path is exercised by a fronted
+    # sibling stay out, explicitly queued for the r7 window:
+    # set_intersect_all_buyers / set_except_all_buyers (thin ALL
+    # variants of the fronted set-op pair over identical frames) and
+    # dws_keywords_sql_lateral (the SQL-lateral rendering of the
+    # fronted dws_keyword_stats pipeline). The three rows-only ANN
+    # originals stay below slot 50 as every round: their recall
+    # contracts are the driver-checkable surface. The r4-green cohort
+    # (46 entries incl. the five streaming + four DimStore _scale
+    # rotations and llm_sequence_pack/llm_chunk_overlap) is 2 rounds
+    # old — within policy — and rotates back in r7.
+    # --- (a) new this round ---
+    "llm_dedup_incremental",
+    "stream_llm_dedup_incremental",
+    "llm_bpe_train",
+    "llm_quality_classifier",
+    # --- (b) no driver row yet ---
+    "dws_funnel_conversion",
+    "dws_retention_cohorts",
+    "llm_dedup_editdist",
+    "llm_substring_dedup_removal",
+    "stream_events_sliding",
+    "stream_llm_gopher_filter",
+    # --- (c) the r3-green cohort: warehouse spine ... ---
+    "dws_pricing_summary",
+    "dwd_log_split_page",
+    "dwm_unique_visit",
+    "dwm_user_jump",
+    "dwm_sessionize",
+    "dwm_order_wide",
+    "dwm_payment_wide",
+    "dws_visitor_stats",
+    "dws_product_stats",
+    "dws_province_stats",
+    "dws_keyword_stats",
+    "ads_gmv_by_date",
+    "ads_gmv_month",
+    "ads_top_brand",
+    "ads_topn_per_brand",
+    "ads_tm_reshape",
+    "scalar_function_surface",
+    # ... TPC-H batch 1 ...
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q13_cust_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # ... set ops / joins / scale paths ...
+    "set_intersect_buyers",
+    "set_except_buyers",
+    "events_value_delta",
+    "events_asof_join",
+    "orders_range_band_join",
+    "dim_scd2_asof",
+    "scale_salted_agg",
+    "scale_salted_join",
+    # ... LLM family r3 leftovers + the EOS two-hop ...
+    "llm_dedup_exact",
+    "llm_dedup_ngram_exact",
+    "llm_dedup_minhash",
+    "llm_repetition",
+    "llm_pii_flags",
+    "llm_decontaminate",
+    "stream_two_hop_eos",
 ]
 
-# r6 window candidates (new-or-rotated entries WITHOUT an r5 driver row,
-# all green in the local sf0.01 oracle-parity suite): llm_dedup_editdist,
-# dws_funnel_conversion, dws_retention_cohorts, stream_events_sliding
-# (complete demo), stream_llm_gopher_filter, llm_sequence_pack,
-# llm_chunk_overlap, the five rotated r4-green streaming entries
-# (unique_visit, uv_dropdup_ttl, user_jump, payment_wide,
-# session_window), the four rotated DimStore _scale entries, and the
-# r3-green warehouse spine (dwm_order_wide, dws_product_stats,
-# dws_province_stats, dwd_log_split_page, dws_keyword_stats,
-# scalar_function_surface, ads_gmv_by_date, ads_top_brand, tpch_q3).
+# r7 window candidates: the three sibling-covered r3 entries left out
+# above (set_intersect_all_buyers, set_except_all_buyers,
+# dws_keywords_sql_lateral) plus the r4-green cohort (46 entries — the
+# streaming suite, the DimStore _scale quartet, TPC-H batch 2's r4
+# stragglers, llm_sequence_pack/llm_chunk_overlap), which will be three
+# rounds old by r7 and must rotate back in.
 
 
 def _prioritize() -> None:
