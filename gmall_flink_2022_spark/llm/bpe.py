@@ -99,19 +99,10 @@ def merge_step(syms: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-def bpe_train(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = BPE_DEFAULT_MERGES,
-) -> DataFrame:
-    """Train ``n_merges`` BPE merges over a corpus; returns the merge
-    table (step, left_sym, right_sym, pair_count) — the artifact a BPE
-    tokenizer ships. Stops early (fewer rows) if the corpus runs out of
-    adjacent pairs. llm_bpe_pair_counts computes round 1's counting
-    core; this iterates count -> argmax -> merge -> re-tokenize with a
-    localCheckpoint per round so lineage stays O(1)-deep."""
-    spark = df.sparkSession
-    syms = _initial_symbols(word_freqs(df, text_col)).localCheckpoint(eager=True)
+def _run_merges(
+    syms: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The training loop: returns (merge list, final symbol table)."""
     w = W.partitionBy("wid").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -130,16 +121,67 @@ def bpe_train(
         syms = merge_step(syms, top["sym"], top["nxt"]).localCheckpoint(
             eager=True
         )
+    return merges, syms
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_DEFAULT_MERGES,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over a corpus; returns the merge
+    table (step, left_sym, right_sym, pair_count) — the artifact a BPE
+    tokenizer ships. Stops early (fewer rows) if the corpus runs out of
+    adjacent pairs. llm_bpe_pair_counts computes round 1's counting
+    core; this iterates count -> argmax -> merge -> re-tokenize with a
+    localCheckpoint per round so lineage stays O(1)-deep."""
+    spark = df.sparkSession
+    syms = _initial_symbols(word_freqs(df, text_col)).localCheckpoint(eager=True)
+    merges, _ = _run_merges(syms, n_merges)
     return spark.createDataFrame(
         merges, "step long, left_sym string, right_sym string, pair_count long"
     )
 
 
-def bpe_train_oracle_sql(n_merges: int = BPE_DEFAULT_MERGES) -> str:
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_DEFAULT_MERGES,
+) -> DataFrame:
+    """Tokenizer INFERENCE with the merges trained on the same corpus:
+    the encoded word vocabulary after ``n_merges`` rounds —
+    (word, freq, n_syms, encoded) with ``encoded`` the symbol sequence
+    joined by '|'. n_syms * freq summed over words is the corpus token
+    count under the trained tokenizer (the fertility/compression
+    statistic a tokenizer-training pipeline reports). Same loop, same
+    scale shape as :func:`bpe_train`; encoding a DIFFERENT corpus with a
+    shipped merge table is the same merge_step chain applied to its
+    word table."""
+    wf = word_freqs(df, text_col)
+    syms = _initial_symbols(wf).localCheckpoint(eager=True)
+    _, final = _run_merges(syms, n_merges)
+    kept = F.array_sort(F.collect_list(F.struct("pos", "sym")))
+    return (
+        final.groupBy("wid", "freq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_syms"),
+            F.concat_ws(
+                "|", F.transform(kept, lambda s: s["sym"])
+            ).alias("encoded"),
+        )
+        .select(F.col("wid").alias("word"), "freq", "n_syms", "encoded")
+    )
+
+
+def bpe_train_oracle_sql(
+    n_merges: int = BPE_DEFAULT_MERGES, final: str = "merges"
+) -> str:
     """The DuckDB oracle: the SAME algebra with the loop unrolled into
     CTE chains s1 -> s2 -> ... (scalar subqueries select each round's
     top pair). Generated programmatically so Spark loop and SQL oracle
-    cannot drift in structure."""
+    cannot drift in structure. ``final='merges'`` selects the merge
+    table (bpe_train); ``final='encoded'`` selects the encoded word
+    vocabulary from the last symbol state (bpe_encode)."""
     # BPE_RE contains a literal backslash-s; SQL single-quoted strings do
     # not process backslash escapes, so it embeds verbatim on both engines
     parts = [
@@ -195,9 +237,16 @@ def bpe_train_oracle_sql(n_merges: int = BPE_DEFAULT_MERGES) -> str:
         ) WHERE NOT COALESCE(ptk, FALSE)
     )"""
         )
-    selects = " UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS step, sym AS left_sym, "
-        f"nxt AS right_sym, CAST(n AS BIGINT) AS pair_count FROM t{i}"
-        for i in range(1, n_merges + 1)
-    )
+    if final == "encoded":
+        selects = (
+            f"SELECT wid AS word, freq, CAST(COUNT(*) AS BIGINT) AS n_syms, "
+            f"string_agg(sym, '|' ORDER BY pos) AS encoded "
+            f"FROM s{n_merges + 1} GROUP BY wid, freq"
+        )
+    else:
+        selects = " UNION ALL ".join(
+            f"SELECT CAST({i} AS BIGINT) AS step, sym AS left_sym, "
+            f"nxt AS right_sym, CAST(n AS BIGINT) AS pair_count FROM t{i}"
+            for i in range(1, n_merges + 1)
+        )
     return "WITH " + ",\n    ".join(parts) + "\n    " + selects

@@ -123,7 +123,13 @@ def incremental_dedup(
     c_bk = _band_buckets(
         idx_sig.withColumnRenamed("doc_id", "c_id"), "c_id", num_hashes, bands
     )
-    cands = a_bk.join(c_bk, "bucket").select("a_id", "c_id").distinct()
+    # the arrival side is BATCH-sized while the index is CORPUS-sized:
+    # broadcast the arrival buckets/signatures so the index side never
+    # shuffles (at 100 TB the signature index streams through the
+    # bucket probe; only collisions surface)
+    cands = (
+        F.broadcast(a_bk).join(c_bk, "bucket").select("a_id", "c_id").distinct()
+    )
     s_a = arr_sig.select(
         F.col("id").alias("a_id"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
@@ -139,7 +145,7 @@ def incremental_dedup(
     # a self-arrived doc can never match itself: the index has no row
     # for it yet (that is the whole point of the incremental contract)
     ver = (
-        cands.join(s_a, "a_id")
+        cands.join(F.broadcast(s_a), "a_id")
         .join(s_c, "c_id")
         .select("a_id", "c_id", agree.alias("agree"))
         .filter(F.col("agree") >= min_agree)

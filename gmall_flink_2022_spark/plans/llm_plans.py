@@ -2264,6 +2264,19 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_mod.bpe_train(_docs(spark, sf_dir), "text", n_merges=_BPE_MERGES)
 
 
+@register(
+    "llm_bpe_encode",
+    oracle=bpe_mod.bpe_train_oracle_sql(_BPE_MERGES, final="encoded"),
+    survey_ref="extension: BPE tokenizer INFERENCE — the encoded word "
+    "vocabulary after the trained merges (word, freq, n_syms, encoded "
+    "symbol sequence); sum(freq * n_syms) is the corpus token count "
+    "under the tokenizer (the fertility/compression statistic)",
+    tags=("llm", "text", "tokenizer", "iterative"),
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_mod.bpe_encode(_docs(spark, sf_dir), "text", n_merges=_BPE_MERGES)
+
+
 # -------------------------------------------- full curation pipeline (v2)
 _TOKS_CT = TOKS.replace("lower(text)", "lower(ctext)")
 _CURATE_FULL_ORACLE = f"""

@@ -1647,3 +1647,28 @@ def _register_stream_incremental_dedup() -> None:
 
 
 _register_stream_incremental_dedup()
+
+
+def _register_stream_quality_classifier() -> None:
+    from .registry import REGISTRY as _R  # reuse the batch oracle verbatim
+
+    @register(
+        "stream_llm_quality_classifier",
+        oracle=_R["llm_quality_classifier"].oracle,
+        survey_ref="streaming rendering of the quality-classifier "
+        "inference: stateless narrow map per micro-batch (append mode, "
+        "no state store) — classifier filtering drops into a live "
+        "ingest pipeline unchanged",
+        tags=("streaming", "llm", "text"),
+    )
+    def stream_llm_quality_classifier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..llm.text import quality_classifier
+
+        d = read_stream_table(spark, sf_dir, "documents")
+        out = quality_classifier(d, "doc_id", "text")
+        return run_stream_to_table(out, _uniq("qc_stream"), output_mode="append")
+
+
+_register_stream_quality_classifier()

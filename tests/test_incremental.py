@@ -117,3 +117,20 @@ def test_incremental_plan_reads_index_not_corpus_text(spark, sf_dir):
     files = decisions.inputFiles()
     assert files and all("documents" not in f for f in files)
     assert any(store.root in f for f in files)
+
+
+def test_incremental_broadcasts_arrival_side(spark, sf_dir):
+    """At 100 TB the index is corpus-sized and the arrival batch is
+    small: the bucket probe and the verification must broadcast the
+    ARRIVAL side so the index never shuffles, and no Python appears."""
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = _store(spark)
+    inc.build_dedup_index(store, docs)
+    arrivals = docs.limit(25).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    p = inc.incremental_dedup(store, arrivals)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

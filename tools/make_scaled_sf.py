@@ -20,7 +20,17 @@ events TIMESTAMP(NANOS) column that sources/io.py special-cases), one
 file per table named <table>.parquet, matching the driver layout.
 
 Usage: python tools/make_scaled_sf.py [src_dir] [dst_dir] [factor]
+           [--unique-text]
 Defaults: /root/testdata/sf0.1 -> <repo>/.scratch/sf1 x10.
+
+--unique-text (r5 VERDICT ask #5 control): instead of the one-token
+near-dup prefix, every token after the first in replica i>0 gets an
+"u{i}" prefix (one vectorized substring replace), so replicas share
+essentially no shingles with the original or each other — near-dup
+rate ~0 while within-replica document relationships are preserved.
+Used to attribute superlinear scaling: if a ratio is caused by
+dup-family output volume it collapses on this corpus; if it is
+intrinsic to the operator it does not.
 """
 
 from __future__ import annotations
@@ -70,13 +80,15 @@ def _stride(max_val: int) -> int:
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unique_text = "--unique-text" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     dst = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        args[1]
+        if len(args) > 1
         else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
     )
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    factor = int(args[2]) if len(args) > 2 else 10
     os.makedirs(dst, exist_ok=True)
 
     tables = {
@@ -101,10 +113,17 @@ def main() -> None:
                 col = pc.add(r[k], pa.scalar(shift, type=r.schema.field(k).type))
                 r = r.set_column(r.schema.get_field_index(k), r.schema.field(k), col)
             if name == "documents" and i > 0:
-                # one-token prefix: replicas are near-dups, not exact clones
-                txt = pc.binary_join_element_wise(
-                    pa.array([f"rep{i}"] * len(r)), r["text"], " "
-                ).cast(r.schema.field("text").type)
+                if unique_text:
+                    # prefix every non-initial token with u{i}: replicas
+                    # share ~no shingles with the original (control run)
+                    txt = pc.replace_substring(r["text"], " ", f" u{i}").cast(
+                        r.schema.field("text").type
+                    )
+                else:
+                    # one-token prefix: replicas are near-dups, not clones
+                    txt = pc.binary_join_element_wise(
+                        pa.array([f"rep{i}"] * len(r)), r["text"], " "
+                    ).cast(r.schema.field("text").type)
                 r = r.set_column(
                     r.schema.get_field_index("text"), r.schema.field("text"), txt
                 )
