@@ -118,8 +118,12 @@ def _run_merges(
         if top is None:
             break
         merges.append((step, top["sym"], top["nxt"], top["n"]))
+        # lazy checkpoint: lineage still truncates at first use, but the
+        # round pays ONE action (the next round's top-pair collect
+        # materializes it) instead of two — halves driver round-trips,
+        # which dominate wall time for this vocabulary-sized state
         syms = merge_step(syms, top["sym"], top["nxt"]).localCheckpoint(
-            eager=True
+            eager=False
         )
     return merges, syms
 
