@@ -107,11 +107,17 @@ def incremental_dedup(
     idx_sig = store.read(SIG_TABLE)
     arr = arrivals.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    )
-    with_exact = (
-        arr.withColumn("digest", F.md5("text"))
-        .join(idx_dig, "digest", "left")
-        .select("doc_id", "text", F.col("keep_id").alias("exact_match"))
+    ).withColumn("digest", F.md5("text"))
+    # exact membership as two arrival-side broadcasts: the corpus-sized
+    # digest index STREAMS against the broadcast arrival digests (inner
+    # probe, hits are arrival-bounded), then the hits broadcast back
+    # onto the arrivals — a naive `arr LEFT JOIN idx` would make the
+    # index the build side (or shuffle it); this never moves the index
+    hits = idx_dig.join(
+        F.broadcast(arr.select("doc_id", "digest")), "digest"
+    ).select("doc_id", "keep_id")
+    with_exact = arr.join(F.broadcast(hits), "doc_id", "left").select(
+        "doc_id", "text", F.col("keep_id").alias("exact_match")
     )
     non_exact = with_exact.filter(F.col("exact_match").isNull()).select(
         "doc_id", "text"
@@ -144,9 +150,12 @@ def incremental_dedup(
     )
     # a self-arrived doc can never match itself: the index has no row
     # for it yet (that is the whole point of the incremental contract)
+    # candidate pairs carry the arrival signature (both batch-sized) and
+    # broadcast INTO the index-side signature scan: the corpus-sized
+    # index is never shuffled anywhere in this plan — it streams through
+    # two broadcast probes (buckets above, verification here)
     ver = (
-        cands.join(F.broadcast(s_a), "a_id")
-        .join(s_c, "c_id")
+        s_c.join(F.broadcast(cands.join(F.broadcast(s_a), "a_id")), "c_id")
         .select("a_id", "c_id", agree.alias("agree"))
         .filter(F.col("agree") >= min_agree)
     )
@@ -161,7 +170,7 @@ def incremental_dedup(
         ).alias("b")
     )
     return (
-        with_exact.join(best, with_exact["doc_id"] == best["a_id"], "left")
+        with_exact.join(F.broadcast(best), with_exact["doc_id"] == best["a_id"], "left")
         .select(
             "doc_id",
             F.when(F.col("exact_match").isNotNull(), F.lit("exact"))

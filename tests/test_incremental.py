@@ -133,4 +133,8 @@ def test_incremental_broadcasts_arrival_side(spark, sf_dir):
     )
     p = inc.incremental_dedup(store, arrivals)._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in p
+    # EVERY join broadcasts its arrival-bounded side — the corpus-sized
+    # index is never the build side of anything and never shuffles (the
+    # plan's only exchanges are aggregations of arrival-sized frames)
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
