@@ -106,3 +106,55 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "doc_id", "n_matched", "score")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document — TF-IDF keyword
+    extraction, the document-side complement of :func:`bm25_topk`
+    (which scores documents for a query; this scores terms for a
+    document). Returns (doc_id, rnk, term, tf, df, score), rnk 1..k per
+    doc, ties broken by term ascending.
+
+    Scoring uses the same *rational-idf* convention as bm25_topk:
+    score = tf * (N - df + 0.5) / (df + 0.5) — the log-free odds ratio,
+    so every score is one multiply and one divide over doubles derived
+    from exact integers (engine-exact, oracle-hashable). Rankings per
+    document match log-TF-IDF wherever tf ties break on idf, and weight
+    rare terms more sharply otherwise (documented contract).
+
+    Scale shape: postings aggregate once (shuffle on (doc, term)),
+    document frequencies aggregate on term, the scoring join shuffles
+    postings on term once, and the top-k window partitions by doc_id —
+    all natural keys, no collect, the corpus stats broadcast."""
+    from .dedup import ensure_explode_parallelism
+
+    base = (
+        ensure_explode_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), tokenize_col(text_col).alias("_toks"))
+        .persist()
+    )
+    postings = (
+        base.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    odds = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    scored = (
+        postings.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf").cast("double") * odds)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "term", "tf", "df", "score")
+    )

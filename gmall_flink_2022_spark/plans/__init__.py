@@ -102,11 +102,12 @@ _DRIVER_WINDOW_FIRST = [
 
 # r7 window candidates: the three sibling-covered r3 entries left out
 # above (set_intersect_all_buyers, set_except_all_buyers,
-# dws_keywords_sql_lateral); the two late-r6 additions riding fronted
+# dws_keywords_sql_lateral); the late-r6 additions riding fronted
 # siblings this round (llm_bpe_encode shares _run_merges with the
 # fronted llm_bpe_train; stream_llm_quality_classifier is the fronted
 # llm_quality_classifier behind the already-exercised streaming
-# runner); plus the r4-green cohort (46 entries — the streaming suite,
+# runner; llm_tfidf_keywords shares the postings/rational-idf path
+# with the fronted-in-r5 llm_bm25_topk); plus the r4-green cohort (46 entries — the streaming suite,
 # the DimStore _scale quartet, TPC-H batch 2's r4 stragglers,
 # llm_sequence_pack/llm_chunk_overlap), which will be three rounds old
 # by r7 and must rotate back in.

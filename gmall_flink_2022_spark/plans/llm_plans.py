@@ -1951,6 +1951,42 @@ _BM25_Q_SQL = ", ".join(
 
 
 @register(
+    "llm_tfidf_keywords",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    postings AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(toks) AS term FROM tk
+        ) GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM postings GROUP BY term),
+    corpus AS (SELECT COUNT(*) AS n_docs FROM tk),
+    scored AS (
+        SELECT p.doc_id, p.term, p.tf, d.df,
+               CAST(p.tf AS DOUBLE) *
+                 ((CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5)) AS score
+        FROM postings p JOIN dft d ON p.term = d.term, corpus c
+    )
+    SELECT doc_id, rnk, term, tf, df, score FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    survey_ref="extension: TF-IDF keyword extraction — top-3 "
+    "characteristic terms per document (the document-side complement of "
+    "BM25; rational-idf for engine-exact scores)",
+    tags=("llm", "text", "retrieval"),
+)
+def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.tfidf_keywords(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+
+
+@register(
     "llm_bm25_topk",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
