@@ -532,3 +532,86 @@ def semdedup(
         )
         .withColumn("keep", F.col("cluster_id") == F.col("id"))
     )
+
+
+def pq_codes(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 8,
+    seed: str = "pq",
+) -> DataFrame:
+    """Product-quantization codes — the vector-COMPRESSION leg of the
+    ANN family (IVF gives the coarse partition, PQ gives the in-cell
+    codes; together they are the standard FAISS IVF-PQ layout). Each
+    vector splits into ``m`` subvectors of dim/m dims; subspace j's code
+    is the index of the nearest of ``ksub`` codebook centroids under
+    squared L2. Returns (id, code0..code{m-1}, qerr) with qerr the total
+    quantization error (fixed-order double sum, engine-exact).
+
+    Codebook: the subvectors of the ``ksub`` corpus vectors with
+    smallest (md5(seed || id), id) — the same seeded deterministic
+    selection discipline as the IVF quantizer's training sample
+    (:func:`_ivf_train_set`), with zero Lloyd iterations so the whole
+    operator (selection included) is closed-form and oracle-exact.
+    Swapping in k-means-trained centroids changes ONE tiny frame, not
+    the plan shape. Selection plans as TakeOrderedAndProject (ksub
+    rows), the codebook broadcasts, and encoding is one narrow pass
+    over the corpus + a (corpus x m x ksub) broadcast-join scored
+    distributively — no shuffle of the vectors at any point; the only
+    exchange is the per-(id, subspace) argmin aggregation."""
+    sub = dim // m
+    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    spark = embs.sparkSession
+    picked = (
+        e.orderBy(
+            F.md5(F.concat(F.lit(seed + "|"), F.col("id").cast("string"))),
+            F.col("id"),
+        )
+        .limit(ksub)
+        .collect()
+    )
+    cent = spark.createDataFrame(
+        [(i + 1, list(r["vec"])) for i, r in enumerate(picked)],
+        f"cid long, cvec array<float>",
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    e_sub = e.select("id", "vec", js).select(
+        "id", "j", F.expr(f"slice(vec, j * {sub} + 1, {sub})").alias("sv")
+    )
+    c_sub = cent.select("cid", "cvec", js).select(
+        "cid", "j", F.expr(f"slice(cvec, j * {sub} + 1, {sub})").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    best = (
+        e_sub.join(F.broadcast(c_sub), "j")
+        .select("id", "j", "cid", d2.alias("dist"))
+        .groupBy("id", "j")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+    )
+    code_cols = [
+        F.max(F.when(F.col("j") == j, F.col("b.cid"))).alias(f"code{j}")
+        for j in range(m)
+    ]
+    err_cols = [
+        F.max(F.when(F.col("j") == j, F.col("b.dist"))).alias(f"_d{j}")
+        for j in range(m)
+    ]
+    wide = best.groupBy("id").agg(*code_cols, *err_cols)
+    qerr = F.col("_d0")
+    for j in range(1, m):
+        qerr = qerr + F.col(f"_d{j}")
+    return wide.select(
+        "id", *[f"code{j}" for j in range(m)], qerr.alias("qerr")
+    )

@@ -549,6 +549,54 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- product quantization
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8
+_PQ_DIST = (
+    "list_reduce(list_transform(list_zip(s.sv, c.cv), "
+    "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+    "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@register(
+    "llm_pq_codes",
+    oracle=f"""
+    WITH seedv AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS cid
+        FROM embeddings
+    ),
+    cent AS (SELECT cid, embedding AS cvec FROM seedv WHERE cid <= {_PQ_K}),
+    sub AS (SELECT vec_id AS id, j,
+                   embedding[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+            FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+    csub AS (SELECT cid, j, cvec[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS cv
+             FROM cent, UNNEST([0,1,2,3]) AS t(j)),
+    d AS (SELECT s.id, s.j, c.cid, {_PQ_DIST} AS dist
+          FROM sub s JOIN csub c ON s.j = c.j),
+    best AS (SELECT id, j, cid, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id, j
+                                     ORDER BY dist, cid) AS rn FROM d)
+        WHERE rn = 1)
+    SELECT id,
+           {", ".join(f"CAST(MAX(CASE WHEN j={j} THEN cid END) AS BIGINT) AS code{j}" for j in range(_PQ_M))},
+           ({" + ".join(f"MAX(CASE WHEN j={j} THEN dist END)" for j in range(_PQ_M))}) AS qerr
+    FROM best GROUP BY id
+    """,
+    survey_ref="extension: product-quantization codes — the vector "
+    "compression leg of the ANN family (FAISS IVF-PQ layout next to "
+    "llm_knn_ivf's coarse quantizer); seeded closed-form codebook, "
+    "broadcast encoding, engine-exact distances",
+    tags=("llm", "similarity", "embedding"),
+)
+def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_codes(
+        _embs(spark, sf_dir), "vec_id", "embedding",
+        dim=64, m=_PQ_M, ksub=_PQ_K,
+    )
+
+
 # ----------------------------------------------------- brute-force cosine kNN
 @register(
     "llm_knn_bruteforce",

@@ -1351,3 +1351,26 @@ def test_bpe_train_convergence_and_bounds(spark):
     ]
     assert out[0]["pair_count"] == 7  # 2 x freq-3 'abab' + 1 x freq-1 'ab'
     assert out[1]["pair_count"] == 3  # one (ab,ab) per 'abab', freq 3
+
+
+def test_pq_codes_semantics(spark):
+    """PQ contract: codebook vectors encode to THEMSELVES with zero
+    quantization error; every code is in [1, ksub]; qerr is the sum of
+    per-subspace minima (non-negative)."""
+    from gmall_flink_2022_spark.llm.similarity import pq_codes
+
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(12)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in pq_codes(
+        embs, "vec_id", "embedding", dim=8, m=2, ksub=4
+    ).collect()}
+    assert set(out) == set(range(12))
+    picked = sorted(
+        range(12),
+        key=lambda i: (__import__("hashlib").md5(f"pq|{i}".encode()).hexdigest(), i),
+    )[:4]
+    for i in picked:  # codebook members: exact self-match
+        assert out[i]["qerr"] == 0.0, (i, out[i])
+    for r in out.values():
+        assert 1 <= r["code0"] <= 4 and 1 <= r["code1"] <= 4
+        assert r["qerr"] >= 0.0
