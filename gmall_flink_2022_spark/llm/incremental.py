@@ -103,6 +103,24 @@ def incremental_dedup(
     hits, matching-signature-component count for near hits, NULL for new
     docs. The corpus side reads ONLY the two index tables — no corpus
     text scan appears in this plan (asserted in tests)."""
+    decisions, _ = _decide(
+        store, arrivals, id_col, text_col, n, num_hashes, bands, min_agree
+    )
+    return decisions
+
+
+def _decide(
+    store: DimStore,
+    arrivals: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    min_agree: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(decisions, arrival signatures) — the signatures are exposed so
+    ingest can index new docs without re-tokenizing them."""
     idx_dig = store.read(DIGEST_TABLE)
     idx_sig = store.read(SIG_TABLE)
     arr = arrivals.select(
@@ -169,7 +187,7 @@ def incremental_dedup(
             )
         ).alias("b")
     )
-    return (
+    decisions = (
         with_exact.join(F.broadcast(best), with_exact["doc_id"] == best["a_id"], "left")
         .select(
             "doc_id",
@@ -184,6 +202,7 @@ def incremental_dedup(
             .alias("agree_n"),
         )
     )
+    return decisions, arr_sig
 
 
 def ingest_with_dedup(
@@ -202,18 +221,22 @@ def ingest_with_dedup(
     (localCheckpoint) BEFORE the index update — a lazy decision plan
     re-read after the upsert would see the arrivals' own rows and
     misclassify them as exact self-matches."""
-    decisions = incremental_dedup(
+    decisions, arr_sig = _decide(
         store, arrivals, id_col, text_col, n, num_hashes, bands, min_agree
-    ).localCheckpoint(eager=True)
+    )
+    # materialize BOTH before touching the index: the signature frame is
+    # reused below (saves re-tokenizing the new docs), and both plans
+    # read the PRE-update index state
+    decisions = decisions.localCheckpoint(eager=True)
+    arr_sig = arr_sig.localCheckpoint(eager=True)
     arr = arrivals.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    new_docs = arr.join(
-        decisions.filter(F.col("dup_kind") == "new").select("doc_id"), "doc_id"
-    )
+    new_ids = decisions.filter(F.col("dup_kind") == "new").select("doc_id")
+    new_docs = arr.join(new_ids, "doc_id")
     store.upsert(DIGEST_TABLE, _digest_rows(new_docs, "doc_id", "text"), pk="digest")
-    new_sigs = minhash_signatures(new_docs, "doc_id", "text", n, num_hashes)
-    store.upsert(SIG_TABLE, new_sigs.withColumnRenamed("id", "doc_id"), pk="doc_id")
+    new_sigs = arr_sig.withColumnRenamed("id", "doc_id").join(new_ids, "doc_id")
+    store.upsert(SIG_TABLE, new_sigs, pk="doc_id")
     return decisions
 
 
