@@ -262,3 +262,154 @@ def foreach_batch_ingester(
         decisions.write.mode("append").parquet(out_dir)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Incremental EMBEDDING dedup — the vector-modality twin of the text
+# index above: corpus vectors + their LSH bucket keys persist once;
+# arrival batches probe by bucket collision and verify by cosine. The
+# index stores the vectors themselves (cosine verification needs them —
+# unlike text, there is no cheaper sketch with the same decision), so
+# the win over the batch operator is (a) no corpus re-bucketing and
+# (b) the index never shuffles: buckets explode narrowly and every join
+# broadcasts the arrival side.
+#
+# Bucketing uses the EXPRESSION rendering (similarity.lsh_bucket:
+# sequential-fold dot products) on both sides, not the numpy-gemm
+# pandas UDF the batch LSH uses — numpy's pairwise summation rounds
+# differently in the last ulp, which could flip a sign on a near-zero
+# dot and break oracle hashing. Arrival batches are small and the
+# corpus side pays the expression cost once at build time.
+# ---------------------------------------------------------------------------
+
+EMB_TABLE = "embdedup_vec_idx"
+
+
+def _emb_buckets_col(vec_col, dim: int, n_planes: int, n_tables: int, seed: int):
+    from .similarity import _hyperplanes, lsh_bucket
+
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    return F.array(
+        *[
+            F.concat(F.lit(f"{t}:"), lsh_bucket(vec_col, tables[t]))
+            for t in range(n_tables)
+        ]
+    )
+
+
+def build_embed_index(
+    store: DimStore,
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+) -> None:
+    """Bootstrap: one corpus pass stores (vec_id, vec, bucket keys)."""
+    rows = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _emb_buckets_col(F.col(vec_col), dim, n_planes, n_tables, seed).alias(
+            "buckets"
+        ),
+    )
+    store.upsert(EMB_TABLE, rows, pk="vec_id")
+
+
+def incremental_embed_dedup(
+    store: DimStore,
+    arrivals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Decisions (vec_id, dup_kind, match_id, sim) for an arrival batch
+    against the persisted vector index: ``exact`` = identical vector
+    already indexed (array-equality probe, match = smallest holder id),
+    ``near`` = best cosine >= threshold among LSH bucket collisions,
+    else ``new``. Same arrival-broadcast discipline as the text path —
+    the index streams, never shuffles."""
+    from .similarity import cosine
+
+    idx = store.read(EMB_TABLE)
+    arr = arrivals.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    ).withColumn(
+        "a_buckets", _emb_buckets_col(F.col("a_vec"), dim, n_planes, n_tables, seed)
+    )
+    hits = (
+        idx.join(F.broadcast(arr.select("a_id", "a_vec")), idx["vec"] == F.col("a_vec"))
+        .groupBy("a_id")
+        .agg(F.min("vec_id").alias("exact_match"))
+    )
+    with_exact = arr.join(F.broadcast(hits), "a_id", "left")
+    ne = with_exact.filter(F.col("exact_match").isNull()).select(
+        "a_id", "a_vec", "a_buckets"
+    )
+    a_bk = ne.select("a_id", F.explode("a_buckets").alias("bucket")).distinct()
+    c_bk = idx.select(
+        F.col("vec_id").alias("c_id"), F.explode("buckets").alias("bucket")
+    )
+    cands = (
+        c_bk.join(F.broadcast(a_bk), "bucket").select("a_id", "c_id").distinct()
+    )
+    pairs = idx.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")).join(
+        F.broadcast(
+            cands.join(
+                F.broadcast(ne.select("a_id", "a_vec")), "a_id"
+            )
+        ),
+        "c_id",
+    )
+    scored = pairs.select(
+        "a_id", "c_id", cosine(F.col("a_vec"), F.col("c_vec")).alias("sim")
+    ).filter(F.col("sim") >= threshold)
+    best = scored.groupBy("a_id").agg(
+        F.max(
+            F.struct(F.col("sim").alias("sim"), (-F.col("c_id")).alias("negid"))
+        ).alias("b")
+    )
+    return (
+        with_exact.join(F.broadcast(best), "a_id", "left")
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+            .when(F.col("b").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("dup_kind"),
+            F.coalesce(F.col("exact_match"), -F.col("b").getField("negid")).alias(
+                "match_id"
+            ),
+            F.when(F.col("exact_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("b").getField("sim"))
+            .alias("sim"),
+        )
+    )
+
+
+def ingest_embed_with_dedup(
+    store: DimStore,
+    arrivals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> DataFrame:
+    """Decide + add the batch's ``new`` vectors (with their bucket keys)
+    to the index; decisions materialize before the index update."""
+    decisions = incremental_embed_dedup(
+        store, arrivals, id_col, vec_col, **kw
+    ).localCheckpoint(eager=True)
+    new_ids = decisions.filter(F.col("dup_kind") == "new").select("vec_id")
+    new_rows = arrivals.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col)
+    ).join(new_ids, "vec_id")
+    build_embed_index(store, new_rows, "vec_id", vec_col, **{
+        k: v for k, v in kw.items() if k in ("dim", "n_planes", "n_tables", "seed")
+    })
+    return decisions

@@ -549,6 +549,126 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------- incremental EMBEDDING dedup vs index
+# (llm/incremental.py vector twin). The oracle recomputes the decisions
+# from the raw embeddings table; the hyperplanes are embedded as SQL
+# literals generated from the SAME seeded source as the Spark side, and
+# bucketing uses the sequential-fold expression on both engines.
+_EINC_PLANES, _EINC_TABLES, _EINC_SEED, _EINC_THRESH = 8, 2, 42, 0.9
+
+
+def _einc_bucket_exprs(vec: str) -> str:
+    """UNNEST-able list of per-table bucket keys for ``vec``."""
+    from ..llm.similarity import _hyperplanes
+
+    tables = [
+        _hyperplanes(64, _EINC_PLANES, _EINC_SEED + 1000 * t)
+        for t in range(_EINC_TABLES)
+    ]
+    keys = []
+    for t, planes in enumerate(tables):
+        bits = []
+        for plane in planes:
+            lits = ", ".join(repr(float(w)) for w in plane)
+            fold = (
+                f"list_reduce(list_transform(list_zip({vec}, [{lits}]), "
+                "z -> CAST(z[1] AS DOUBLE) * z[2]), (x, y) -> x + y)"
+            )
+            bits.append(f"(CASE WHEN {fold} >= 0 THEN '1' ELSE '0' END)")
+        keys.append(f"'{t}:' || " + " || ".join(bits))
+    return ", ".join(keys)
+
+
+@register(
+    "llm_embed_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % 10 < 8),
+    arrv AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM corpus WHERE vec_id % 7 = 0
+        UNION ALL
+        SELECT vec_id + 200000,
+               list_transform(embedding, x -> CAST(x * 1.25 AS FLOAT))
+        FROM corpus WHERE vec_id % 11 = 0
+    ),
+    ex AS (SELECT a.vec_id AS a_id, MIN(c.vec_id) AS exact_match
+           FROM arrv a JOIN corpus c ON a.embedding = c.embedding
+           GROUP BY a.vec_id),
+    wex AS (SELECT a.vec_id AS a_id, a.embedding, e.exact_match
+            FROM arrv a LEFT JOIN ex e ON a.vec_id = e.a_id),
+    ne AS (SELECT a_id, embedding FROM wex WHERE exact_match IS NULL),
+    abk AS (SELECT DISTINCT a_id, bucket FROM (
+        SELECT a_id, UNNEST([{_einc_bucket_exprs("embedding")}]) AS bucket
+        FROM ne)),
+    cbk AS (SELECT vec_id AS c_id,
+                   UNNEST([{_einc_bucket_exprs("embedding")}]) AS bucket
+            FROM corpus),
+    cand AS (SELECT DISTINCT a_id, c_id FROM abk JOIN cbk USING (bucket)),
+    sc AS (SELECT cand.a_id, cand.c_id,
+                  {_dot("a.embedding", "c.embedding")}
+                    / ({_norm("a.embedding")} * {_norm("c.embedding")}) AS sim
+           FROM cand
+           JOIN ne a ON a.a_id = cand.a_id
+           JOIN corpus c ON c.vec_id = cand.c_id),
+    best AS (SELECT a_id, c_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                     ORDER BY sim DESC, c_id) AS rn
+        FROM sc WHERE sim >= {_EINC_THRESH}) WHERE rn = 1)
+    SELECT w.a_id AS vec_id,
+           CASE WHEN w.exact_match IS NOT NULL THEN 'exact'
+                WHEN b.a_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS dup_kind,
+           COALESCE(w.exact_match, b.c_id) AS match_id,
+           CAST(CASE WHEN w.exact_match IS NOT NULL THEN 1.0
+                     WHEN b.a_id IS NOT NULL THEN b.sim
+                END AS DOUBLE) AS sim
+    FROM wex w LEFT JOIN best b ON w.a_id = b.a_id
+    """,
+    survey_ref="extension: incremental EMBEDDING dedup against the "
+    "persisted vector index (vector twin of llm_dedup_incremental): "
+    "corpus vectors + LSH bucket keys persist once; arrivals probe by "
+    "bucket collision, verify by cosine, update the index — the index "
+    "streams against arrival-side broadcasts, never shuffles",
+    tags=("llm", "dedup", "embedding", "incremental"),
+)
+def llm_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..llm import incremental as inc
+    from ..sources.dim_store import DimStore
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    corpus = embs.filter(F.col("vec_id") % 10 < 8)
+    arrivals = (
+        embs.filter(F.col("vec_id") % 10 >= 8)
+        .unionByName(
+            corpus.filter(F.col("vec_id") % 7 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("vec_id") % 11 == 0).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: (x * F.lit(1.25)).cast("float")
+                ).alias("embedding"),
+            )
+        )
+    )
+    store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_embdedup_idx_"))
+    inc.build_embed_index(
+        store, corpus, "vec_id", "embedding",
+        dim=64, n_planes=_EINC_PLANES, n_tables=_EINC_TABLES, seed=_EINC_SEED,
+    )
+    return inc.ingest_embed_with_dedup(
+        store, arrivals, "vec_id", "embedding",
+        dim=64, n_planes=_EINC_PLANES, n_tables=_EINC_TABLES,
+        seed=_EINC_SEED, threshold=_EINC_THRESH,
+    )
+
+
 # -------------------------------------------------- product quantization
 _PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8
 _PQ_DIST = (

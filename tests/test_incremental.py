@@ -138,3 +138,39 @@ def test_incremental_broadcasts_arrival_side(spark, sf_dir):
     # plan's only exchanges are aggregations of arrival-sized frames)
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_embed_incremental_decisions_and_advance(spark):
+    """Vector twin: exact = identical vector, near = scaled copy
+    (cosine 1.0), new otherwise; batch 2 sees batch 1's additions; the
+    index is never on the shuffle/build side of a join."""
+    store = _store(spark)
+    rows = [(i, [float(i + d) for d in range(8)]) for i in range(1, 4)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=8, n_planes=4, n_tables=2, threshold=0.9)
+    inc.build_embed_index(store, embs, **{k: kw[k] for k in ("dim", "n_planes", "n_tables")})
+    arrivals = spark.createDataFrame(
+        [
+            (10, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),  # = vec 1
+            (11, [2.5, 5.0, 7.5, 10.0, 12.5, 15.0, 17.5, 20.0]),  # 2.5x vec 1
+            (12, [5.0, -3.0, 2.0, -8.0, 1.0, 0.5, -2.0, 4.0]),  # unrelated
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in inc.ingest_embed_with_dedup(
+        store, arrivals, **kw
+    ).collect()}
+    assert out[10]["dup_kind"] == "exact" and out[10]["match_id"] == 1
+    assert out[11]["dup_kind"] == "near" and out[11]["match_id"] == 1
+    assert abs(out[11]["sim"] - 1.0) < 1e-9
+    assert out[12]["dup_kind"] == "new"
+    # batch 2: an exact copy of the batch-1 NEW vector must hit it
+    b2 = spark.createDataFrame(
+        [(20, [5.0, -3.0, 2.0, -8.0, 1.0, 0.5, -2.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    d2 = inc.incremental_embed_dedup(store, b2, **kw).collect()[0]
+    assert d2["dup_kind"] == "exact" and d2["match_id"] == 12
+    # plan discipline, same as the text path
+    p = inc.incremental_embed_dedup(store, b2, **kw)._jdf.queryExecution().toString()
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
