@@ -45,6 +45,7 @@ _DRIVER_WINDOW_FIRST = [
     # --- (a) new this round ---
     "llm_dedup_incremental",
     "stream_llm_dedup_incremental",
+    "llm_embed_dedup_incremental",
     "llm_bpe_train",
     "llm_quality_classifier",
     # --- (b) no driver row yet ---
@@ -83,7 +84,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q22_global_sales_opportunity",
     # ... set ops / joins / scale paths ...
     "set_intersect_buyers",
-    "set_except_buyers",
     "events_value_delta",
     "events_asof_join",
     "orders_range_band_join",
@@ -102,7 +102,10 @@ _DRIVER_WINDOW_FIRST = [
 
 # r7 window candidates: the three sibling-covered r3 entries left out
 # above (set_intersect_all_buyers, set_except_all_buyers,
-# dws_keywords_sql_lateral); the late-r6 additions riding fronted
+# dws_keywords_sql_lateral, and set_except_buyers — displaced by the
+# new llm_embed_dedup_incremental; its sibling set_intersect_buyers
+# stays fronted over the identical frames); the late-r6 additions
+# riding fronted
 # siblings this round (llm_bpe_encode shares _run_merges with the
 # fronted llm_bpe_train; stream_llm_quality_classifier is the fronted
 # llm_quality_classifier behind the already-exercised streaming
