@@ -709,6 +709,7 @@ _PQ_DIST = (
     "llm_knn_ivf's coarse quantizer); seeded closed-form codebook, "
     "broadcast encoding, engine-exact distances",
     tags=("llm", "similarity", "embedding"),
+    bench=True,
 )
 def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(
@@ -2147,6 +2148,7 @@ _BM25_Q_SQL = ", ".join(
     "characteristic terms per document (the document-side complement of "
     "BM25; rational-idf for engine-exact scores)",
     tags=("llm", "text", "retrieval"),
+    bench=True,
 )
 def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.tfidf_keywords(_docs(spark, sf_dir), "doc_id", "text", k=3)
