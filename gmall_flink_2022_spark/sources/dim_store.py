@@ -80,6 +80,13 @@ class DimStore:
         # bytes land partitioned by bucket, ready to swap into place —
         # the no-prior-table path needs NO second copy at all.
         stage = f"{path}.__stage"
+        # colocate each bucket's rows before the partitioned write: with
+        # K upstream partitions, partitionBy alone writes up to
+        # K x n_buckets tiny files (measured 32x file-count inflation at
+        # sf0.1); one batch-sized shuffle on __bucket caps it at
+        # ~n_buckets files and makes the staged read/merge proportional
+        # to buckets, not to upstream parallelism
+        batch = batch.repartition(self.n_buckets, "__bucket")
         batch.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
         # explicit schema: an empty batch writes no partition dirs, which
         # would make schema inference fail (and the read is cheaper)
