@@ -189,3 +189,40 @@ def mixture_temperature_sqrt(
     return df.join(F.broadcast(rates), group_col).filter(
         _u32(F.col(id_col)) < F.col("_thresh")
     ).drop("_thresh")
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    **minhash_kw,
+) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs that
+    STRADDLE a train/val/test boundary — the leakage a hash split
+    cannot prevent (identical or near-identical documents land in
+    different splits whenever their ids hash differently). Returns
+    (id_a, id_b, jaccard, split_a, split_b), split_a != split_b.
+
+    Composition of two oracle-verified operators: MinHash+LSH near-dup
+    pairs (llm.dedup.minhash_lsh_pairs) joined to the id-keyed split
+    assignment (train_val_test_split). The split frames are one narrow
+    expression each, so the audit costs exactly one near-dup pass plus
+    two broadcast-sized joins on the (pair-bounded) result — at 100 TB
+    the pair table is the small side and the split columns are computed,
+    not stored."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **minhash_kw)
+    splits = train_val_test_split(
+        df.select(F.col(id_col).alias("_sid")), "_sid", val_fraction, test_fraction
+    )
+    sa = splits.select(F.col("_sid").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("_sid").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

@@ -2653,3 +2653,73 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(
         _para_corpus(spark, sf_dir), "doc_id", "text", max_dist=64
     )
+
+
+# ---------------------------------------------- cross-split leakage audit
+# (llm/sampling.py::split_leakage) — MinHash near-dup pairs that straddle
+# the id-keyed train/val/test boundary, over the planted near-dup corpus
+# so leakage provably exists. The oracle composes the verbatim minhash
+# fragments over the planted-corpus CTE with the split CASE.
+_SL_SPLIT = f"""CASE WHEN {{u}} < {_VAL_HI} THEN 'val'
+                WHEN {{u}} < {_TEST_HI} THEN 'test'
+                ELSE 'train' END"""
+
+
+@register(
+    "llm_split_leakage",
+    oracle=f"""
+    WITH {_PARA_CORPUS_SQL},
+    {shingle_cte("corpus").lstrip()},
+    sig AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bk AS (
+        SELECT DISTINCT doc_id, bucket
+        FROM (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM sig)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE)
+                 AS jaccard
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE)
+              >= 0.4
+    ),
+    lab AS (
+        SELECT id_a, id_b, jaccard,
+               {_SL_SPLIT.format(u=_u32_sql("id_a"))} AS split_a,
+               {_SL_SPLIT.format(u=_u32_sql("id_b"))} AS split_b
+        FROM pairs
+    )
+    SELECT id_a, id_b, jaccard, split_a, split_b
+    FROM lab WHERE split_a <> split_b
+    """,
+    survey_ref="extension: cross-split leakage audit — near-dup pairs "
+    "straddling the train/val/test boundary (the contamination an "
+    "id-hash split cannot prevent); composition of the oracle-verified "
+    "minhash and split operators",
+    tags=("llm", "dedup", "sampling"),
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sampling
+
+    return sampling.split_leakage(
+        _para_corpus(spark, sf_dir), "doc_id", "text",
+        val_fraction=0.1, test_fraction=0.1,
+        n=3, num_hashes=_NH, bands=_BANDS, threshold=0.4,
+    )
