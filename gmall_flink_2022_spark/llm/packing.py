@@ -134,3 +134,52 @@ def chunk_overlap(
         "tok_start",
         F.least(F.col("tok_start") + chunk_size, F.col("n_tokens")).alias("tok_end"),
     )
+
+
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    counter: str | Callable[[str], Column] = "ws",
+    buckets: tuple[int, ...] = LENGTH_BUCKETS,
+) -> DataFrame:
+    """Inference-batching length histogram: assign each document to the
+    smallest power-of-two token bucket that holds it (the standard
+    pad-to-bucket batching scheme) and report per-bucket padding
+    economics: (bucket_len, n_docs, sum_tokens, pad_waste, fill_ratio).
+    pad_waste = n_docs * bucket_len - sum_tokens is the token budget a
+    padded batch burns; fill_ratio is the complement. Drives bucket-set
+    design for batched inference/scoring over the corpus.
+
+    Bucket assignment is a CASE chain over integer counts (no float
+    log2 — exact at power-of-two boundaries on every engine); documents
+    longer than the top bucket land in bucket -1 ("overflow", i.e. must
+    be chunked first — see chunk_overlap). One narrow map + one
+    aggregation on the bucket key."""
+    n = _token_count(text_col, counter)
+    b = F.lit(-1)
+    for cap in reversed(buckets):
+        b = F.when(n <= cap, F.lit(cap)).otherwise(b)
+    base = df.select(
+        F.col(id_col).alias("id"), n.alias("n_tokens"), b.alias("bucket_len")
+    )
+    agg = base.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    waste = F.when(
+        F.col("bucket_len") > 0,
+        F.col("n_docs") * F.col("bucket_len") - F.col("sum_tokens"),
+    ).cast("long")
+    fill = F.when(
+        F.col("bucket_len") > 0,
+        F.col("sum_tokens").cast("double")
+        / (F.col("n_docs") * F.col("bucket_len")).cast("double"),
+    )
+    return agg.select(
+        "bucket_len", "n_docs", "sum_tokens",
+        waste.alias("pad_waste"), fill.alias("fill_ratio"),
+    )

@@ -2723,3 +2723,38 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_fraction=0.1, test_fraction=0.1,
         n=3, num_hashes=_NH, bands=_BANDS, threshold=0.4,
     )
+
+
+# ------------------------------------------------ inference length buckets
+_LB_CASE = " ".join(
+    f"WHEN n <= {c} THEN {c}" for c in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+)
+
+
+@register(
+    "llm_length_buckets",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, len({TOKS}) AS n FROM documents),
+    lab AS (SELECT doc_id, n,
+                   CASE {_LB_CASE} ELSE -1 END AS bucket_len FROM tk)
+    SELECT bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           CAST(CASE WHEN bucket_len > 0
+                     THEN COUNT(*) * bucket_len - SUM(n) END AS BIGINT)
+             AS pad_waste,
+           CASE WHEN bucket_len > 0
+                THEN CAST(SUM(n) AS DOUBLE)
+                     / CAST(COUNT(*) * bucket_len AS DOUBLE) END AS fill_ratio
+    FROM lab GROUP BY bucket_len
+    """,
+    survey_ref="extension: inference-batching length histogram — "
+    "pad-to-power-of-two bucket assignment with per-bucket padding "
+    "economics (pad_waste / fill_ratio drive bucket-set design for "
+    "batched scoring); integer CASE chain, no float log2",
+    tags=("llm", "packing"),
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.packing import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir), "doc_id", "text")
