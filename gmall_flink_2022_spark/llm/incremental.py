@@ -413,3 +413,23 @@ def ingest_embed_with_dedup(
         k: v for k, v in kw.items() if k in ("dim", "n_planes", "n_tables", "seed")
     })
     return decisions
+
+
+def foreach_batch_embed_ingester(
+    store: DimStore,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+):
+    """Streaming twin for the vector index: ingest_embed_with_dedup per
+    micro-batch, decisions appended to ``out_dir`` — continuous vector
+    ingest where batch N+1 dedupes against batch N's additions."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        decisions = ingest_embed_with_dedup(store, batch, id_col, vec_col, **kw)
+        decisions.write.mode("append").parquet(out_dir)
+
+    return fn

@@ -579,44 +579,52 @@ def _einc_bucket_exprs(vec: str) -> str:
     return ", ".join(keys)
 
 
-@register(
-    "llm_embed_dedup_incremental",
-    oracle=f"""
-    WITH corpus AS (SELECT vec_id, embedding FROM embeddings
-                    WHERE vec_id % 10 < 8),
-    arrv AS (
+_EINC_SPLIT_SQL = """
+    ecorpus AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 10 < 8),
+    earrv AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8
         UNION ALL
-        SELECT vec_id + 100000, embedding FROM corpus WHERE vec_id % 7 = 0
+        SELECT vec_id + 100000, embedding FROM ecorpus WHERE vec_id % 7 = 0
         UNION ALL
         SELECT vec_id + 200000,
                list_transform(embedding, x -> CAST(x * 1.25 AS FLOAT))
-        FROM corpus WHERE vec_id % 11 = 0
-    ),
-    ex AS (SELECT a.vec_id AS a_id, MIN(c.vec_id) AS exact_match
-           FROM arrv a JOIN corpus c ON a.embedding = c.embedding
+        FROM ecorpus WHERE vec_id % 11 = 0
+    )"""
+
+
+def _einc_round_sql(u: str, corpus: str, arrivals: str) -> str:
+    """One embedding-incremental round as a CTE chain: decisions
+    ``ed{u}`` of ``arrivals`` (vec_id, embedding) against ``corpus``
+    (vec_id, embedding) — mirrors incremental_embed_dedup term for
+    term (exact = identical vector, near = best cosine >= threshold
+    among LSH bucket collisions, else new)."""
+    return f"""
+    {u}ex AS (SELECT a.vec_id AS a_id, MIN(c.vec_id) AS exact_match
+           FROM {arrivals} a JOIN {corpus} c ON a.embedding = c.embedding
            GROUP BY a.vec_id),
-    wex AS (SELECT a.vec_id AS a_id, a.embedding, e.exact_match
-            FROM arrv a LEFT JOIN ex e ON a.vec_id = e.a_id),
-    ne AS (SELECT a_id, embedding FROM wex WHERE exact_match IS NULL),
-    abk AS (SELECT DISTINCT a_id, bucket FROM (
+    {u}wex AS (SELECT a.vec_id AS a_id, a.embedding, e.exact_match
+            FROM {arrivals} a LEFT JOIN {u}ex e ON a.vec_id = e.a_id),
+    {u}ne AS (SELECT a_id, embedding FROM {u}wex WHERE exact_match IS NULL),
+    {u}abk AS (SELECT DISTINCT a_id, bucket FROM (
         SELECT a_id, UNNEST([{_einc_bucket_exprs("embedding")}]) AS bucket
-        FROM ne)),
-    cbk AS (SELECT vec_id AS c_id,
+        FROM {u}ne)),
+    {u}cbk AS (SELECT vec_id AS c_id,
                    UNNEST([{_einc_bucket_exprs("embedding")}]) AS bucket
-            FROM corpus),
-    cand AS (SELECT DISTINCT a_id, c_id FROM abk JOIN cbk USING (bucket)),
-    sc AS (SELECT cand.a_id, cand.c_id,
+            FROM {corpus}),
+    {u}cand AS (SELECT DISTINCT a_id, c_id
+                FROM {u}abk JOIN {u}cbk USING (bucket)),
+    {u}sc AS (SELECT {u}cand.a_id, {u}cand.c_id,
                   {_dot("a.embedding", "c.embedding")}
                     / ({_norm("a.embedding")} * {_norm("c.embedding")}) AS sim
-           FROM cand
-           JOIN ne a ON a.a_id = cand.a_id
-           JOIN corpus c ON c.vec_id = cand.c_id),
-    best AS (SELECT a_id, c_id, sim FROM (
+           FROM {u}cand
+           JOIN {u}ne a ON a.a_id = {u}cand.a_id
+           JOIN {corpus} c ON c.vec_id = {u}cand.c_id),
+    {u}best AS (SELECT a_id, c_id, sim FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
                                      ORDER BY sim DESC, c_id) AS rn
-        FROM sc WHERE sim >= {_EINC_THRESH}) WHERE rn = 1)
-    SELECT w.a_id AS vec_id,
+        FROM {u}sc WHERE sim >= {_EINC_THRESH}) WHERE rn = 1),
+    ed{u} AS (SELECT w.a_id AS vec_id,
            CASE WHEN w.exact_match IS NOT NULL THEN 'exact'
                 WHEN b.a_id IS NOT NULL THEN 'near'
                 ELSE 'new' END AS dup_kind,
@@ -624,7 +632,15 @@ def _einc_bucket_exprs(vec: str) -> str:
            CAST(CASE WHEN w.exact_match IS NOT NULL THEN 1.0
                      WHEN b.a_id IS NOT NULL THEN b.sim
                 END AS DOUBLE) AS sim
-    FROM wex w LEFT JOIN best b ON w.a_id = b.a_id
+    FROM {u}wex w LEFT JOIN {u}best b ON w.a_id = b.a_id)"""
+
+
+@register(
+    "llm_embed_dedup_incremental",
+    oracle=f"""
+    WITH {_EINC_SPLIT_SQL},
+    {_einc_round_sql("e1", "ecorpus", "earrv")}
+    SELECT vec_id, dup_kind, match_id, sim FROM ede1
     """,
     survey_ref="extension: incremental EMBEDDING dedup against the "
     "persisted vector index (vector twin of llm_dedup_incremental): "

@@ -1672,3 +1672,111 @@ def _register_stream_quality_classifier() -> None:
 
 
 _register_stream_quality_classifier()
+
+
+def _register_stream_embed_incremental() -> None:
+    """Continuous-ingest incremental dedup for VECTORS: two ordered
+    micro-batches through the persisted embedding index (batch 2's
+    arrivals include exact copies of batch 1's vectors, so the oracle's
+    two-round unroll proves the index advances for this modality too)."""
+    from .llm_plans import (
+        _EINC_PLANES,
+        _EINC_SEED,
+        _EINC_SPLIT_SQL,
+        _EINC_TABLES,
+        _EINC_THRESH,
+        _einc_round_sql,
+    )
+
+    @register(
+        "stream_llm_embed_dedup_incremental",
+        oracle=f"""
+        WITH {_EINC_SPLIT_SQL},
+        {_einc_round_sql("e1", "ecorpus", "earrv")},
+        enew AS (SELECT a.vec_id, a.embedding FROM earrv a
+                 JOIN ede1 d ON a.vec_id = d.vec_id
+                 WHERE d.dup_kind = 'new'),
+        ecorpus2 AS (SELECT vec_id, embedding FROM ecorpus
+                     UNION ALL SELECT vec_id, embedding FROM enew),
+        earr2 AS (SELECT vec_id + 300000 AS vec_id, embedding FROM earrv
+                  WHERE vec_id % 3 = 0),
+        {_einc_round_sql("e2", "ecorpus2", "earr2")}
+        SELECT vec_id, dup_kind, match_id, sim FROM ede1
+        UNION ALL
+        SELECT vec_id, dup_kind, match_id, sim FROM ede2
+        """,
+        survey_ref="extension: incremental embedding dedup as a "
+        "STREAMING job (foreachBatch ingest against the DimStore vector "
+        "index; batch N+1 dedupes against batch N's additions)",
+        tags=("streaming", "llm", "dedup", "embedding", "incremental"),
+    )
+    def stream_llm_embed_dedup_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import glob
+        import time
+
+        from ..llm import incremental as inc
+        from ..sources.dim_store import DimStore
+
+        embs = read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        corpus = embs.filter(F.col("vec_id") % 10 < 8)
+        arr1 = (
+            embs.filter(F.col("vec_id") % 10 >= 8)
+            .unionByName(
+                corpus.filter(F.col("vec_id") % 7 == 0).select(
+                    (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+                )
+            )
+            .unionByName(
+                corpus.filter(F.col("vec_id") % 11 == 0).select(
+                    (F.col("vec_id") + 200000).alias("vec_id"),
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x: (x * F.lit(1.25)).cast("float"),
+                    ).alias("embedding"),
+                )
+            )
+        )
+        arr2 = arr1.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
+        )
+        stage = tempfile.mkdtemp(prefix="gmall_einc_in_")
+        try:
+            in_dir = os.path.join(stage, "in")
+            arr1.coalesce(1).write.parquet(in_dir, mode="overwrite")
+            past = time.time() - 3600
+            for f in glob.glob(os.path.join(in_dir, "*.parquet")):
+                os.utime(f, (past, past))
+            arr2.coalesce(1).write.parquet(in_dir, mode="append")
+            store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_einc_idx_"))
+            kw = dict(
+                dim=64, n_planes=_EINC_PLANES, n_tables=_EINC_TABLES,
+                seed=_EINC_SEED,
+            )
+            inc.build_embed_index(store, corpus, "vec_id", "embedding", **kw)
+            out_dir = os.path.join(stage, "out")
+            sdf = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            q = (
+                sdf.writeStream.foreachBatch(
+                    inc.foreach_batch_embed_ingester(
+                        store, out_dir, threshold=_EINC_THRESH, **kw
+                    )
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(stage, "ck"))
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+_register_stream_embed_incremental()
