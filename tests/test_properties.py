@@ -354,3 +354,49 @@ def test_paragraph_dedup_properties(spark, docs):
     if all(r["n_removed"] == 0 for r in got.values()):
         again = paragraph_dedup(df, "doc_id", "text", window=4).collect()
         assert all(r["n_removed"] == 0 for r in again)
+
+
+# --- BPE greedy-merge equivalence -----------------------------------------
+def _py_greedy_merge(word: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right BPE merge (what sentencepiece/HF
+    do within a word)."""
+    out, i = [], 0
+    while i < len(word):
+        if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return out
+
+
+_bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=10),  # tiny alphabet ->
+    min_size=1,                                       # dense overlaps
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_bpe_words, st.sampled_from(["a", "b"]), st.sampled_from(["a", "b"]))
+def test_bpe_merge_step_equals_python_greedy(spark, words, left, right):
+    """The distributed gaps-and-islands merge must agree with the
+    sequential greedy reference on arbitrary words — including the
+    overlap-heavy a==b runs that make the set-based form subtle."""
+    from gmall_flink_2022_spark.llm.bpe import _initial_symbols, merge_step
+
+    wf = spark.createDataFrame(
+        [(w, i + 1) for i, w in enumerate(dict.fromkeys(words))],
+        "word string, freq long",
+    )
+    merged = merge_step(_initial_symbols(wf), left, right)
+    got = {
+        r["wid"]: r["seq"]
+        for r in merged.groupBy("wid")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, sym))),"
+                    " x -> x.sym)").alias("seq"))
+        .collect()
+    }
+    for w in dict.fromkeys(words):
+        assert got[w] == _py_greedy_merge(list(w), left, right), (w, left, right)
