@@ -110,7 +110,11 @@ _DRIVER_WINDOW_FIRST = [
 # fronted llm_bpe_train; stream_llm_quality_classifier is the fronted
 # llm_quality_classifier behind the already-exercised streaming
 # runner; llm_tfidf_keywords shares the postings/rational-idf path
-# with the fronted-in-r5 llm_bm25_topk); plus the r4-green cohort (46 entries — the streaming suite,
+# with the fronted-in-r5 llm_bm25_topk; llm_pq_codes,
+# llm_split_leakage, llm_length_buckets and the
+# stream_llm_embed_dedup_incremental twin were born after the
+# window froze and are all green in the local sf0.01 parity
+# suite); plus the r4-green cohort (46 entries — the streaming suite,
 # the DimStore _scale quartet, TPC-H batch 2's r4 stragglers,
 # llm_sequence_pack/llm_chunk_overlap), which will be three rounds old
 # by r7 and must rotate back in.
