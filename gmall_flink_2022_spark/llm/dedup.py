@@ -1120,3 +1120,41 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def within_doc_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str | None = None,
+    window: int = 20,
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal — the in-document half
+    of the CCNet line-hash cleanup (boilerplate that repeats inside one
+    page: nav blocks, footers, copy-pasted paragraphs).
+    :func:`paragraph_dedup` is the cross-document half; this keeps the
+    FIRST occurrence of each segment hash per document. Same output
+    contract as paragraph_dedup: one row per document that yields at
+    least one segment — (id, n_segments, n_removed, clean_text).
+
+    Scale shape: one window over (id, segment-hash) ordered by position
+    (shuffle on the doc-scoped key) and one reassembly groupBy on id —
+    both natural per-document keys, so the op is embarrassingly
+    document-parallel; no corpus-wide state at all (unlike the
+    cross-doc pass, there is no global hash aggregate)."""
+    seg = paragraph_segments(df, id_col, text_col, sep=sep, window=window)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id", F.md5("seg")).orderBy("pos")
+    marked = seg.withColumn("keep", F.row_number().over(w) == 1)
+    kept_seg = F.when(F.col("keep"), F.struct("pos", "seg"))
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_seg)), lambda s: s["seg"]
+            ),
+        ).alias("clean_text"),
+    )

@@ -2774,3 +2774,80 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.packing import length_buckets
 
     return length_buckets(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ------------------------------------------- within-document repetition
+# Planted corpus: every third document is truncated to a window-multiple
+# and its first window re-appended, so in-document repeats provably
+# exist and align to segment boundaries on both engines.
+_WD_W = 20
+_WD_CORPUS_SQL = f"""
+    wcorpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 <> 0 OR len({TOKS}) < {_WD_W}
+        UNION ALL
+        SELECT doc_id,
+               array_to_string(list_slice({TOKS}, 1,
+                   CAST(floor(len({TOKS}) / {_WD_W}) AS INT) * {_WD_W}), ' ')
+               || ' ' ||
+               array_to_string(list_slice({TOKS}, 1, {_WD_W}), ' ') AS text
+        FROM documents
+        WHERE doc_id % 3 = 0 AND len({TOKS}) >= {_WD_W}
+    )"""
+
+
+def _wd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    n_full = (F.floor(F.size(toks) / _WD_W) * _WD_W).cast("int")
+    planted = docs.filter(
+        (F.col("doc_id") % 3 == 0) & (F.size(toks) >= _WD_W)
+    ).select(
+        "doc_id",
+        F.concat(
+            F.concat_ws(" ", F.slice(toks, 1, n_full)),
+            F.lit(" "),
+            F.concat_ws(" ", F.slice(toks, 1, _WD_W)),
+        ).alias("text"),
+    )
+    rest = docs.filter((F.col("doc_id") % 3 != 0) | (F.size(toks) < _WD_W))
+    return rest.unionByName(planted)
+
+
+@register(
+    "llm_dedup_within_doc",
+    oracle=f"""
+    WITH {_WD_CORPUS_SQL},
+    tk AS (SELECT doc_id, {TOKS} AS toks FROM wcorpus),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(
+                   list_slice(toks, i*{_WD_W}+1, i*{_WD_W}+{_WD_W}),
+                   ' ') AS seg
+        FROM tk, UNNEST(generate_series(
+                 0, CAST(ceil(len(toks)/{_WD_W}.0) AS INT) - 1)) AS t(i)
+        WHERE len(toks) > 0
+    ),
+    mk AS (SELECT doc_id, pos, seg,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id, md5(seg)
+                                     ORDER BY pos) = 1 AS keep
+           FROM seg)
+    SELECT doc_id AS id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                               ORDER BY pos), '') AS clean_text
+    FROM mk GROUP BY doc_id
+    """,
+    survey_ref="extension: WITHIN-document repeated-segment removal — "
+    "the in-document half of the CCNet line-hash cleanup (repeating "
+    "boilerplate inside one page); keep-first per (doc, segment hash), "
+    "embarrassingly document-parallel (no corpus-wide state)",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.within_doc_dedup(
+        _wd_corpus(spark, sf_dir), "doc_id", "text", window=_WD_W
+    )
