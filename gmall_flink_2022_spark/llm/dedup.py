@@ -1158,3 +1158,34 @@ def within_doc_dedup(
             ),
         ).alias("clean_text"),
     )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions (crawl N vs crawl N+1):
+    one row per doc id present in either — (id, status) with status in
+    ('added', 'removed', 'changed', 'unchanged'), decided by content
+    digest. The data-versioning primitive an incremental pipeline runs
+    before re-curating: only 'added' + 'changed' need to flow through
+    the hygiene stack (feed them to incremental_dedup), 'removed' feeds
+    index retirement.
+
+    One full-outer join on the id — both sides reduce to (id, digest)
+    first, so the shuffle moves two narrow columns, never text. At
+    100 TB this is the standard snapshot-reconciliation join; with both
+    snapshots bucketed by id it is co-located and shuffle-free."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_od")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_nd")
+    )
+    return o.join(n, "id", "full_outer").select(
+        "id",
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -2851,3 +2851,37 @@ def llm_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.within_doc_dedup(
         _wd_corpus(spark, sf_dir), "doc_id", "text", window=_WD_W
     )
+
+
+# ----------------------------------------------------- corpus snapshot diff
+@register(
+    "llm_corpus_diff",
+    oracle="""
+    WITH olds AS (SELECT doc_id, md5(text) AS d FROM documents
+                  WHERE doc_id % 5 <> 0),
+    news AS (SELECT doc_id,
+                    md5(CASE WHEN doc_id % 3 = 0
+                             THEN text || ' [updated]' ELSE text END) AS d
+             FROM documents WHERE doc_id % 7 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.d = n.d THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+    """,
+    survey_ref="extension: corpus snapshot diff (crawl-over-crawl "
+    "reconciliation by content digest — added/removed/changed/unchanged; "
+    "gates what re-enters the hygiene stack via incremental_dedup)",
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    olds = docs.filter(F.col("doc_id") % 5 != 0)
+    news = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [updated]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.corpus_diff(olds, news, "doc_id", "text")
