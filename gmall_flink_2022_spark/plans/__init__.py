@@ -114,7 +114,9 @@ _DRIVER_WINDOW_FIRST = [
 # llm_split_leakage, llm_length_buckets and the
 # stream_llm_embed_dedup_incremental twin were born after the
 # window froze and are all green in the local sf0.01 parity
-# suite); plus the r4-green cohort (46 entries — the streaming suite,
+# suite, as are the final late ops llm_dedup_within_doc — riding the
+# r5-green paragraph_segments machinery — and llm_corpus_diff);
+# plus the r4-green cohort (46 entries — the streaming suite,
 # the DimStore _scale quartet, TPC-H batch 2's r4 stragglers,
 # llm_sequence_pack/llm_chunk_overlap), which will be three rounds old
 # by r7 and must rotate back in.
