@@ -66,14 +66,19 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     for f in files:
         parsed = urlparse(f)
         if parsed.scheme not in ("", "file"):
-            # remote store: can't stat cheaply — count one full split,
-            # which is conservative (many files => no-op, as at scale)
-            size = max_pb
+            # remote store: can't stat cheaply — count the file at its
+            # open cost only, which degrades the formula to COUNT-based
+            # semantics (fewer remote files than cores => fan out, many
+            # => no-op). Counting a full split instead would estimate a
+            # single small s3 file at >= dp splits and structurally
+            # disable the guard for exactly the starved remote scan it
+            # exists for.
+            size = 0
         else:
             try:
                 size = os.path.getsize(parsed.path or f)
             except OSError:
-                size = max_pb
+                size = 0
         padded_total += size + open_cost
     max_split = min(max_pb, max(open_cost, padded_total // max(dp, 1)))
     return max(1, math.ceil(padded_total / max(max_split, 1)))
@@ -995,12 +1000,32 @@ def paragraph_segments(
     )
 
 
+def _reassemble_segments(marked: DataFrame, joiner: str) -> DataFrame:
+    """Shared reassembly for the two CCNet line-hash halves
+    (paragraph_dedup / within_doc_dedup): collapse a marked
+    (id, pos, seg, keep) frame to one row per document —
+    (id, n_segments, n_removed, clean_text), surviving segments joined
+    by ``joiner`` in position order."""
+    kept_seg = F.when(F.col("keep"), F.struct("pos", "seg"))
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(kept_seg)), lambda s: s["seg"]
+            ),
+        ).alias("clean_text"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     sep: str | None = None,
     window: int = 20,
+    joiner: str | None = None,
 ) -> DataFrame:
     """Cross-document paragraph-hash dedup with keep-first-occurrence
     (the CCNet / RefinedWeb line-hash pass: a paragraph seen in more than
@@ -1040,16 +1065,12 @@ def paragraph_dedup(
             & (F.col("pos") == F.col("first.pos"))
         ),
     )
-    kept_seg = F.when(F.col("keep"), F.struct("pos", "seg"))
-    return marked.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(kept_seg)), lambda s: s["seg"]
-            ),
-        ).alias("clean_text"),
+    # clean_text joins with the separator the segmentation split on (sep
+    # taken literally; pass ``joiner`` explicitly when sep is a regex),
+    # so the op is idempotent and downstream separator-based processing
+    # keeps working; window mode joins with a single space as before
+    return _reassemble_segments(
+        marked, joiner if joiner is not None else (sep if sep is not None else " ")
     )
 
 
@@ -1128,6 +1149,7 @@ def within_doc_dedup(
     text_col: str,
     sep: str | None = None,
     window: int = 20,
+    joiner: str | None = None,
 ) -> DataFrame:
     """WITHIN-document repeated-segment removal — the in-document half
     of the CCNet line-hash cleanup (boilerplate that repeats inside one
@@ -1147,16 +1169,8 @@ def within_doc_dedup(
 
     w = W.partitionBy("id", F.md5("seg")).orderBy("pos")
     marked = seg.withColumn("keep", F.row_number().over(w) == 1)
-    kept_seg = F.when(F.col("keep"), F.struct("pos", "seg"))
-    return marked.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(kept_seg)), lambda s: s["seg"]
-            ),
-        ).alias("clean_text"),
+    return _reassemble_segments(
+        marked, joiner if joiner is not None else (sep if sep is not None else " ")
     )
 
 
@@ -1175,17 +1189,24 @@ def corpus_diff(
     first, so the shuffle moves two narrow columns, never text. At
     100 TB this is the standard snapshot-reconciliation join; with both
     snapshots bucketed by id it is co-located and shuffle-free."""
+    # presence is decided by SIDE membership, not digest nullability —
+    # a NULL-text row (md5(NULL) = NULL) present in both snapshots must
+    # classify by digest comparison, never as added/removed
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_od")
+        F.col(id_col).alias("id"),
+        F.lit(True).alias("_in_old"),
+        F.md5(F.col(text_col)).alias("_od"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_nd")
+        F.col(id_col).alias("id"),
+        F.lit(True).alias("_in_new"),
+        F.md5(F.col(text_col)).alias("_nd"),
     )
     return o.join(n, "id", "full_outer").select(
         "id",
-        F.when(F.col("_od").isNull(), F.lit("added"))
-        .when(F.col("_nd").isNull(), F.lit("removed"))
-        .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_od").eqNullSafe(F.col("_nd")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
     )

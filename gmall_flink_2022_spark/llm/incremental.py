@@ -217,21 +217,24 @@ def ingest_with_dedup(
 ) -> DataFrame:
     """Decide + UPDATE: runs :func:`incremental_dedup`, then adds the
     batch's ``new`` docs (digest + signature) to the index so the next
-    batch dedupes against them. The decision frame is materialized
-    (localCheckpoint) BEFORE the index update — a lazy decision plan
-    re-read after the upsert would see the arrivals' own rows and
-    misclassify them as exact self-matches."""
+    batch dedupes against them. The ARRIVAL batch is materialized once
+    at entry (foreachBatch discipline: the decision pass, the signature
+    reuse and the index upserts all consume the checkpoint, so a
+    streaming micro-batch's upstream plan executes exactly once); the
+    decision/signature frames are materialized BEFORE the index update —
+    a lazy decision plan re-read after the upsert would see the
+    arrivals' own rows and misclassify them as exact self-matches."""
+    arr = arrivals.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).localCheckpoint(eager=True)
     decisions, arr_sig = _decide(
-        store, arrivals, id_col, text_col, n, num_hashes, bands, min_agree
+        store, arr, "doc_id", "text", n, num_hashes, bands, min_agree
     )
     # materialize BOTH before touching the index: the signature frame is
     # reused below (saves re-tokenizing the new docs), and both plans
     # read the PRE-update index state
     decisions = decisions.localCheckpoint(eager=True)
     arr_sig = arr_sig.localCheckpoint(eager=True)
-    arr = arrivals.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    )
     new_ids = decisions.filter(F.col("dup_kind") == "new").select("doc_id")
     new_docs = arr.join(new_ids, "doc_id")
     store.upsert(DIGEST_TABLE, _digest_rows(new_docs, "doc_id", "text"), pk="digest")
@@ -256,8 +259,9 @@ def foreach_batch_ingester(
     identity)."""
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
-            return
+        # no pre-flight emptiness action: ingest checkpoints the batch
+        # once and every downstream step (incl. DimStore's empty guard
+        # and an empty decisions append) is empty-safe
         decisions = ingest_with_dedup(store, batch, id_col, text_col, **kw)
         decisions.write.mode("append").parquet(out_dir)
 
@@ -370,9 +374,12 @@ def incremental_embed_dedup(
     scored = pairs.select(
         "a_id", "c_id", cosine(F.col("a_vec"), F.col("c_vec")).alias("sim")
     ).filter(F.col("sim") >= threshold)
+    # max sim, ties to smallest corpus id — min(struct(-sim, c_id)) so
+    # the id column stays type-generic (negating the id would break
+    # string/uuid ids; only sim, always a double, is negated)
     best = scored.groupBy("a_id").agg(
-        F.max(
-            F.struct(F.col("sim").alias("sim"), (-F.col("c_id")).alias("negid"))
+        F.min(
+            F.struct((-F.col("sim")).alias("negsim"), F.col("c_id").alias("cid"))
         ).alias("b")
     )
     return (
@@ -383,11 +390,11 @@ def incremental_embed_dedup(
             .when(F.col("b").isNotNull(), F.lit("near"))
             .otherwise(F.lit("new"))
             .alias("dup_kind"),
-            F.coalesce(F.col("exact_match"), -F.col("b").getField("negid")).alias(
+            F.coalesce(F.col("exact_match"), F.col("b").getField("cid")).alias(
                 "match_id"
             ),
             F.when(F.col("exact_match").isNotNull(), F.lit(1.0))
-            .otherwise(F.col("b").getField("sim"))
+            .otherwise(-F.col("b").getField("negsim"))
             .alias("sim"),
         )
     )
@@ -401,14 +408,17 @@ def ingest_embed_with_dedup(
     **kw,
 ) -> DataFrame:
     """Decide + add the batch's ``new`` vectors (with their bucket keys)
-    to the index; decisions materialize before the index update."""
+    to the index; the arrival batch materializes once at entry and the
+    decisions before the index update (same foreachBatch discipline as
+    the text twin)."""
+    arr = arrivals.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col)
+    ).localCheckpoint(eager=True)
     decisions = incremental_embed_dedup(
-        store, arrivals, id_col, vec_col, **kw
+        store, arr, "vec_id", vec_col, **kw
     ).localCheckpoint(eager=True)
     new_ids = decisions.filter(F.col("dup_kind") == "new").select("vec_id")
-    new_rows = arrivals.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col)
-    ).join(new_ids, "vec_id")
+    new_rows = arr.join(new_ids, "vec_id")
     build_embed_index(store, new_rows, "vec_id", vec_col, **{
         k: v for k, v in kw.items() if k in ("dim", "n_planes", "n_tables", "seed")
     })
@@ -427,8 +437,8 @@ def foreach_batch_embed_ingester(
     ingest where batch N+1 dedupes against batch N's additions."""
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
-            return
+        # empty-safe end to end; the batch materializes once inside
+        # ingest_embed_with_dedup
         decisions = ingest_embed_with_dedup(store, batch, id_col, vec_col, **kw)
         decisions.write.mode("append").parquet(out_dir)
 

@@ -30,13 +30,16 @@ _DRIVER_WINDOW_FIRST = [
     # r3-green cohort — their green rows are three rounds old and
     # pre-date the tokenize/DimStore/io churn of r4-r5; fronting them
     # makes every entry's latest green row at most 2 rounds old.
-    # Capacity: 10 + 43 r3 entries = 53 candidates for 50 slots, so
-    # three r3 entries whose exact code path is exercised by a fronted
-    # sibling stay out, explicitly queued for the r7 window:
-    # set_intersect_all_buyers / set_except_all_buyers (thin ALL
-    # variants of the fronted set-op pair over identical frames) and
+    # Capacity: 11 fronted new/no-row entries + the 43-entry r3 cohort
+    # = 54 candidates for 50 slots, so FOUR r3 entries whose exact code
+    # path is exercised by a fronted sibling stay out, explicitly
+    # queued for the r7 window: set_intersect_all_buyers /
+    # set_except_all_buyers (thin ALL variants over identical frames),
     # dws_keywords_sql_lateral (the SQL-lateral rendering of the
-    # fronted dws_keyword_stats pipeline). The three rows-only ANN
+    # fronted dws_keyword_stats pipeline), and set_except_buyers
+    # (sibling set_intersect_buyers fronted over the identical frames;
+    # displaced late by llm_embed_dedup_incremental). The three
+    # rows-only ANN
     # originals stay below slot 50 as every round: their recall
     # contracts are the driver-checkable surface. The r4-green cohort
     # (46 entries incl. the five streaming + four DimStore _scale
@@ -100,7 +103,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_two_hop_eos",
 ]
 
-# r7 window candidates: the three sibling-covered r3 entries left out
+# r7 window candidates: the FOUR sibling-covered r3 entries left out
 # above (set_intersect_all_buyers, set_except_all_buyers,
 # dws_keywords_sql_lateral, and set_except_buyers — displaced by the
 # new llm_embed_dedup_incremental; its sibling set_intersect_buyers

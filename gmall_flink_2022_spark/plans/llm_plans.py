@@ -473,10 +473,17 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import incremental as inc
     from ..sources.dim_store import DimStore
 
+    import shutil
+
     corpus, arrivals = _inc_corpus_arrivals(spark, sf_dir)
     store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_dedup_idx_"))
-    inc.build_dedup_index(store, corpus)
-    return inc.ingest_with_dedup(store, arrivals)
+    try:
+        inc.build_dedup_index(store, corpus)
+        # decisions are checkpointed inside ingest, so the index dir can
+        # be removed before returning (no leak across bench re-runs)
+        return inc.ingest_with_dedup(store, arrivals)
+    finally:
+        shutil.rmtree(store.root, ignore_errors=True)
 
 
 # ----------------------------------------------------------------- SimHash
@@ -673,16 +680,21 @@ def llm_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    import shutil
+
     store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_embdedup_idx_"))
-    inc.build_embed_index(
-        store, corpus, "vec_id", "embedding",
-        dim=64, n_planes=_EINC_PLANES, n_tables=_EINC_TABLES, seed=_EINC_SEED,
-    )
-    return inc.ingest_embed_with_dedup(
-        store, arrivals, "vec_id", "embedding",
-        dim=64, n_planes=_EINC_PLANES, n_tables=_EINC_TABLES,
-        seed=_EINC_SEED, threshold=_EINC_THRESH,
-    )
+    try:
+        inc.build_embed_index(
+            store, corpus, "vec_id", "embedding",
+            dim=64, n_planes=_EINC_PLANES, n_tables=_EINC_TABLES, seed=_EINC_SEED,
+        )
+        return inc.ingest_embed_with_dedup(
+            store, arrivals, "vec_id", "embedding",
+            dim=64, n_planes=_EINC_PLANES, n_tables=_EINC_TABLES,
+            seed=_EINC_SEED, threshold=_EINC_THRESH,
+        )
+    finally:
+        shutil.rmtree(store.root, ignore_errors=True)
 
 
 # -------------------------------------------------- product quantization
@@ -2866,7 +2878,7 @@ def llm_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o.doc_id, n.doc_id) AS id,
            CASE WHEN o.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN o.d = n.d THEN 'unchanged'
+                WHEN o.d IS NOT DISTINCT FROM n.d THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
     """,

@@ -1624,7 +1624,8 @@ def _register_stream_incremental_dedup() -> None:
             for f in glob.glob(os.path.join(in_dir, "*.parquet")):
                 os.utime(f, (past, past))
             arr2.coalesce(1).write.parquet(in_dir, mode="append")
-            store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_inc_idx_"))
+            # index dir inside the stage so the finally rmtree reclaims it
+            store = DimStore(spark, os.path.join(stage, "idx"))
             inc.build_dedup_index(store, corpus)
             out_dir = os.path.join(stage, "out")
             sdf = (
@@ -1751,7 +1752,8 @@ def _register_stream_embed_incremental() -> None:
             for f in glob.glob(os.path.join(in_dir, "*.parquet")):
                 os.utime(f, (past, past))
             arr2.coalesce(1).write.parquet(in_dir, mode="append")
-            store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_einc_idx_"))
+            # index dir inside the stage so the finally rmtree reclaims it
+            store = DimStore(spark, os.path.join(stage, "idx"))
             kw = dict(
                 dim=64, n_planes=_EINC_PLANES, n_tables=_EINC_TABLES,
                 seed=_EINC_SEED,

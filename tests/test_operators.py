@@ -853,7 +853,9 @@ def test_paragraph_dedup_separator_mode(spark):
         r["id"]: r
         for r in paragraph_dedup(df, "doc_id", "text", sep="\n").collect()
     }
-    assert out[1]["clean_text"] == "shared para unique one"
+    # clean_text rejoins with the SEPARATOR (idempotence: a second
+    # sep='\n' pass sees the same paragraph boundaries)
+    assert out[1]["clean_text"] == "shared para\nunique one"
     assert out[2]["n_removed"] == 1 and out[2]["clean_text"] == "unique two"
     assert 3 not in out  # explode drops segment-less docs
 
@@ -1374,3 +1376,42 @@ def test_pq_codes_semantics(spark):
     for r in out.values():
         assert 1 <= r["code0"] <= 4 and 1 <= r["code1"] <= 4
         assert r["qerr"] >= 0.0
+
+
+def test_corpus_diff_null_text(spark):
+    """Presence is decided by side membership, not digest nullability:
+    a NULL-text doc present in both snapshots is unchanged (both NULL)
+    or changed (one side NULL), never added/removed."""
+    from gmall_flink_2022_spark.llm.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "gone"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, "fresh"), (5, "now set")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "changed"}
+
+
+def test_within_doc_dedup_sep_mode(spark):
+    """In-document repeats collapse to their first occurrence; distinct
+    docs sharing a paragraph are untouched (that is paragraph_dedup's
+    job); the separator is preserved in clean_text."""
+    from gmall_flink_2022_spark.llm.dedup import within_doc_dedup
+
+    rows = [
+        (1, "nav\nbody one\nnav\nfooter\nnav"),
+        (2, "body two\nfooter"),  # footer repeats ACROSS docs: kept here
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in within_doc_dedup(df, "doc_id", "text", sep="\n").collect()
+    }
+    assert out[1]["clean_text"] == "nav\nbody one\nfooter"
+    assert out[1]["n_segments"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == "body two\nfooter"
