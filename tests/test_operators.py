@@ -1415,3 +1415,27 @@ def test_within_doc_dedup_sep_mode(spark):
     assert out[1]["clean_text"] == "nav\nbody one\nfooter"
     assert out[1]["n_segments"] == 5 and out[1]["n_removed"] == 2
     assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == "body two\nfooter"
+
+
+def test_estimated_scan_partitions_remote_scheme(spark, sf_dir, monkeypatch):
+    """Unstat-able remote files degrade to COUNT-based semantics: one
+    small s3 file must estimate as starved (guard fires), many remote
+    files as well-partitioned (no-op) — counting unknown sizes as full
+    splits would structurally disable the guard remotely (r6 review)."""
+    from gmall_flink_2022_spark.llm.dedup import _estimated_scan_partitions
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    df = read_table(spark, sf_dir, "documents")
+    dp = spark.sparkContext.defaultParallelism
+
+    def fake_few(self):
+        return ["s3://bucket/docs/part-0000.parquet"]
+
+    monkeypatch.setattr(type(df), "inputFiles", fake_few)
+    assert _estimated_scan_partitions(df) < dp  # guard fires
+
+    def fake_many(self):
+        return [f"s3://bucket/docs/part-{i:04d}.parquet" for i in range(dp * 4)]
+
+    monkeypatch.setattr(type(df), "inputFiles", fake_many)
+    assert _estimated_scan_partitions(df) >= dp  # no-op at scale
