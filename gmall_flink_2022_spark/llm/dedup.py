@@ -34,8 +34,9 @@ def _parse_byte_size(s: str) -> int:
              "t": 1 << 40, "tb": 1 << 40}
     for suf in sorted(units, key=len, reverse=True):
         if s.endswith(suf):
-            return int(s[: -len(suf)]) * units[suf]
-    return int(s)
+            # float first: Spark accepts fractional sizes ("1.5g")
+            return int(float(s[: -len(suf)]) * units[suf])
+    return int(float(s))
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
@@ -49,7 +50,7 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     the frame has no stat-able file sources (e.g. a local relation)."""
     import math
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
     if not files:
@@ -65,18 +66,22 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     padded_total = 0
     for f in files:
         parsed = urlparse(f)
-        if parsed.scheme not in ("", "file"):
-            # remote store: can't stat cheaply — count the file at its
-            # open cost only, which degrades the formula to COUNT-based
-            # semantics (fewer remote files than cores => fan out, many
-            # => no-op). Counting a full split instead would estimate a
-            # single small s3 file at >= dp splits and structurally
-            # disable the guard for exactly the starved remote scan it
-            # exists for.
+        if parsed.scheme not in ("", "file") or parsed.netloc not in (
+            "", "localhost", "127.0.0.1",
+        ):
+            # remote store (incl. file://host/... with a foreign host):
+            # can't stat cheaply — count the file at its open cost only,
+            # which degrades the formula to COUNT-based semantics (fewer
+            # remote files than cores => fan out, many => no-op).
+            # Counting a full split instead would estimate a single
+            # small s3 file at >= dp splits and structurally disable the
+            # guard for exactly the starved remote scan it exists for.
             size = 0
         else:
             try:
-                size = os.path.getsize(parsed.path or f)
+                # unquote: inputFiles() returns URIs, so paths with
+                # spaces arrive percent-encoded ("%20")
+                size = os.path.getsize(unquote(parsed.path) or f)
             except OSError:
                 size = 0
         padded_total += size + open_cost
@@ -141,7 +146,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_PRE_DEDUP_PROBE_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = None  # type: ignore[assignment]
+import weakref as _weakref
+
+# initialized at import (weakref is stdlib, the import is free) so
+# concurrent plan construction never races a lazy None-check; the
+# remaining per-key setdefault race is benign (same probe, same answer)
+_PRE_DEDUP_PROBE_CACHE: "_weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def _should_pre_dedup(
@@ -163,16 +175,11 @@ def _should_pre_dedup(
     when one source frame feeds several near-dup operators (e.g.
     curate_full), the result is memoized per (frame object, digest
     expression, threshold) in a WeakKeyDictionary."""
-    global _PRE_DEDUP_PROBE_CACHE
     if df.isStreaming:
         # no eager probe on an unbounded frame; the uncollapsed path is
         # always correct, and a streaming caller that KNOWS its corpus
         # is dup-heavy can pass pre_dedup=True explicitly
         return False
-    import weakref
-
-    if _PRE_DEDUP_PROBE_CACHE is None:
-        _PRE_DEDUP_PROBE_CACHE = weakref.WeakKeyDictionary()
     key = (str(digest), min_dup_fraction)
     per_frame = _PRE_DEDUP_PROBE_CACHE.setdefault(df, {})
     if key in per_frame:

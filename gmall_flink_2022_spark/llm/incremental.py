@@ -47,10 +47,19 @@ DIGEST_TABLE = "dedup_digest_idx"
 SIG_TABLE = "dedup_sig_idx"
 
 
+def _text_or_empty(text_col: str):
+    """NULL text coalesced to '' — md5(NULL) is NULL and a NULL digest
+    never joins, so un-coalesced NULL-text arrivals would re-classify as
+    'new' every batch and churn a NULL-digest index row instead of
+    converging. With the coalesce, NULL and empty documents share one
+    digest and dedupe exactly like any other identical content."""
+    return F.coalesce(F.col(text_col), F.lit(""))
+
+
 def _digest_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         docs.select(
-            F.md5(F.col(text_col)).alias("digest"),
+            F.md5(_text_or_empty(text_col)).alias("digest"),
             F.col(id_col).alias("doc_id"),
         )
         .groupBy("digest")
@@ -83,6 +92,7 @@ def build_dedup_index(
 ) -> None:
     """Bootstrap the index from an existing corpus — the ONE corpus-sized
     pass; every later arrival batch touches only the index."""
+    docs = docs.withColumn(text_col, _text_or_empty(text_col))
     store.upsert(DIGEST_TABLE, _digest_rows(docs, id_col, text_col), pk="digest")
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
     store.upsert(SIG_TABLE, sigs.withColumnRenamed("id", "doc_id"), pk="doc_id")
@@ -124,7 +134,7 @@ def _decide(
     idx_dig = store.read(DIGEST_TABLE)
     idx_sig = store.read(SIG_TABLE)
     arr = arrivals.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("doc_id"), _text_or_empty(text_col).alias("text")
     ).withColumn("digest", F.md5("text"))
     # exact membership as two arrival-side broadcasts: the corpus-sized
     # digest index STREAMS against the broadcast arrival digests (inner
@@ -225,7 +235,7 @@ def ingest_with_dedup(
     a lazy decision plan re-read after the upsert would see the
     arrivals' own rows and misclassify them as exact self-matches."""
     arr = arrivals.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("doc_id"), _text_or_empty(text_col).alias("text")
     ).localCheckpoint(eager=True)
     decisions, arr_sig = _decide(
         store, arr, "doc_id", "text", n, num_hashes, bands, min_agree

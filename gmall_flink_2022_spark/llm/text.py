@@ -308,6 +308,14 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOP_HITS = 2
 
 
+def _toks_or_empty(text_col: str) -> Column:
+    """Token array with NULL text coalesced to the EMPTY array — the
+    fail-closed contract: a NULL document must take the same every-rule-
+    false / keep=false path as an empty document, not propagate NULL
+    through size()/aggregate() (ANSI: size(NULL) is NULL)."""
+    return F.coalesce(tokenize_col(text_col), F.array().cast("array<string>"))
+
+
 def _gopher_rules(toks: Column) -> dict[str, Column]:
     """The four Gopher rule verdicts as Columns over a token array
     (shared by gopher_filter and quality_classifier so the rule set
@@ -349,8 +357,10 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bounds, mean word length within bounds, >= 80% of words contain a
     letter, and at least 2 stopword occurrences. Empty documents fail
     closed (every rule false, not null). Narrow map, zero shuffles,
-    all whole-stage-codegen expressions."""
-    toks = tokenize_col(text_col)
+    all whole-stage-codegen expressions. NULL text coalesces to the
+    empty token array so NULL-text rows fail closed exactly like empty
+    docs (keep=FALSE, not NULL)."""
+    toks = _toks_or_empty(text_col)
     rules = _gopher_rules(toks)
     return df.select(
         F.col(id_col).alias("id"),
@@ -425,8 +435,10 @@ def quality_classifier(
     weighting, and summation are all higher-order array functions inside
     one whole-stage-codegen projection (no explode, no groupBy, no
     join). Output: (id, n_features, w_sum, gopher_keep, logit_5k, keep).
+    NULL text coalesces to the empty token array (fail closed, same as
+    empty docs).
     """
-    toks = tokenize_col(text_col)
+    toks = _toks_or_empty(text_col)
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(

@@ -2034,7 +2034,9 @@ def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_gopher_filter",
     oracle=f"""
-    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    WITH tk AS (SELECT doc_id,
+                COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+                FROM documents),
     feat AS (
         SELECT doc_id, len(toks) AS n,
                CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
@@ -2087,7 +2089,9 @@ _QC_GOPHER_SQL = """
 @register(
     "llm_quality_classifier",
     oracle=f"""
-    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    WITH tk AS (SELECT doc_id,
+                COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+                FROM documents),
     ft AS (
         SELECT doc_id, toks,
                list_concat(toks,

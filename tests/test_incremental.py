@@ -174,3 +174,27 @@ def test_embed_incremental_decisions_and_advance(spark):
     # plan discipline, same as the text path
     p = inc.incremental_embed_dedup(store, b2, **kw)._jdf.queryExecution().toString()
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_incremental_null_text_converges(spark):
+    """r6 review: md5(NULL) is NULL and a NULL digest never joins, so
+    un-coalesced NULL-text arrivals re-classified as 'new' every batch
+    and churned the index. Coalesced to '', a NULL doc behaves like any
+    identical content: first one is 'new', every later NULL/empty doc is
+    an 'exact' hit, and the index holds exactly one digest row for it."""
+    store = _store(spark)
+    inc.build_dedup_index(store, _df(spark, CORPUS))
+    b1 = spark.createDataFrame([(60, None)], "doc_id long, text string")
+    d1 = inc.ingest_with_dedup(store, b1).collect()[0]
+    assert d1["dup_kind"] == "new"
+    # NULL-text again AND empty-string text: both exact-match doc 60
+    b2 = spark.createDataFrame(
+        [(61, None), (62, "")], "doc_id long, text string"
+    )
+    d2 = {r["doc_id"]: r for r in inc.ingest_with_dedup(store, b2).collect()}
+    assert d2[61]["dup_kind"] == "exact" and d2[61]["match_id"] == 60
+    assert d2[62]["dup_kind"] == "exact" and d2[62]["match_id"] == 60
+    # index converged: one digest row, no NULL digests, no churn
+    dig = store.read(inc.DIGEST_TABLE).filter(F.col("keep_id") >= 60).collect()
+    assert len(dig) == 1 and dig[0]["keep_id"] == 60
+    assert dig[0]["digest"] is not None

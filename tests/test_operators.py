@@ -1439,3 +1439,74 @@ def test_estimated_scan_partitions_remote_scheme(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(type(df), "inputFiles", fake_many)
     assert _estimated_scan_partitions(df) >= dp  # no-op at scale
+
+
+def test_estimated_scan_partitions_encoded_local_uri(spark, sf_dir, tmp_path, monkeypatch):
+    """r6 review: URL-encoded local URIs (spaces -> %20) and
+    file://localhost/... forms must stat successfully (SIZE-based
+    estimate), while file://otherhost/... degrades to the remote
+    count-based path instead of silently counting size 0 via OSError;
+    byte-size confs with fractional values ("1.5g") must parse."""
+    import shutil
+
+    from gmall_flink_2022_spark.llm.dedup import (
+        _estimated_scan_partitions,
+        _parse_byte_size,
+    )
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    # fractional conf values parse via float (Spark accepts them)
+    assert _parse_byte_size("1.5g") == int(1.5 * (1 << 30))
+    assert _parse_byte_size("0.5kb") == 512
+    assert _parse_byte_size("128m") == 128 << 20
+
+    d = tmp_path / "with space"
+    d.mkdir()
+    src = read_table(spark, sf_dir, "documents").inputFiles()[0].replace("file:", "")
+    from urllib.parse import unquote as _uq
+
+    shutil.copy(_uq(src), d / "part-0000.parquet")
+    df = spark.read.parquet(str(d))
+    encoded = [f for f in df.inputFiles() if "%20" in f]
+    assert encoded, "expected inputFiles() to percent-encode the space"
+    dp = spark.sparkContext.defaultParallelism
+
+    # a single small LOCAL file (even percent-encoded) must be stat-ed:
+    # its true size is tiny, so the padded-size formula says starved
+    est_local = _estimated_scan_partitions(df)
+    assert est_local is not None and est_local < dp
+
+    # same file behind a foreign file:// host: unstat-able -> remote
+    # count-based semantics, NOT an OSError-swallowed size of 0 via a
+    # bogus local stat (one file still estimates starved, many don't)
+    base = encoded[0].split("/", 3)[3]
+
+    def fake_foreign_many(self):
+        return [f"file://otherhost/{base}" for _ in range(dp * 4)]
+
+    monkeypatch.setattr(type(df), "inputFiles", fake_foreign_many)
+    assert _estimated_scan_partitions(df) >= dp
+
+
+def test_null_text_fails_closed_gopher_and_classifier(spark):
+    """r6 review: NULL-text rows must take the same fail-closed path as
+    empty docs — keep=False and zeroed counts, never NULL verdicts
+    (un-coalesced, size(NULL) is NULL under ANSI and keep became NULL)."""
+    from gmall_flink_2022_spark.llm.text import gopher_filter, quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the cat sat on the mat and it is fine")],
+        "doc_id long, text string",
+    )
+    g = {r["id"]: r for r in gopher_filter(docs, "doc_id", "text").collect()}
+    for i in (1, 2):
+        assert g[i]["n_tokens"] == 0
+        assert g[i]["keep"] is False
+        for c in ("r_word_count", "r_mean_len", "r_alpha_frac", "r_stopwords"):
+            assert g[i][c] is False, (i, c)
+    q = {r["id"]: r for r in quality_classifier(docs, "doc_id", "text").collect()}
+    for i in (1, 2):
+        assert q[i]["n_features"] == 0 and q[i]["w_sum"] == 0
+        assert q[i]["keep"] is False and q[i]["gopher_keep"] is False
+    # NULL and empty text are byte-for-byte the same decision row
+    assert q[1][1:] == q[2][1:]
