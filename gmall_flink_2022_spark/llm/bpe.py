@@ -147,6 +147,22 @@ def bpe_train(
     )
 
 
+def _encoded_vocab(final: DataFrame) -> DataFrame:
+    """Final symbol table -> (word, freq, n_syms, encoded) with
+    ``encoded`` the symbol sequence joined by '|'."""
+    kept = F.array_sort(F.collect_list(F.struct("pos", "sym")))
+    return (
+        final.groupBy("wid", "freq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_syms"),
+            F.concat_ws(
+                "|", F.transform(kept, lambda s: s["sym"])
+            ).alias("encoded"),
+        )
+        .select(F.col("wid").alias("word"), "freq", "n_syms", "encoded")
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str = "text",
@@ -159,22 +175,141 @@ def bpe_encode(
     count under the trained tokenizer (the fertility/compression
     statistic a tokenizer-training pipeline reports). Same loop, same
     scale shape as :func:`bpe_train`; encoding a DIFFERENT corpus with a
-    shipped merge table is the same merge_step chain applied to its
-    word table."""
+    shipped merge table is :func:`bpe_apply`."""
     wf = word_freqs(df, text_col)
     syms = _initial_symbols(wf).localCheckpoint(eager=True)
     _, final = _run_merges(syms, n_merges)
-    kept = F.array_sort(F.collect_list(F.struct("pos", "sym")))
-    return (
-        final.groupBy("wid", "freq")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_syms"),
-            F.concat_ws(
-                "|", F.transform(kept, lambda s: s["sym"])
-            ).alias("encoded"),
-        )
-        .select(F.col("wid").alias("word"), "freq", "n_syms", "encoded")
+    return _encoded_vocab(final)
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode a corpus with a SHIPPED merge table — the production
+    tokenizer shape: train once (:func:`bpe_train`), apply everywhere.
+    ``merges`` is the (step, left_sym, right_sym, ...) frame bpe_train
+    returns (or a parquet of one); merges apply in ``step`` order, NO
+    pair counting and NO argmax happen here — inference never looks at
+    the corpus statistics, exactly like the reference's config-driven
+    routing table applied to a stream
+    (function/TableProcessFunction.java:62-80: the processing rules are
+    a small precomputed table, the data just flows through them).
+
+    OOV fallback is character-level and automatic by construction:
+    initial symbols are single characters, and a character (or
+    character pair) the training corpus never produced a merge for
+    simply stays unmerged — unseen words encode as their character
+    sequence, never error (Sennrich et al. 2016 §3.2's open-vocabulary
+    property).
+
+    Scale shape: the merge table is vocabulary-bounded (n_merges rows)
+    and collects to the driver like any config table — the reference's
+    broadcast-config discipline; the corpus-sized work is the one
+    word_freqs pass plus ``n_merges`` window passes over the word
+    table, all sharing the wid partitioning."""
+    rows = (
+        merges.select("step", "left_sym", "right_sym")
+        .orderBy("step")
+        .collect()  # bounded: the shipped artifact is n_merges rows
     )
+    syms = _initial_symbols(word_freqs(df, text_col)).localCheckpoint(eager=True)
+    for r in rows:
+        syms = merge_step(syms, r["left_sym"], r["right_sym"]).localCheckpoint(
+            eager=False
+        )
+    return _encoded_vocab(syms)
+
+
+def _merge_apply_cte_sql(src: str, dst: str, mname: str, tname: str) -> str:
+    """CTE text applying the pair selected by ``tname`` to symbol state
+    ``src``, producing ``dst`` — the SQL twin of :func:`merge_step`
+    (match -> greedy islands -> absorb + renumber), shared between the
+    train chain (src=s{i}) and the held-out apply chain (src=a{i})."""
+    return f"""{mname} AS MATERIALIZED (
+        SELECT wid, freq, pos, sym, nxt,
+               mt AND (ROW_NUMBER() OVER (PARTITION BY wid, mt, isl
+                                          ORDER BY pos)) % 2 = 1 AS take
+        FROM (
+            SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY wid, mt
+                                              ORDER BY pos) AS isl
+            FROM (
+                SELECT wid, freq, pos, sym,
+                       LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+                       ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS rn,
+                       COALESCE(sym = (SELECT sym FROM {tname})
+                                AND LEAD(sym) OVER (PARTITION BY wid
+                                                    ORDER BY pos)
+                                    = (SELECT nxt FROM {tname}), FALSE) AS mt
+                FROM {src}
+            )
+        )
+    ),
+    {dst} AS MATERIALIZED (
+        SELECT wid, freq,
+               CAST(ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
+                    AS BIGINT) AS pos,
+               CASE WHEN take THEN sym || nxt ELSE sym END AS sym
+        FROM (
+            SELECT *, LAG(take) OVER (PARTITION BY wid ORDER BY pos) AS ptk
+            FROM {mname}
+        ) WHERE NOT COALESCE(ptk, FALSE)
+    )"""
+
+
+def _wf_syms_cte_sql(wf: str, s1: str, where: str) -> str:
+    """The corpus -> word-freq -> initial-symbols CTE pair over
+    ``documents`` (optionally filtered)."""
+    return f"""{wf} AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT UNNEST(regexp_extract_all(lower(text), '{BPE_RE}')) AS word
+            FROM documents{(" WHERE " + where) if where else ""}
+        ) GROUP BY word
+    ),
+    {s1} AS MATERIALIZED (
+        SELECT word AS wid, freq, CAST(i AS BIGINT) AS pos,
+               substr(word, CAST(i AS INTEGER), 1) AS sym
+        FROM {wf}, UNNEST(generate_series(1, length(word))) AS u(i)
+    )"""
+
+
+def bpe_apply_oracle_sql(
+    n_merges: int = BPE_DEFAULT_MERGES,
+    train_where: str = "doc_id % 2 = 0",
+    apply_where: str = "doc_id % 2 = 1",
+) -> str:
+    """DuckDB oracle for train-on-one-split / apply-to-the-other: the
+    training chain (counts + argmax t{i} + merge) runs over the train
+    split exactly as in :func:`bpe_train_oracle_sql`; the apply chain
+    replays t1..t{n} over the HELD-OUT split's symbol table with no
+    counting of its own — structurally the same no-statistics property
+    the Spark :func:`bpe_apply` has."""
+    parts = [_wf_syms_cte_sql("wf", "s1", train_where)]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT sym, nxt, SUM(freq) AS n FROM (
+            SELECT freq, sym,
+                   LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+            FROM s{i}
+        ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    t{i} AS MATERIALIZED (SELECT sym, nxt, n FROM p{i} ORDER BY n DESC, sym, nxt LIMIT 1),
+    """
+            + _merge_apply_cte_sql(f"s{i}", f"s{i + 1}", f"m{i}", f"t{i}")
+        )
+    parts.append(_wf_syms_cte_sql("wfa", "a1", apply_where))
+    for i in range(1, n_merges + 1):
+        parts.append(
+            _merge_apply_cte_sql(f"a{i}", f"a{i + 1}", f"ma{i}", f"t{i}")
+        )
+    selects = (
+        f"SELECT wid AS word, freq, CAST(COUNT(*) AS BIGINT) AS n_syms, "
+        f"string_agg(sym, '|' ORDER BY pos) AS encoded "
+        f"FROM a{n_merges + 1} GROUP BY wid, freq"
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
 
 
 def bpe_train_oracle_sql(

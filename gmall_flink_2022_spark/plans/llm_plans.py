@@ -2515,6 +2515,30 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_mod.bpe_encode(_docs(spark, sf_dir), "text", n_merges=_BPE_MERGES)
 
 
+@register(
+    "llm_bpe_apply",
+    oracle=bpe_mod.bpe_apply_oracle_sql(_BPE_MERGES),
+    survey_ref="extension: BPE encode with a SHIPPED merge table on a "
+    "HELD-OUT corpus — train once on the even-doc_id split, apply the "
+    "merge artifact (no counting, no argmax) to the odd-doc_id split; "
+    "OOV symbols fall back to characters by construction (Sennrich et "
+    "al. 2016 open-vocabulary property). The merge table is the "
+    "config-table shape of the reference's routing rules "
+    "(function/TableProcessFunction.java:62-80): a small precomputed "
+    "table the data flows through",
+    tags=("llm", "text", "tokenizer", "iterative"),
+    bench=True,
+)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    merges = bpe_mod.bpe_train(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", n_merges=_BPE_MERGES
+    )
+    return bpe_mod.bpe_apply(
+        docs.filter(F.col("doc_id") % 2 == 1), merges, "text"
+    )
+
+
 # -------------------------------------------- full curation pipeline (v2)
 _TOKS_CT = TOKS.replace("lower(text)", "lower(ctext)")
 _CURATE_FULL_ORACLE = f"""
