@@ -253,6 +253,38 @@ def ingest_with_dedup(
     return decisions
 
 
+def vacuum_dedup_index(store: DimStore, removed_ids: DataFrame) -> None:
+    """Retention: drop index entries for documents REMOVED from the
+    corpus (``removed_ids``: one column of doc ids — e.g. the
+    right-only side of llm/sampling.py::corpus_diff reconciliation).
+    Signature rows are keyed by doc_id directly; digest rows are
+    dropped when their CANONICAL holder (keep_id) was removed — the
+    content re-registers as 'new' on next arrival, the honest behavior
+    when the canonical copy is gone. Both deletes ride DimStore's
+    partition-pruned bucket rewrite; the doomed-digest probe broadcasts
+    the (small) removal list so the digest index never shuffles."""
+    id_c = removed_ids.columns[0]
+    ids = removed_ids.select(F.col(id_c).alias("doc_id")).dropDuplicates(["doc_id"])
+    store.delete(SIG_TABLE, ids, pk="doc_id")
+    doomed = (
+        store.read(DIGEST_TABLE)
+        .join(F.broadcast(ids), F.col("keep_id") == F.col("doc_id"))
+        .select("digest")
+    )
+    store.delete(DIGEST_TABLE, doomed, pk="digest")
+
+
+def vacuum_embed_index(store: DimStore, removed_ids: DataFrame) -> None:
+    """Vector-twin retention: the embedding index is keyed by vec_id,
+    so removal is one pruned delete."""
+    id_c = removed_ids.columns[0]
+    store.delete(
+        EMB_TABLE,
+        removed_ids.select(F.col(id_c).alias("vec_id")),
+        pk="vec_id",
+    )
+
+
 def foreach_batch_ingester(
     store: DimStore,
     out_dir: str,

@@ -486,6 +486,87 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store.root, ignore_errors=True)
 
 
+# ----------------------------------- index lifecycle: vacuum + compaction
+# (r6 VERDICT ask #3) — the continuous-ingest lifecycle end-to-end:
+# bootstrap -> ingest batch 1 (index grows, auto-compaction keeps file
+# count bounded) -> VACUUM docs removed from the corpus -> decide batch
+# 2 against the retained index. The oracle replays the same two rounds
+# against the equivalent logical corpus: round 2's corpus is
+# (corpus - removed) + batch-1 'new' docs — exactly what the vacuumed
+# index holds, because synthetic doc texts are per-doc unique (so every
+# digest row's canonical holder is the doc itself). Compaction is
+# covered implicitly: it must not change any decision.
+_LIFE_ORACLE = f"""
+    WITH {_INC_SPLIT_SQL},
+    {_inc_round_sql("r1", "corpus", "arrv")},
+    new1 AS (SELECT a.doc_id, a.text FROM arrv a
+             JOIN dr1 d ON a.doc_id = d.doc_id WHERE d.dup_kind = 'new'),
+    idx2 AS (SELECT doc_id, text FROM corpus WHERE doc_id % 13 <> 0
+             UNION ALL SELECT doc_id, text FROM new1),
+    arrv2 AS (SELECT doc_id + 300000 AS doc_id, text
+              FROM corpus WHERE doc_id % 13 = 0
+              UNION ALL
+              SELECT doc_id + 400000, text
+              FROM corpus WHERE doc_id % 17 = 0 AND doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 500000, text || ' rr ss tt'
+              FROM corpus WHERE doc_id % 19 = 0 AND doc_id % 13 <> 0),
+    {_inc_round_sql("r2", "idx2", "arrv2")}
+    SELECT doc_id, dup_kind, match_id, agree_n FROM dr2
+    """
+
+
+@register(
+    "llm_dedup_index_lifecycle",
+    oracle=_LIFE_ORACLE,
+    survey_ref="extension: persisted-index LIFECYCLE (r6 VERDICT ask #3) "
+    "— ingest grows the index under auto-compaction (bounded file "
+    "count), vacuum_dedup_index drops removed docs' signature rows and "
+    "their canonical digest rows, and the next batch's decisions see "
+    "exactly the retained corpus: removed content re-registers, "
+    "survivors still exact-hit. Rides DimStore's partition-pruned "
+    "bucket rewrite (function/DimSinkFunction.java:29-66 analog)",
+    tags=("llm", "dedup", "incremental"),
+    bench=True,
+)
+def llm_dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..llm import incremental as inc
+    from ..sources.dim_store import DimStore
+
+    corpus, arrivals = _inc_corpus_arrivals(spark, sf_dir)
+    surv = corpus.filter(F.col("doc_id") % 13 != 0)
+    batch2 = (
+        corpus.filter(F.col("doc_id") % 13 == 0)
+        .select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+        .unionByName(
+            surv.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 400000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            surv.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" rr ss tt")).alias("text"),
+            )
+        )
+    )
+    store = DimStore(
+        spark, tempfile.mkdtemp(prefix="gmall_dedup_life_"), auto_compact_every=1
+    )
+    try:
+        inc.build_dedup_index(store, corpus)
+        inc.ingest_with_dedup(store, arrivals)
+        inc.vacuum_dedup_index(
+            store, corpus.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+        )
+        return inc.incremental_dedup(store, batch2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store.root, ignore_errors=True)
+
+
 # ----------------------------------------------------------------- SimHash
 _SBITS = 16
 _HEXPOS = "strpos('0123456789abcdef', substr(h, %d, 1)) - 1"

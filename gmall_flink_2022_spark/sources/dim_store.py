@@ -37,10 +37,24 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 class DimStore:
     """Directory-backed dim tables with bucketed upsert semantics."""
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        auto_compact_every: int | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        # continuous-ingest lifecycle: every merge rewrites each affected
+        # bucket dir with however many part files the merge plan's tasks
+        # emit, so file count per bucket grows with upsert count. With
+        # auto_compact_every=N, every Nth upsert OF A TABLE triggers
+        # compact(table) — file count stays bounded across unbounded
+        # ingest (the Delta/Iceberg OPTIMIZE analog).
+        self.auto_compact_every = auto_compact_every
+        self._upserts: dict[str, int] = {}
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -127,6 +141,83 @@ class DimStore:
             # first write: the staged dir IS the table — one rename, zero
             # extra copies (S8 DDL-on-demand)
             os.replace(stage, path)
+        n = self._upserts[table] = self._upserts.get(table, 0) + 1
+        if self.auto_compact_every and n % self.auto_compact_every == 0:
+            self.compact(table)
+
+    def compact(self, table: str) -> None:
+        """Rewrite every bucket dir down to ~one file — the OPTIMIZE/
+        bin-packing half of the lifecycle story. Each upsert's merge
+        rewrites affected buckets with one part file PER MERGE TASK, so
+        a hot bucket fragments linearly with ingest count; compaction is
+        one bucket-partitioned shuffle (each task owns a bucket, writes
+        one file) followed by the same atomic bucket-dir swap the merge
+        path uses. O(table) read+write, run every N upserts — amortized
+        O(table/N) per batch, the standard LSM/lakehouse trade."""
+        path = self._path(table)
+        if not self.exists(table):
+            return
+        df = self.spark.read.parquet(path)
+        out = f"{path}.__compact"
+        (
+            df.repartition(self.n_buckets, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+        for entry in os.listdir(out):
+            if entry.startswith("__bucket="):
+                dst = os.path.join(path, entry)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(os.path.join(out, entry), dst)
+        shutil.rmtree(out, ignore_errors=True)
+
+    def delete(self, table: str, keys: DataFrame, pk: str = "id") -> None:
+        """Retention: remove the rows whose ``pk`` appears in ``keys`` —
+        the vacuum half of the lifecycle story (reconciliation feeds,
+        e.g. corpus_diff removals, produce the key list). Same
+        partition-pruned shape as upsert: only buckets that contain a
+        doomed key are read or rewritten; a bucket whose every row is
+        deleted has its dir removed."""
+        if not self.exists(table):
+            return
+        path = self._path(table)
+        bucket = F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(self.n_buckets))
+        doomed = (
+            keys.select(pk)
+            .dropDuplicates([pk])
+            .withColumn("__bucket", bucket.cast("int"))
+            .localCheckpoint(eager=True)  # one materialization of the key list
+        )
+        affected = [
+            r["__bucket"] for r in doomed.select("__bucket").distinct().collect()
+        ]
+        if not affected:
+            return
+        current = self.spark.read.parquet(path).filter(
+            F.col("__bucket").isin(affected)
+        )
+        keep = current.join(doomed.select(pk), on=pk, how="left_anti")
+        merge_dir = f"{path}.__merge"
+        keep.write.mode("overwrite").partitionBy("__bucket").parquet(merge_dir)
+        for b in affected:
+            src = os.path.join(merge_dir, f"__bucket={b}")
+            dst = os.path.join(path, f"__bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)  # bucket fully emptied -> dir just goes
+        shutil.rmtree(merge_dir, ignore_errors=True)
+
+    def file_count(self, table: str) -> int:
+        """Data-file count across bucket dirs (lifecycle observability —
+        what the compaction chain test bounds)."""
+        path = self._path(table)
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            total += sum(
+                1 for f in files if f.endswith(".parquet") and not f.startswith(".")
+            )
+        return total
 
     # foreach_batch_upserter collects the distinct sink_table list (and
     # per-table column-name lists) to the driver each micro-batch. That is
