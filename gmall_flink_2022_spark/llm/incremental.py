@@ -253,6 +253,112 @@ def ingest_with_dedup(
     return decisions
 
 
+CLUSTER_TABLE = "dup_cluster_map"
+
+
+def build_cluster_map(store: DimStore, pairs: DataFrame) -> None:
+    """Bootstrap the persisted cluster map from a batch pair set: one
+    full star-CC (llm/dedup.py::dup_clusters), rows (id, cluster_id)
+    upserted into DimStore. Singleton docs (no pairs) stay implicit —
+    same contract as the batch operator's output."""
+    from .dedup import dup_clusters
+
+    store.upsert(CLUSTER_TABLE, dup_clusters(pairs), pk="id")
+
+
+def update_dup_clusters(store: DimStore, new_pairs: DataFrame) -> DataFrame:
+    """INCREMENTAL connected-component maintenance (r6 VERDICT ask #4):
+    fold a batch of new near-dup edges into the persisted (id,
+    cluster_id) map without recomputing CC over the corpus.
+
+    Invariant maintained: after every call the map equals
+    ``dup_clusters`` run over the UNION of all edges ever seen
+    (min-id canonical labels) — proven by the equivalence test.
+
+    How: each batch edge endpoint is translated to its CURRENT label
+    (its cluster_id if mapped, else itself — labels are cluster minima,
+    so this is quotient-graph contraction); star-CC then runs on the
+    CONTRACTED graph only, which is BATCH-sized, not corpus-sized — the
+    'full CC only when the batch merges clusters' discipline, made
+    uniform: an attach-only batch contracts to arrival->label stars and
+    converges in one round, a cluster-merging batch unifies the labels
+    themselves. Relabels (an existing cluster's min changed: merged
+    with a smaller-min cluster or an arrival with a smaller id) rewrite
+    only the touched clusters' member rows — the corpus-sized map
+    streams through one broadcast relabel probe and only matching rows
+    are upserted (bucket-pruned by id). Reference analog: keyed-state
+    accumulation, dwm/UniqueVisitApp.java:44-50 — per-key state
+    advances in place, no global recompute.
+
+    Returns the (id, cluster_id) assignment rows written this batch
+    (newly-mapped nodes + relabeled members)."""
+    from .dedup import dup_clusters
+
+    edges = (
+        new_pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    if store.exists(CLUSTER_TABLE):
+        m = store.read(CLUSTER_TABLE)
+        # batch-bounded: the corpus-sized map streams against the
+        # broadcast batch node set
+        existing = m.join(F.broadcast(nodes), "id").localCheckpoint(eager=True)
+    else:
+        m = None
+        existing = nodes.filter(F.lit(False)).withColumn(
+            "cluster_id", F.col("id")
+        )
+    la = existing.select(F.col("id").alias("a"), F.col("cluster_id").alias("la"))
+    lb = existing.select(F.col("id").alias("b"), F.col("cluster_id").alias("lb"))
+    contracted = (
+        edges.join(F.broadcast(la), "a", "left")
+        .join(F.broadcast(lb), "b", "left")
+        .select(
+            F.coalesce("la", "a").alias("id_a"),
+            F.coalesce("lb", "b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    comp = dup_clusters(contracted).localCheckpoint(eager=True)
+    # nodes seen for the first time get their component's label
+    newcomers = nodes.join(existing.select("id"), "id", "left_anti")
+    rows_new = comp.join(F.broadcast(newcomers), "id")
+    # labels that moved = existing clusters whose canonical min changed
+    relabels = (
+        comp.filter(F.col("id") != F.col("cluster_id"))
+        .join(
+            F.broadcast(
+                existing.select(F.col("cluster_id").alias("id")).distinct()
+            ),
+            "id",
+        )
+        .select(F.col("id").alias("_old"), F.col("cluster_id").alias("_new"))
+        .localCheckpoint(eager=True)
+    )
+    if m is not None and relabels.take(1):
+        moved = m.join(
+            F.broadcast(relabels), m["cluster_id"] == relabels["_old"]
+        ).select("id", F.col("_new").alias("cluster_id"))
+    else:
+        moved = rows_new.filter(F.lit(False))
+    written = rows_new.unionByName(moved).localCheckpoint(eager=True)
+    store.upsert(CLUSTER_TABLE, written, pk="id")
+    return written
+
+
+def read_cluster_map(store: DimStore) -> DataFrame:
+    """The current (id, cluster_id) map (non-singleton docs)."""
+    return store.read(CLUSTER_TABLE)
+
+
 def vacuum_dedup_index(store: DimStore, removed_ids: DataFrame) -> None:
     """Retention: drop index entries for documents REMOVED from the
     corpus (``removed_ids``: one column of doc ids — e.g. the

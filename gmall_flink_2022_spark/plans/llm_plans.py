@@ -1204,6 +1204,72 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+@register(
+    "llm_dup_clusters_incremental",
+    # two-batch unroll oracle: the incremental map must equal the
+    # transitive closure over the UNION of every edge batch ever folded
+    # in — same recursive-closure oracle as llm_dup_clusters, over the
+    # three deterministic edge batches the callable replays. Batch shapes
+    # deliberately exercise all three maintenance paths: b1 attaches and
+    # chains onto b0's clusters, b2 MERGES pairs of existing clusters
+    # (the relabel path that rewrites only touched clusters' rows).
+    oracle="""
+    WITH RECURSIVE p AS (
+        SELECT doc_id AS id_a, doc_id + 1 AS id_b
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1, doc_id + 2 FROM documents WHERE doc_id % 14 = 0
+        UNION ALL
+        SELECT doc_id + 1, doc_id + 8 FROM documents WHERE doc_id % 14 = 0
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(id, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+    survey_ref="extension: INCREMENTAL cluster maintenance (r6 VERDICT "
+    "ask #4) — new near-dup edges fold into the persisted (id, "
+    "cluster_id) map by contracting endpoints to their current labels "
+    "and running star-CC on the BATCH-sized quotient graph only; "
+    "cluster merges relabel just the touched clusters' member rows via "
+    "a broadcast probe of the streaming map (keyed-state analog, "
+    "dwm/UniqueVisitApp.java:44-50). Invariant: map == dup_clusters "
+    "over the union of all edges ever seen",
+    tags=("llm", "dedup", "incremental", "iterative"),
+    bench=True,
+)
+def llm_dup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..llm import incremental as inc
+    from ..sources.dim_store import DimStore
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    b0 = ids.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    ext = ids.filter(F.col("doc_id") % 14 == 0)
+    b1 = ext.select(
+        (F.col("doc_id") + 1).alias("id_a"), (F.col("doc_id") + 2).alias("id_b")
+    )
+    b2 = ext.select(
+        (F.col("doc_id") + 1).alias("id_a"), (F.col("doc_id") + 8).alias("id_b")
+    )
+    store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_clmap_"))
+    try:
+        inc.build_cluster_map(store, b0)
+        inc.update_dup_clusters(store, b1)
+        inc.update_dup_clusters(store, b2)
+        return inc.read_cluster_map(store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store.root, ignore_errors=True)
+
+
 # --------------------------------------------------------------- multimodal
 # Media table derived deterministically from `documents` (payload = UTF-8
 # bytes of text; the corpus is pure ASCII so DuckDB's char ops see the

@@ -198,3 +198,46 @@ def test_incremental_null_text_converges(spark):
     dig = store.read(inc.DIGEST_TABLE).filter(F.col("keep_id") >= 60).collect()
     assert len(dig) == 1 and dig[0]["keep_id"] == 60
     assert dig[0]["digest"] is not None
+
+
+def test_incremental_clusters_equal_batch_cc_on_union(spark):
+    """r6 VERDICT ask #4 'done' bar: after every incremental batch the
+    persisted map equals dup_clusters over the UNION of all edges seen,
+    including attach-only batches, chain attachments, cluster merges,
+    and a smaller-id arrival that steals a cluster's canonical label."""
+    from gmall_flink_2022_spark.llm.dedup import dup_clusters
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    b0 = [(10, 11), (20, 21), (30, 31), (40, 41)]
+    b1 = [(11, 50), (50, 51), (21, 60)]          # attach + chain
+    b2 = [(11, 21), (31, 41), (3, 30)]           # merges + smaller-id steal
+    store = _store(spark)
+    inc.build_cluster_map(store, pairs(b0))
+    seen = list(b0)
+    for batch in (b1, b2):
+        inc.update_dup_clusters(store, pairs(batch))
+        seen += batch
+        got = sorted(map(tuple, inc.read_cluster_map(store).collect()))
+        want = sorted(map(tuple, dup_clusters(pairs(seen)).collect()))
+        assert got == want, batch
+    # final labels: {10,11,20,21,50,51,60} -> 10; {3,30,31,40,41} -> 3
+    final = dict(sorted(inc.read_cluster_map(store).collect()))
+    assert final[60] == 10 and final[51] == 10
+    assert final[41] == 3 and final[30] == 3
+
+
+def test_incremental_clusters_attach_only_no_relabel_writes(spark):
+    """The fast path: a batch that only attaches new nodes to existing
+    clusters writes exactly those nodes' rows — no existing member row
+    is rewritten (the written frame is the API contract for that)."""
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    store = _store(spark)
+    inc.build_cluster_map(store, pairs([(10, 11), (20, 21)]))
+    written = inc.update_dup_clusters(store, pairs([(11, 90), (21, 91)]))
+    rows = sorted(map(tuple, written.collect()))
+    assert rows == [(90, 10), (91, 20)]
