@@ -9,120 +9,113 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 
 # ---------------------------------------------------------------------------
 # Driver-window priority. The round driver's correctness gate checks the
-# FIRST 50 registry entries in iteration order. Round-3 window goals
-# (VERDICT round-2 asks #1/#2): (a) zero `err` rows — the three
-# oracle=None ANN originals (llm_knn_lsh / llm_knn_ivf /
-# llm_dedup_embed_lsh) drop below slot 50 and their driver-checkable
-# recall-contract twins take the slots; (b) every one of the 8
-# never-driver-checked entries gets a row; (c) everything added or
-# semantically changed THIS round is fronted; (d) the remaining slots
-# re-verify the round-1-green warehouse spine, whose green rows predate
-# two rounds of churn in shared code (tokenize.py, llm/dedup.py,
-# sources/io.py). Round-2-green entries rotate out unchanged.
+# FIRST 50 registry entries in iteration order. Standing policy since r3:
+# front (a) everything born or semantically changed this round, (b)
+# anything never driver-checked, (c) the stalest green cohort, oldest
+# first, prioritizing entries whose SHARED code churned since their last
+# green row; rows-only ANN originals stay below slot 50 (their recall
+# contracts are the checkable surface); slips are named explicitly.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # --- round-6 window (VERDICT r5 ask #1): close the verification
-    # gaps. Priorities: (a) everything NEW this round — the four r6
-    # operators (incremental dedup batch+stream, full BPE training,
-    # quality-classifier inference) are driver-checked in their birth
-    # round; (b) the six entries with no driver row yet (born late in
-    # r5, green in the local sf0.01 parity suite since); (c) the
-    # r3-green cohort — their green rows are three rounds old and
-    # pre-date the tokenize/DimStore/io churn of r4-r5; fronting them
-    # makes every entry's latest green row at most 2 rounds old.
-    # Capacity: 11 fronted new/no-row entries + the 43-entry r3 cohort
-    # = 54 candidates for 50 slots, so FOUR r3 entries whose exact code
-    # path is exercised by a fronted sibling stay out, explicitly
-    # queued for the r7 window: set_intersect_all_buyers /
-    # set_except_all_buyers (thin ALL variants over identical frames),
-    # dws_keywords_sql_lateral (the SQL-lateral rendering of the
-    # fronted dws_keyword_stats pipeline), and set_except_buyers
-    # (sibling set_intersect_buyers fronted over the identical frames;
-    # displaced late by llm_embed_dedup_incremental). The three
-    # rows-only ANN
-    # originals stay below slot 50 as every round: their recall
-    # contracts are the driver-checkable surface. The r4-green cohort
-    # (46 entries incl. the five streaming + four DimStore _scale
-    # rotations and llm_sequence_pack/llm_chunk_overlap) is 2 rounds
-    # old — within policy — and rotates back in r7.
-    # --- (a) new this round ---
-    "llm_dedup_incremental",
-    "stream_llm_dedup_incremental",
-    "llm_embed_dedup_incremental",
-    "llm_bpe_train",
-    "llm_quality_classifier",
-    # --- (b) no driver row yet ---
-    "dws_funnel_conversion",
-    "dws_retention_cohorts",
-    "llm_dedup_editdist",
-    "llm_substring_dedup_removal",
-    "stream_events_sliding",
-    "stream_llm_gopher_filter",
-    # --- (c) the r3-green cohort: warehouse spine ... ---
-    "dws_pricing_summary",
-    "dwd_log_split_page",
-    "dwm_unique_visit",
-    "dwm_user_jump",
-    "dwm_sessionize",
-    "dwm_order_wide",
-    "dwm_payment_wide",
-    "dws_visitor_stats",
-    "dws_product_stats",
-    "dws_province_stats",
-    "dws_keyword_stats",
-    "ads_gmv_by_date",
-    "ads_gmv_month",
-    "ads_top_brand",
-    "ads_topn_per_brand",
-    "ads_tm_reshape",
-    "scalar_function_surface",
-    # ... TPC-H batch 1 ...
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
-    "tpch_q13_cust_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # ... set ops / joins / scale paths ...
-    "set_intersect_buyers",
-    "events_value_delta",
-    "events_asof_join",
-    "orders_range_band_join",
-    "dim_scd2_asof",
-    "scale_salted_agg",
-    "scale_salted_join",
-    # ... LLM family r3 leftovers + the EOS two-hop ...
-    "llm_dedup_exact",
-    "llm_dedup_ngram_exact",
-    "llm_dedup_minhash",
-    "llm_repetition",
-    "llm_pii_flags",
-    "llm_decontaminate",
-    "stream_two_hop_eos",
+    # =====================================================================
+    # ROUND-7 WINDOW (VERDICT r6 ask #1: explicit triage, 59->50).
+    # Slots: (a) 12 never-driver-checked entries — the 3 born this round
+    # (llm_bpe_apply, llm_dedup_index_lifecycle,
+    # llm_dup_clusters_incremental) plus the 9 born after the r6 window
+    # froze; (b) the 4 four-round-stale r3-green entries; (c) 34 of the
+    # 46 r4-green entries (3 rounds stale), prioritizing paths whose
+    # shared code churned in r5-r7: the ENTIRE non-_scale streaming
+    # suite (DimStore gained compact/delete/auto-compaction THIS round;
+    # every streaming sink rides it or foreachBatch), the llm near-dup
+    # family (llm/dedup.py estimator + probe-cache changes this round),
+    # and the tokenizer-sharing keyword/CJK entries.
+    # TWELVE slip to r8, each with a fronted sibling on the identical
+    # code path and no r5-r7 churn of its own:
+    #   stream_order_enrich_scale / stream_session_window_scale /
+    #   stream_two_hop_scale / stream_keyword_stats_cjk_scale
+    #     (knob-only _scale twins; originals fronted),
+    #   llm_knn_lsh_contract / llm_dedup_embed_lsh_contract /
+    #   llm_semdedup_contract / llm_dedup_embed_planted
+    #     (similarity.py untouched since the r6-green zero-vector fix;
+    #     llm_dedup_embed + llm_knn_bruteforce fronted cover the
+    #     cosine/bucket machinery),
+    #   llm_mixture_sample / llm_shuffle_order
+    #     (sampling.py untouched since r5; hash/stratified/split twins
+    #     were r5-green),
+    #   llm_chunk_overlap (packing.py untouched; llm_sequence_pack
+    #     fronted),
+    #   udf_surface_token_count (thin tokenize_col surface; the
+    #     tokenizer is exercised by fronted dws_keyword_stats_cjk).
+    # The 3 rows-only ANN originals stay below slot 50 as every round —
+    # their driver-checkable recall contracts rotate (2 of 3 slip with
+    # the similarity family above).
+    # --- (a) never driver-checked: r7-born ---
+    "llm_bpe_apply",
+    "llm_dedup_index_lifecycle",
+    "llm_dup_clusters_incremental",
+    # --- (a) never driver-checked: born after the r6 window froze ---
+    "llm_bpe_encode",
+    "llm_tfidf_keywords",
+    "llm_pq_codes",
+    "llm_split_leakage",
+    "llm_length_buckets",
+    "llm_dedup_within_doc",
+    "llm_corpus_diff",
+    "stream_llm_quality_classifier",
+    "stream_llm_embed_dedup_incremental",
+    # --- (b) four-round-stale r3-green ---
+    "set_except_buyers",
+    "set_intersect_all_buyers",
+    "set_except_all_buyers",
+    "dws_keywords_sql_lateral",
+    # --- (c) r4-green rotation: streaming suite (DimStore/foreachBatch
+    #     churned this round) ---
+    "stream_visitor_stats",
+    "stream_payment_wide",
+    "stream_payment_wide_outer",
+    "stream_product_stats",
+    "stream_user_jump",
+    "stream_unique_visit",
+    "stream_uv_dropdup_ttl",
+    "stream_order_enrich",
+    "stream_stats_upsert_sink",
+    "stream_session_window",
+    "stream_two_hop_pipeline",
+    "stream_keyword_stats_cjk",
+    "stream_llm_dedup_exact",
+    "stream_llm_decontaminate",
+    "stream_mm_features",
+    # --- (c) r4-green rotation: llm family (dedup.py churned) ---
+    "llm_dedup_ngram",
+    "llm_dedup_simhash",
+    "llm_dedup_embed",
+    "llm_knn_bruteforce",
+    "llm_token_stats",
+    "llm_quality_score",
+    "llm_fingerprint",
+    "llm_corpus_curation",
+    "llm_dup_clusters",
+    "llm_sequence_pack",
+    # --- (c) r4-green rotation: warehouse/batch spine ---
+    "dwd_db_route",
+    "dws_union_stats",
+    "ads_rollup_revenue",
+    "ads_pivot_linestatus",
+    "dwd_semi_active_customers",
+    "dwd_anti_idle_customers",
+    "dws_session_window_native",
+    "dws_keyword_stats_cjk",
+    "dws_keyword_stats_windowed",
 ]
 
-# r7 window candidates: the FOUR sibling-covered r3 entries left out
-# above (set_intersect_all_buyers, set_except_all_buyers,
-# dws_keywords_sql_lateral, and set_except_buyers — displaced by the
-# new llm_embed_dedup_incremental; its sibling set_intersect_buyers
-# stays fronted over the identical frames); the late-r6 additions
-# riding fronted
-# siblings this round (llm_bpe_encode shares _run_merges with the
-# fronted llm_bpe_train; stream_llm_quality_classifier is the fronted
-# llm_quality_classifier behind the already-exercised streaming
-# runner; llm_tfidf_keywords shares the postings/rational-idf path
-# with the fronted-in-r5 llm_bm25_topk; llm_pq_codes,
-# llm_split_leakage, llm_length_buckets and the
-# stream_llm_embed_dedup_incremental twin were born after the
-# window froze and are all green in the local sf0.01 parity
-# suite, as are the final late ops llm_dedup_within_doc — riding the
-# r5-green paragraph_segments machinery — and llm_corpus_diff);
-# plus the r4-green cohort (46 entries — the streaming suite,
-# the DimStore _scale quartet, TPC-H batch 2's r4 stragglers,
-# llm_sequence_pack/llm_chunk_overlap), which will be three rounds old
-# by r7 and must rotate back in.
+# (the round-6 window list lives in git history: d6f96dc)
+
+# r8 window candidates, in priority order: the 12 named r7 slips above
+# (4 rounds stale by r8 — they go FIRST), then the r5-green cohort
+# (50 entries, 3 rounds stale at r8: the approx/percentile/cube batch,
+# the multimodal family, the sampling/fingerprint family, TPC-H
+# batches 2-3, the r5 streaming rotations), then whatever r7 itself
+# leaves unchecked.
 
 
 def _prioritize() -> None:
