@@ -146,14 +146,41 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+import collections as _collections
 import weakref as _weakref
 
-# initialized at import (weakref is stdlib, the import is free) so
-# concurrent plan construction never races a lazy None-check; the
-# remaining per-key setdefault race is benign (same probe, same answer)
+# Two-tier memo, both initialized at import (no lazy-init race; the
+# remaining per-key race is benign — same probe, same answer):
+# 1. semantic tier — keyed by the ANALYZED plan's semanticHash, so a
+#    caller that re-CONSTRUCTS the same source frame (a fresh
+#    read_table per query run — the bench/pipeline shape) still hits
+#    the memo instead of re-paying the corpus scan (measured: the
+#    probe re-scan was the whole llm_dedup_minhash r5->r6 regression,
+#    0.93 -> 1.43 s at sf0.1). Bounded FIFO so long sessions can't
+#    grow it without bound. Staleness trade, documented: if the SAME
+#    plan re-reads files whose contents changed, the cached decision
+#    survives — safe, because the decision only picks between two
+#    correct physical strategies (collapse vs not), never semantics.
+# 2. object tier — WeakKeyDictionary fallback for frames whose plan
+#    can't produce a semantic hash (local relations in odd states).
+_PRE_DEDUP_SEM_CACHE: "_collections.OrderedDict[tuple, bool]" = (
+    _collections.OrderedDict()
+)
+_PRE_DEDUP_SEM_CACHE_MAX = 256
 _PRE_DEDUP_PROBE_CACHE: "_weakref.WeakKeyDictionary[DataFrame, dict]" = (
     _weakref.WeakKeyDictionary()
 )
+
+
+def _plan_sem_key(df: DataFrame):
+    """Semantic identity of the analyzed plan (None if unavailable)."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            tuple(df.columns),
+        )
+    except Exception:
+        return None
 
 
 def _should_pre_dedup(
@@ -171,16 +198,21 @@ def _should_pre_dedup(
     executed still pays one corpus scan, and in composed pipelines it
     materializes the upstream chain during plan building. Accepted
     because the alternative (deciding collapse at action time) cannot
-    change the already-returned plan. To avoid paying it repeatedly
-    when one source frame feeds several near-dup operators (e.g.
-    curate_full), the result is memoized per (frame object, digest
-    expression, threshold) in a WeakKeyDictionary."""
+    change the already-returned plan. The result is memoized by the
+    frame's SEMANTIC plan identity (falling back to object identity),
+    so neither several operators sharing one frame nor repeated
+    re-construction of the same source re-pay the scan."""
     if df.isStreaming:
         # no eager probe on an unbounded frame; the uncollapsed path is
         # always correct, and a streaming caller that KNOWS its corpus
         # is dup-heavy can pass pre_dedup=True explicitly
         return False
     key = (str(digest), min_dup_fraction)
+    sem = _plan_sem_key(df)
+    if sem is not None:
+        sem_key = sem + key
+        if sem_key in _PRE_DEDUP_SEM_CACHE:
+            return _PRE_DEDUP_SEM_CACHE[sem_key]
     per_frame = _PRE_DEDUP_PROBE_CACHE.setdefault(df, {})
     if key in per_frame:
         return per_frame[key]
@@ -193,6 +225,10 @@ def _should_pre_dedup(
     else:
         decision = (1.0 - row["d"] / row["n"]) >= min_dup_fraction
     per_frame[key] = decision
+    if sem is not None:
+        _PRE_DEDUP_SEM_CACHE[sem + key] = decision
+        while len(_PRE_DEDUP_SEM_CACHE) > _PRE_DEDUP_SEM_CACHE_MAX:
+            _PRE_DEDUP_SEM_CACHE.popitem(last=False)
     return decision
 
 

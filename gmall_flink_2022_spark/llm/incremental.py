@@ -359,6 +359,20 @@ def read_cluster_map(store: DimStore) -> DataFrame:
     return store.read(CLUSTER_TABLE)
 
 
+def foreach_batch_cluster_updater(store: DimStore):
+    """Streaming twin: fold each micro-batch of (id_a, id_b) near-dup
+    edges into the persisted cluster map. Because every fold maintains
+    map == dup_clusters(all edges seen) and edge-set union commutes,
+    the SETTLED map is independent of how the stream chopped the edges
+    into micro-batches — the same replay-safety argument as the
+    reference's keyed-state accumulation (dwm/UniqueVisitApp.java:44-50)."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        update_dup_clusters(store, batch)
+
+    return fn
+
+
 def vacuum_dedup_index(store: DimStore, removed_ids: DataFrame) -> None:
     """Retention: drop index entries for documents REMOVED from the
     corpus (``removed_ids``: one column of doc ids — e.g. the

@@ -1782,3 +1782,82 @@ def _register_stream_embed_incremental() -> None:
 
 
 _register_stream_embed_incremental()
+
+
+def _register_stream_cluster_maintenance() -> None:
+    """Continuous cluster maintenance: the three deterministic edge
+    batches of llm_dup_clusters_incremental arrive as micro-batches
+    (bootstrap CC on batch 0 via the same update path — an empty map
+    contracts to the identity, so the first fold IS the bootstrap);
+    the settled map must equal batch CC over the union, so the batch
+    entry's recursive-closure oracle applies verbatim."""
+    from .registry import REGISTRY as _R
+
+    @register(
+        "stream_llm_dup_clusters_incremental",
+        oracle=_R["llm_dup_clusters_incremental"].oracle,
+        survey_ref="extension: incremental cluster maintenance as a "
+        "STREAMING job — foreachBatch folds each micro-batch of "
+        "near-dup edges into the persisted map; the settled labeling "
+        "is micro-batch-chop-independent because every fold preserves "
+        "map == CC(edges seen) and edge union commutes",
+        tags=("streaming", "llm", "dedup", "incremental", "iterative"),
+    )
+    def stream_llm_dup_clusters_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import glob
+        import time
+
+        from ..llm import incremental as inc
+        from ..sources.dim_store import DimStore
+
+        ids = read_table(spark, sf_dir, "documents").select("doc_id")
+        b0 = ids.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        ext = ids.filter(F.col("doc_id") % 14 == 0)
+        b1 = ext.select(
+            (F.col("doc_id") + 1).alias("id_a"),
+            (F.col("doc_id") + 2).alias("id_b"),
+        )
+        b2 = ext.select(
+            (F.col("doc_id") + 1).alias("id_a"),
+            (F.col("doc_id") + 8).alias("id_b"),
+        )
+        stage = tempfile.mkdtemp(prefix="gmall_clstream_")
+        try:
+            in_dir = os.path.join(stage, "in")
+            b0.coalesce(1).write.parquet(in_dir, mode="overwrite")
+            past = time.time() - 7200
+            for i, f in enumerate(sorted(glob.glob(os.path.join(in_dir, "*.parquet")))):
+                os.utime(f, (past, past))
+            b1.coalesce(1).write.parquet(in_dir, mode="append")
+            newer = [
+                f for f in glob.glob(os.path.join(in_dir, "*.parquet"))
+                if os.path.getmtime(f) > past + 1
+            ]
+            for f in newer:
+                os.utime(f, (past + 3600, past + 3600))
+            b2.coalesce(1).write.parquet(in_dir, mode="append")
+            store = DimStore(spark, os.path.join(stage, "map"))
+            sdf = (
+                spark.readStream.schema("id_a long, id_b long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            q = (
+                sdf.writeStream.foreachBatch(
+                    inc.foreach_batch_cluster_updater(store)
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(stage, "ck"))
+                .start()
+            )
+            q.awaitTermination()
+            return inc.read_cluster_map(store).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+_register_stream_cluster_maintenance()

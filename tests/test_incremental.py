@@ -241,3 +241,25 @@ def test_incremental_clusters_attach_only_no_relabel_writes(spark):
     written = inc.update_dup_clusters(store, pairs([(11, 90), (21, 91)]))
     rows = sorted(map(tuple, written.collect()))
     assert rows == [(90, 10), (91, 20)]
+
+
+def test_vacuum_embed_index(spark):
+    """Vector-twin retention: removed vec_ids leave the index; removed
+    vectors re-register as new, survivors still exact-hit."""
+    store = _store(spark)
+    rows = [(i, [float(i + d) for d in range(8)]) for i in range(1, 5)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=8, n_planes=4, n_tables=2)
+    inc.build_embed_index(store, embs, **kw)
+    inc.vacuum_embed_index(store, spark.createDataFrame([(2,)], "vec_id long"))
+    assert {r["vec_id"] for r in store.read(inc.EMB_TABLE).collect()} == {1, 3, 4}
+    arr = spark.createDataFrame(
+        [(20, [float(2 + d) for d in range(8)]),
+         (30, [float(3 + d) for d in range(8)])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in inc.incremental_embed_dedup(
+        store, arr, threshold=0.9, **kw
+    ).collect()}
+    assert out[20]["dup_kind"] != "exact"
+    assert out[30]["dup_kind"] == "exact" and out[30]["match_id"] == 3
