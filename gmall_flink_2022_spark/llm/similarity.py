@@ -534,6 +534,72 @@ def semdedup(
     )
 
 
+def _pq_sub_dist2() -> Column:
+    """Squared L2 between the `sv` and `cv` subvector columns — the
+    fixed-order fold both pq_codes and the ADC LUT share."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _pq_codebook(
+    embs: DataFrame, id_col: str, vec_col: str, ksub: int, seed: str
+) -> DataFrame:
+    """The seeded closed-form codebook: the ``ksub`` corpus vectors with
+    smallest (md5(seed || id), id), numbered cid 1..ksub in that order.
+    Deterministic, so every caller reconstructs the identical table."""
+    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    picked = (
+        e.orderBy(
+            F.md5(F.concat(F.lit(seed + "|"), F.col("id").cast("string"))),
+            F.col("id"),
+        )
+        .limit(ksub)
+        .collect()
+    )
+    return embs.sparkSession.createDataFrame(
+        [(i + 1, list(r["vec"])) for i, r in enumerate(picked)],
+        "cid long, cvec array<float>",
+    )
+
+
+def _pq_assign(
+    embs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    ksub: int,
+    seed: str,
+) -> DataFrame:
+    """Per-(vector, subspace) nearest-centroid assignment: (id, j,
+    b.cid, b.dist) with b = min(struct(dist, cid)). Shared by pq_codes
+    (pivots to code columns) and pq_adc_topk (joins the LUT)."""
+    sub = dim // m
+    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cent = _pq_codebook(embs, id_col, vec_col, ksub, seed)
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    e_sub = e.select("id", "vec", js).select(
+        "id", "j", F.expr(f"slice(vec, j * {sub} + 1, {sub})").alias("sv")
+    )
+    c_sub = cent.select("cid", "cvec", js).select(
+        "cid", "j", F.expr(f"slice(cvec, j * {sub} + 1, {sub})").alias("cv")
+    )
+    return (
+        e_sub.join(F.broadcast(c_sub), "j")
+        .select("id", "j", "cid", _pq_sub_dist2().alias("dist"))
+        .groupBy("id", "j")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+    )
+
+
 def pq_codes(
     embs: DataFrame,
     id_col: str = "vec_id",
@@ -562,44 +628,7 @@ def pq_codes(
     over the corpus + a (corpus x m x ksub) broadcast-join scored
     distributively — no shuffle of the vectors at any point; the only
     exchange is the per-(id, subspace) argmin aggregation."""
-    sub = dim // m
-    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    spark = embs.sparkSession
-    picked = (
-        e.orderBy(
-            F.md5(F.concat(F.lit(seed + "|"), F.col("id").cast("string"))),
-            F.col("id"),
-        )
-        .limit(ksub)
-        .collect()
-    )
-    cent = spark.createDataFrame(
-        [(i + 1, list(r["vec"])) for i, r in enumerate(picked)],
-        f"cid long, cvec array<float>",
-    )
-    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
-    e_sub = e.select("id", "vec", js).select(
-        "id", "j", F.expr(f"slice(vec, j * {sub} + 1, {sub})").alias("sv")
-    )
-    c_sub = cent.select("cid", "cvec", js).select(
-        "cid", "j", F.expr(f"slice(cvec, j * {sub} + 1, {sub})").alias("cv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("sv"),
-            F.col("cv"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    best = (
-        e_sub.join(F.broadcast(c_sub), "j")
-        .select("id", "j", "cid", d2.alias("dist"))
-        .groupBy("id", "j")
-        .agg(F.min(F.struct("dist", "cid")).alias("b"))
-    )
+    best = _pq_assign(embs, id_col, vec_col, dim, m, ksub, seed)
     code_cols = [
         F.max(F.when(F.col("j") == j, F.col("b.cid"))).alias(f"code{j}")
         for j in range(m)
@@ -614,4 +643,77 @@ def pq_codes(
         qerr = qerr + F.col(f"_d{j}")
     return wide.select(
         "id", *[f"code{j}" for j in range(m)], qerr.alias("qerr")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 8,
+    seed: str = "pq",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k search over PQ codes with ASYMMETRIC distance computation
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search" §III-B) — the production 100 TB vector-search read path:
+    corpus vectors exist only as m small codes; per query, a lookup
+    table of (subspace, centroid) -> squared-L2 partials is built
+    against the UNCOMPRESSED query, and each corpus vector's distance
+    is m table lookups summed — never a dim-length arithmetic pass.
+
+    ADC identity (the property test's contract): the score equals the
+    exact squared L2 between the query and the vector's RECONSTRUCTION
+    (its per-subspace centroids concatenated), because squared L2
+    decomposes over the orthogonal subspace split.
+
+    Scale shape: the LUT is (|Q| * m * ksub) rows — broadcast; the
+    corpus side is the (id, j, cid) code table, joined to the LUT by
+    (j, cid) as a narrow broadcast probe; the only exchange is the
+    (id, query_id) partial-sum aggregation (m rows in, 1 out,
+    map-side combined). Partial sums pivot to fixed j order before the
+    final add so the double arithmetic is engine-exact, like pq_codes'
+    qerr. Top-k ranking reuses the brute-force window discipline
+    (per-query ranking; queries are a bounded literal set, cf.
+    :func:`knn_bruteforce`). Output: (query_id, neighbor_id, adc_dist,
+    rnk); self-matches excluded, ties to the smaller neighbor id."""
+    sub = dim // m
+    codes = _pq_assign(corpus, id_col, vec_col, dim, m, ksub, seed).select(
+        F.col("id").alias("neighbor_id"), "j", F.col("b.cid").alias("cid")
+    )
+    cent = _pq_codebook(corpus, id_col, vec_col, ksub, seed)
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    q_sub = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).select("query_id", "qvec", js).select(
+        "query_id", "j", F.expr(f"slice(qvec, j * {sub} + 1, {sub})").alias("sv")
+    )
+    c_sub = cent.select("cid", "cvec", js).select(
+        "cid", "j", F.expr(f"slice(cvec, j * {sub} + 1, {sub})").alias("cv")
+    )
+    lut = q_sub.join(F.broadcast(c_sub), "j").select(
+        "query_id", "j", "cid", _pq_sub_dist2().alias("dist")
+    )
+    parts = codes.join(F.broadcast(lut), ["j", "cid"]).select(
+        "neighbor_id", "query_id", "j", "dist"
+    )
+    d_cols = [
+        F.max(F.when(F.col("j") == j, F.col("dist"))).alias(f"_d{j}")
+        for j in range(m)
+    ]
+    wide = parts.groupBy("neighbor_id", "query_id").agg(*d_cols)
+    adc = F.col("_d0")
+    for j in range(1, m):
+        adc = adc + F.col(f"_d{j}")
+    scored = wide.select(
+        "query_id", "neighbor_id", adc.alias("adc_dist")
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )

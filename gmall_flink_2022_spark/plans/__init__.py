@@ -19,18 +19,18 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
     # ROUND-7 WINDOW (VERDICT r6 ask #1: explicit triage, 59->50).
-    # Slots: (a) 13 never-driver-checked entries — the 4 born this round
+    # Slots: (a) 14 never-driver-checked entries — the 5 born this round
     # (llm_bpe_apply, llm_dedup_index_lifecycle,
-    # llm_dup_clusters_incremental + its streaming twin) plus the 9 born
-    # after the r6 window froze; (b) the 4 four-round-stale r3-green
-    # entries; (c) 33 of the
+    # llm_dup_clusters_incremental + its streaming twin, llm_knn_pq_adc)
+    # plus the 9 born after the r6 window froze; (b) the 4
+    # four-round-stale r3-green entries; (c) 32 of the
     # 46 r4-green entries (3 rounds stale), prioritizing paths whose
     # shared code churned in r5-r7: the ENTIRE non-_scale streaming
     # suite (DimStore gained compact/delete/auto-compaction THIS round;
     # every streaming sink rides it or foreachBatch), the llm near-dup
     # family (llm/dedup.py estimator + probe-cache changes this round),
     # and the tokenizer-sharing keyword/CJK entries.
-    # THIRTEEN slip to r8, each with a fronted sibling on the identical
+    # FOURTEEN slip to r8, each with a fronted sibling on the identical
     # code path and no r5-r7 churn of its own:
     #   stream_order_enrich_scale / stream_session_window_scale /
     #   stream_two_hop_scale / stream_keyword_stats_cjk_scale
@@ -50,7 +50,11 @@ _DRIVER_WINDOW_FIRST = [
     #   dws_keyword_stats_windowed (displaced late by the r7-born
     #     stream_llm_dup_clusters_incremental; its tumbling-window
     #     keyword pipeline is covered by fronted dws_keyword_stats_cjk
-    #     + the r6-green dws_keyword_stats).
+    #     + the r6-green dws_keyword_stats),
+    #   dwd_anti_idle_customers (displaced by the r7-born
+    #     llm_knn_pq_adc; sibling dwd_semi_active_customers stays
+    #     fronted over the identical frames — only the join type
+    #     differs, code untouched since r4).
     # The 3 rows-only ANN originals stay below slot 50 as every round —
     # their driver-checkable recall contracts rotate (2 of 3 slip with
     # the similarity family above).
@@ -59,6 +63,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_index_lifecycle",
     "llm_dup_clusters_incremental",
     "stream_llm_dup_clusters_incremental",
+    "llm_knn_pq_adc",
     # --- (a) never driver-checked: born after the r6 window froze ---
     "llm_bpe_encode",
     "llm_tfidf_keywords",
@@ -108,14 +113,13 @@ _DRIVER_WINDOW_FIRST = [
     "ads_rollup_revenue",
     "ads_pivot_linestatus",
     "dwd_semi_active_customers",
-    "dwd_anti_idle_customers",
     "dws_session_window_native",
     "dws_keyword_stats_cjk",
 ]
 
 # (the round-6 window list lives in git history: d6f96dc)
 
-# r8 window candidates, in priority order: the 13 named r7 slips above
+# r8 window candidates, in priority order: the 14 named r7 slips above
 # (4 rounds stale by r8 — they go FIRST), then the r5-green cohort
 # (50 entries, 3 rounds stale at r8: the approx/percentile/cube batch,
 # the multimodal family, the sampling/fingerprint family, TPC-H

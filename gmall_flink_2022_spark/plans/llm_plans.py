@@ -827,6 +827,68 @@ def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_knn_pq_adc",
+    # same closed-form codebook/assignment CTEs as llm_pq_codes, plus
+    # the ADC read path: per-query (subspace, centroid) LUT joined to
+    # the code table, partial distances pivoted to fixed j order before
+    # the final add (double arithmetic engine-exact, like qerr)
+    oracle=f"""
+    WITH seedv AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS cid
+        FROM embeddings
+    ),
+    cent AS (SELECT cid, embedding AS cvec FROM seedv WHERE cid <= {_PQ_K}),
+    sub AS (SELECT vec_id AS id, j,
+                   embedding[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+            FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+    csub AS (SELECT cid, j, cvec[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS cv
+             FROM cent, UNNEST([0,1,2,3]) AS t(j)),
+    d AS (SELECT s.id, s.j, c.cid, {_PQ_DIST} AS dist
+          FROM sub s JOIN csub c ON s.j = c.j),
+    best AS (SELECT id, j, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id, j
+                                     ORDER BY dist, cid) AS rn FROM d)
+        WHERE rn = 1),
+    qsub AS (SELECT vec_id AS query_id, j,
+                    embedding[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+             FROM embeddings, UNNEST([0,1,2,3]) AS t(j)
+             WHERE vec_id < 10),
+    lut AS (SELECT s.query_id, s.j, c.cid, {_PQ_DIST} AS dist
+            FROM qsub s JOIN csub c ON s.j = c.j),
+    parts AS (SELECT b.id AS neighbor_id, l.query_id, b.j, l.dist
+              FROM best b JOIN lut l ON b.j = l.j AND b.cid = l.cid),
+    wide AS (SELECT neighbor_id, query_id,
+             {", ".join(f"MAX(CASE WHEN j={j} THEN dist END) AS d{j}" for j in range(_PQ_M))}
+             FROM parts GROUP BY neighbor_id, query_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      {" + ".join(f"d{j}" for j in range(_PQ_M))} AS adc_dist
+               FROM wide WHERE neighbor_id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id, adc_dist,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rnk
+               FROM scored)
+    SELECT query_id, neighbor_id, adc_dist, rnk FROM ranked WHERE rnk <= 5
+    """,
+    survey_ref="extension: PQ asymmetric-distance top-k search (Jegou "
+    "et al. 2011 SIII-B) — the 100 TB vector-search read path: corpus "
+    "vectors exist only as m codes; per-query LUT broadcast, distances "
+    "are m table lookups, exact squared-L2 to each vector's "
+    "reconstruction (property-tested identity)",
+    tags=("llm", "similarity", "embedding"),
+    bench=True,
+)
+def llm_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.pq_adc_topk(
+        embs, queries, "vec_id", "embedding",
+        dim=64, m=_PQ_M, ksub=_PQ_K, k=5,
+    )
+
+
 # ----------------------------------------------------- brute-force cosine kNN
 @register(
     "llm_knn_bruteforce",

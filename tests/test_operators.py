@@ -1551,3 +1551,31 @@ def test_bpe_apply_oov_char_fallback(spark):
     # unseen word containing a trained pair: the pair still merges
     enc_abxy = out["abxy"]["encoded"]
     assert enc_abxy.startswith("ab") and "a|b" not in enc_abxy
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    """The defining ADC identity (Jegou et al. 2011): the ADC score of
+    (query, corpus vector) equals the EXACT squared L2 between the query
+    and the vector's reconstruction (its per-subspace nearest centroids
+    concatenated) — squared L2 decomposes over the subspace split."""
+    from gmall_flink_2022_spark.llm import similarity as sim
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(1, 13)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=8, m=2, ksub=4, seed="pq")
+    queries = embs.filter(F.col("vec_id") <= 2)
+    out = sim.pq_adc_topk(embs, queries, "vec_id", "embedding", k=100, **kw)
+    got = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in out.collect()}
+
+    codes = {r["id"]: (r["code0"], r["code1"])
+             for r in sim.pq_codes(embs, "vec_id", "embedding", **kw).collect()}
+    cent = {r["cid"]: list(r["cvec"])
+            for r in sim._pq_codebook(embs, "vec_id", "embedding", 4, "pq").collect()}
+    vecs = dict(rows)
+    for (qid, nid), adc in got.items():
+        recon = cent[codes[nid][0]][:4] + cent[codes[nid][1]][4:]
+        exact = sum((a - b) ** 2 for a, b in zip(vecs[qid], recon))
+        assert abs(adc - exact) < 1e-9, (qid, nid)
+    # every non-self pair ranked (k=100 > corpus size)
+    assert len(got) == 2 * 11
