@@ -495,3 +495,23 @@ def test_curation_full_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "InMemoryTableScan" in p  # persisted survivor set reused
     assert "BroadcastHashJoin" in p  # benchmark shingles broadcast
+
+
+def test_pq_adc_plan_shape(spark, sf_dir):
+    """Compressed-domain search discipline: every join broadcasts (the
+    LUT/codebook sides are query/codebook-bounded), the corpus code
+    table never shuffles through a join, and no Python appears — the
+    only exchanges are the two aggregations (per-(id, subspace) argmin,
+    per-(vector, query) partial sum) and the ranking window."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.llm import similarity as sim
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 10)
+    out = sim.pq_adc_topk(embs, q, "vec_id", "embedding", dim=64, m=4, ksub=8, k=5)
+    p = out._jdf.queryExecution().toString()
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
