@@ -553,8 +553,12 @@ def llm_dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # every=2: the bootstrap is each table's 1st upsert and the ingest
+    # its 2nd, so auto-compaction still fires once per table inside the
+    # chain (the path stays driver-exercised) without compacting after
+    # the bootstrap too — the realistic every-N cadence
     store = DimStore(
-        spark, tempfile.mkdtemp(prefix="gmall_dedup_life_"), auto_compact_every=1
+        spark, tempfile.mkdtemp(prefix="gmall_dedup_life_"), auto_compact_every=2
     )
     try:
         inc.build_dedup_index(store, corpus)
