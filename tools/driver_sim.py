@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Driver-gate simulation: run the FIRST-50 registry window the way the
+round driver does (vanilla session, sf0.01, DuckDB oracle side-by-side,
+sorted-column value hash) and report per-entry status. De-risks the
+round's CORRECTNESS artifact before the real driver runs."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+N = int(os.environ.get("DRIVER_SIM_N", "50"))
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    qs, osql = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    names = list(qs)[:N]
+    bad = []
+    for i, name in enumerate(names, 1):
+        t0 = time.perf_counter()
+        try:
+            g = qs[name](spark, SF).toPandas()
+            if name in osql:
+                w = con.execute(osql[name]).fetchdf()
+                gs = sorted(
+                    map(tuple, g[sorted(g.columns)].astype(str).values.tolist())
+                )
+                ws = sorted(
+                    map(tuple, w[sorted(w.columns)].astype(str).values.tolist())
+                )
+                ok = gs == ws and sorted(g.columns) == sorted(w.columns)
+                status = "OK" if ok else "MISMATCH"
+            else:
+                status = f"rows-only({len(g)})"
+                ok = True
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            status, ok = f"ERR {type(e).__name__}: {e}", False
+        dt = time.perf_counter() - t0
+        print(f"[{i:2d}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
+        if not ok:
+            bad.append(name)
+    print("\nFAILED:" if bad else "\nALL GREEN", bad if bad else "")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
