@@ -1,0 +1,150 @@
+"""Count-min sketch over token frequencies (Cormode & Muthukrishnan
+2005) — the bounded-state frequency estimator for 100 TB corpora and
+unbounded streams: the sketch is a fixed (depth x width) counter grid
+no matter how large the corpus or vocabulary grows, it merges by cell
+addition (partitions, streams, days — anything), and any token's count
+is answered with ``min`` over its depth cells, an overestimate by at
+most the collision mass (the CMS guarantee: est >= true always;
+est <= true + eps*N with prob 1-delta for w = e/eps, d = ln(1/delta)).
+
+Contrast with the exact path (llm/text.py token stats): an exact token
+count is a vocabulary-sized shuffle; the sketch is a WIDTH*DEPTH-sized
+aggregation state — in streaming update mode the state store holds at
+most w*d keys BY CONSTRUCTION, the difference between bounded and
+unbounded state at 100 TB ingest.
+
+Engine-exact determinism: cell indexes are md5-derived (the repo-wide
+portable hash — functions shared with llm/text.py::_u32), so Spark and
+the DuckDB oracle compute bit-identical sketches and estimates; no RNG,
+no JVM hashCode.
+
+Reference analog: the per-key keyed state of the DWS aggregations
+(dws/VisitorStatsApp.java windows) — accumulate-and-merge state; here
+the state is the sketch grid instead of per-key counters, which is
+what changes O(vocabulary) state into O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.tokenize import tokenize_col
+from .text import _u32
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+CMS_SEED = "cms"
+
+
+def _cms_bucket(token: Column, rw: Column, width: int, seed: str) -> Column:
+    """Row-seeded cell index for a token: u32(md5(seed|row|token)) % w."""
+    return (
+        _u32(F.concat(F.lit(seed + "|"), rw.cast("string"), F.lit("|"), token))
+        % width
+    )
+
+
+def token_cms(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """The sketch itself: (rw, bucket, cnt) — at most ``width * depth``
+    rows regardless of corpus size. One narrow explode (token ->
+    ``depth`` cells) and ONE aggregation whose key space is the fixed
+    grid, so the map-side combine collapses everything to w*d rows per
+    task before the (tiny) shuffle. Sketches over corpus shards merge
+    by summing cnt on (rw, bucket)."""
+    toks = F.explode(
+        F.coalesce(tokenize_col(text_col), F.array().cast("array<string>"))
+    ).alias("token")
+    cells = df.select(toks).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("rw"),
+                        _cms_bucket(F.col("token"), F.lit(r), width, seed).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.rw", "c.bucket")
+        .groupBy("rw", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "token",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """Point-query estimates for a candidate token set: est = min over
+    the token's ``depth`` cells (missing cell -> 0). The sketch is
+    grid-sized, so it BROADCASTS to the candidate probe — estimating
+    any number of candidates never shuffles anything corpus-sized."""
+    probes = candidates.select(F.col(token_col).alias("token")).select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("rw"),
+                        _cms_bucket(F.col("token"), F.lit(r), width, seed).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "c.rw", "c.bucket")
+    joined = probes.join(F.broadcast(sketch), ["rw", "bucket"], "left")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 50,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """Heavy hitters with the sketch as the filter and the exact count
+    alongside: (token, cms_est, exact_cnt) for tokens whose ESTIMATE
+    clears ``min_count``. The CMS one-sided guarantee (est >= exact,
+    property-tested) means this can never MISS a true heavy hitter —
+    collisions only admit extra candidates, which the exact column
+    exposes. At 100 TB the demo's exact column is the part you drop
+    (or compute only for the est-filtered survivors, which is exactly
+    how this plan composes: the exact count joins AFTER the estimate
+    filter, so it runs over the heavy candidates only)."""
+    sketch = token_cms(df, text_col, width, depth, seed)
+    toks = F.explode(
+        F.coalesce(tokenize_col(text_col), F.array().cast("array<string>"))
+    ).alias("token")
+    vocab = df.select(toks).distinct()
+    est = cms_estimate(sketch, vocab, "token", width, depth, seed).filter(
+        F.col("cms_est") >= min_count
+    )
+    exact = (
+        df.select(toks)
+        .join(F.broadcast(est.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "token").select("token", "cms_est", "exact_cnt")

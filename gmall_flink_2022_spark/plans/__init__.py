@@ -19,18 +19,19 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
     # ROUND-7 WINDOW (VERDICT r6 ask #1: explicit triage, 59->50).
-    # Slots: (a) 14 never-driver-checked entries — the 5 born this round
+    # Slots: (a) 16 never-driver-checked entries — the 7 born this round
     # (llm_bpe_apply, llm_dedup_index_lifecycle,
-    # llm_dup_clusters_incremental + its streaming twin, llm_knn_pq_adc)
+    # llm_dup_clusters_incremental + its streaming twin, llm_knn_pq_adc,
+    # llm_token_cms_heavy + its streaming twin)
     # plus the 9 born after the r6 window froze; (b) the 4
-    # four-round-stale r3-green entries; (c) 32 of the
+    # four-round-stale r3-green entries; (c) 30 of the
     # 46 r4-green entries (3 rounds stale), prioritizing paths whose
     # shared code churned in r5-r7: the ENTIRE non-_scale streaming
     # suite (DimStore gained compact/delete/auto-compaction THIS round;
     # every streaming sink rides it or foreachBatch), the llm near-dup
     # family (llm/dedup.py estimator + probe-cache changes this round),
     # and the tokenizer-sharing keyword/CJK entries.
-    # FOURTEEN slip to r8, each with a fronted sibling on the identical
+    # SIXTEEN slip to r8, each with a fronted sibling on the identical
     # code path and no r5-r7 churn of its own:
     #   stream_order_enrich_scale / stream_session_window_scale /
     #   stream_two_hop_scale / stream_keyword_stats_cjk_scale
@@ -54,7 +55,11 @@ _DRIVER_WINDOW_FIRST = [
     #   dwd_anti_idle_customers (displaced by the r7-born
     #     llm_knn_pq_adc; sibling dwd_semi_active_customers stays
     #     fronted over the identical frames — only the join type
-    #     differs, code untouched since r4).
+    #     differs, code untouched since r4),
+    #   ads_rollup_revenue / ads_pivot_linestatus (displaced by the
+    #     r7-born CMS pair; thin single-operator ROLLUP/PIVOT
+    #     renderings over analytics.py untouched since r4, riding the
+    #     r6-green serving aggregations' frames).
     # The 3 rows-only ANN originals stay below slot 50 as every round —
     # their driver-checkable recall contracts rotate (2 of 3 slip with
     # the similarity family above).
@@ -64,6 +69,8 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dup_clusters_incremental",
     "stream_llm_dup_clusters_incremental",
     "llm_knn_pq_adc",
+    "llm_token_cms_heavy",
+    "stream_llm_token_cms",
     # --- (a) never driver-checked: born after the r6 window froze ---
     "llm_bpe_encode",
     "llm_tfidf_keywords",
@@ -110,8 +117,6 @@ _DRIVER_WINDOW_FIRST = [
     # --- (c) r4-green rotation: warehouse/batch spine ---
     "dwd_db_route",
     "dws_union_stats",
-    "ads_rollup_revenue",
-    "ads_pivot_linestatus",
     "dwd_semi_active_customers",
     "dws_session_window_native",
     "dws_keyword_stats_cjk",
@@ -119,7 +124,7 @@ _DRIVER_WINDOW_FIRST = [
 
 # (the round-6 window list lives in git history: d6f96dc)
 
-# r8 window candidates, in priority order: the 14 named r7 slips above
+# r8 window candidates, in priority order: the 16 named r7 slips above
 # (4 rounds stale by r8 — they go FIRST), then the r5-green cohort
 # (50 entries, 3 rounds stale at r8: the approx/percentile/cube batch,
 # the multimodal family, the sampling/fingerprint family, TPC-H

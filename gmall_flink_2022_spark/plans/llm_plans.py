@@ -2693,6 +2693,63 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- count-min sketch / heavy hitters
+from ..llm import sketch as sketch_mod  # noqa: E402
+
+_CMS_W, _CMS_D, _CMS_MIN = 1024, 4, 50
+_CMS_TOKS = f"COALESCE({TOKS}, CAST([] AS VARCHAR[]))"
+
+
+def _cms_bucket_sql(tok: str, rw: str) -> str:
+    cell = "'cms|' || CAST(" + rw + " AS VARCHAR) || '|' || " + tok
+    return f"({_u32_sql(cell)}) % {_CMS_W}"
+
+
+_CMS_SKETCH_CTES = f"""
+    tk AS (SELECT UNNEST({_CMS_TOKS}) AS token FROM documents),
+    cells AS (SELECT token, CAST(r AS BIGINT) AS rw,
+                     {_cms_bucket_sql('token', 'r')} AS bucket
+              FROM tk, UNNEST([0,1,2,3]) AS t(r)),
+    sketch AS (SELECT rw, bucket, COUNT(*) AS cnt
+               FROM cells GROUP BY rw, bucket)"""
+
+
+@register(
+    "llm_token_cms_heavy",
+    oracle=f"""
+    WITH {_CMS_SKETCH_CTES},
+    vocab AS (SELECT DISTINCT token FROM tk),
+    probes AS (SELECT token, CAST(r AS BIGINT) AS rw,
+                      {_cms_bucket_sql('token', 'r')} AS bucket
+               FROM vocab, UNNEST([0,1,2,3]) AS t(r)),
+    est AS (SELECT p.token, MIN(COALESCE(s.cnt, 0)) AS cms_est
+            FROM probes p LEFT JOIN sketch s
+              ON p.rw = s.rw AND p.bucket = s.bucket
+            GROUP BY p.token),
+    heavy AS (SELECT token, CAST(cms_est AS BIGINT) AS cms_est
+              FROM est WHERE cms_est >= {_CMS_MIN}),
+    exact AS (SELECT tk.token, COUNT(*) AS exact_cnt
+              FROM tk JOIN heavy ON tk.token = heavy.token GROUP BY tk.token)
+    SELECT h.token, h.cms_est, CAST(e.exact_cnt AS BIGINT) AS exact_cnt
+    FROM heavy h JOIN exact e ON h.token = e.token
+    """,
+    survey_ref="extension: count-min-sketch heavy hitters (Cormode & "
+    "Muthukrishnan 2005) — fixed (depth x width) counter grid replaces "
+    "the vocabulary-sized exact shuffle; md5-derived cells make the "
+    "sketch engine-exact; one-sided guarantee (est >= exact, "
+    "property-tested) means no true heavy hitter is ever missed; the "
+    "exact column joins AFTER the estimate filter, i.e. over heavy "
+    "candidates only",
+    tags=("llm", "text", "sketch"),
+    bench=True,
+)
+def llm_token_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_mod.cms_heavy_hitters(
+        _docs(spark, sf_dir), "text", min_count=_CMS_MIN,
+        width=_CMS_W, depth=_CMS_D,
+    )
+
+
 # ------------------------------------------------ full BPE training loop
 from ..llm import bpe as bpe_mod  # noqa: E402
 

@@ -1861,3 +1861,41 @@ def _register_stream_cluster_maintenance() -> None:
 
 
 _register_stream_cluster_maintenance()
+
+
+def _register_stream_token_cms() -> None:
+    """Streaming count-min sketch: the state-boundedness story made
+    literal — the update-mode aggregation's key space is the fixed
+    (depth x width) grid, so the state store holds at most w*d rows no
+    matter how much text streams through; the settled sketch equals the
+    batch sketch (cell addition commutes across micro-batches)."""
+    from ..llm import sketch as sketch_mod
+    from .llm_plans import _CMS_D, _CMS_SKETCH_CTES, _CMS_W
+
+    @register(
+        "stream_llm_token_cms",
+        oracle=f"""
+        WITH {_CMS_SKETCH_CTES}
+        SELECT rw, bucket, CAST(cnt AS BIGINT) AS cnt FROM sketch
+        """,
+        survey_ref="extension: count-min sketch as a STREAMING "
+        "aggregation — bounded state BY CONSTRUCTION (the grid is the "
+        "key space); settled sketch == batch sketch because cell "
+        "addition commutes; update-mode keyed upsert sink "
+        "(dws/VisitorStatsApp.java keyed-state analog with O(1) keys)",
+        tags=("streaming", "llm", "text", "sketch"),
+    )
+    def stream_llm_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = read_stream_table(spark, sf_dir, "documents")
+        agg = sketch_mod.token_cms(d, "text", width=_CMS_W, depth=_CMS_D)
+        keyed = agg.withColumn(
+            "_k",
+            F.concat_ws(":", F.col("rw").cast("string"), F.col("bucket").cast("string")),
+        )
+        out = _run_update_upsert(keyed, _uniq("token_cms"))
+        return out.select(
+            "rw", "bucket", F.col("cnt").cast("long").alias("cnt")
+        )
+
+
+_register_stream_token_cms()

@@ -1579,3 +1579,45 @@ def test_pq_adc_equals_reconstruction_distance(spark):
         assert abs(adc - exact) < 1e-9, (qid, nid)
     # every non-self pair ranked (k=100 > corpus size)
     assert len(got) == 2 * 11
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS guarantees: (a) one-sided — est >= exact for EVERY token,
+    (b) mergeable — the sketch of a union equals the cellwise sum of
+    the shard sketches (what makes it the bounded-state streaming/
+    multi-day aggregate)."""
+    from gmall_flink_2022_spark.llm import sketch as sk
+
+    a = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "the cat sat")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "a cat a mat the end"), (4, None)], "doc_id long, text string"
+    )
+    u = a.unionByName(b)
+    kw = dict(width=32, depth=3)  # tiny grid -> collisions guaranteed
+    est = {
+        r["token"]: r["cms_est"]
+        for r in sk.cms_estimate(
+            sk.token_cms(u, "text", **kw),
+            u.selectExpr("explode(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token").distinct(),
+            **kw,
+        ).collect()
+    }
+    from collections import Counter
+    exact = Counter(
+        t for r in u.collect() if r["text"]
+        for t in r["text"].lower().split() if t
+    )
+    assert set(est) == set(exact)
+    for t, c in exact.items():
+        assert est[t] >= c, t
+    # mergeability: union sketch == cellwise sum of shard sketches
+    sa = {(r["rw"], r["bucket"]): r["cnt"] for r in sk.token_cms(a, "text", **kw).collect()}
+    sb = {(r["rw"], r["bucket"]): r["cnt"] for r in sk.token_cms(b, "text", **kw).collect()}
+    su = {(r["rw"], r["bucket"]): r["cnt"] for r in sk.token_cms(u, "text", **kw).collect()}
+    merged = dict(sa)
+    for k, v in sb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == su
