@@ -185,3 +185,50 @@ def test_log_envelope_roundtrip_preserves_dirty_split(spark):
     assert got_clean == want_clean and len(got_clean) == 1
     dirty = [r["value"] for r in dirty_logs(parse_logs(received)).collect()]
     assert dirty == ['{"broken json']
+
+
+# ---------------------------------------------------------------------------
+# LIVE broker integration (env-gated): set SPARK_GRAFT_KAFKA_BROKERS to a
+# reachable bootstrap list to run the real produce -> consume round trip;
+# skipped in this container (no broker). This is the one test that turns
+# "contract-tested broker-free" into "verified against a broker" the day
+# an environment provides one — the transformations under test are the
+# SAME sink_projection/source_options the broker-free suite pins.
+# ---------------------------------------------------------------------------
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BROKERS"),
+    reason="no Kafka broker in this environment "
+    "(set SPARK_GRAFT_KAFKA_BROKERS to enable)",
+)
+def test_live_kafka_roundtrip(spark, tmp_path):
+    import uuid
+
+    from gmall_flink_2022_spark.sources import kafka as K
+
+    brokers = os.environ["SPARK_GRAFT_KAFKA_BROKERS"]
+    topic = f"gmall_it_{uuid.uuid4().hex[:8]}"
+    rows = spark.createDataFrame(
+        [(1, '{"id":1,"v":"a"}'), (2, '{"id":2,"v":"b"}')], "k long, value string"
+    )
+    projected = K.sink_projection(
+        rows.withColumn("topic", F.lit(topic)), topic_col="topic"
+    )
+    (
+        projected.write.format("kafka")
+        .options(**{k: v for k, v in K.sink_options(brokers, str(tmp_path / "ck")).items()
+                    if k != "checkpointLocation"})
+        .save()
+    )
+    back = (
+        spark.read.format("kafka")
+        .options(**K.source_options(brokers, topic, "earliest"))
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+    got = sorted(r["value"] for r in back.collect())
+    assert got == ['{"id":1,"v":"a"}', '{"id":2,"v":"b"}']
