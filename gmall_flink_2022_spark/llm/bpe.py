@@ -274,6 +274,34 @@ def _wf_syms_cte_sql(wf: str, s1: str, where: str) -> str:
     )"""
 
 
+def _pair_argmax_cte_sql(src: str, p: str, t: str) -> str:
+    """Count + argmax CTE pair over symbol state ``src``: ``p`` = pair
+    frequencies, ``t`` = the one selected (count DESC, left, right) pair
+    — the SQL twin of the top-pair collect in :func:`_run_merges`."""
+    return f"""{p} AS MATERIALIZED (
+        SELECT sym, nxt, SUM(freq) AS n FROM (
+            SELECT freq, sym,
+                   LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+            FROM {src}
+        ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    {t} AS MATERIALIZED (SELECT sym, nxt, n FROM {p} ORDER BY n DESC, sym, nxt LIMIT 1)"""
+
+
+def _train_chain_sql(n_merges: int, where: str) -> list[str]:
+    """The full training CTE chain wf, s1, (p{i}, t{i}, m{i}, s{i+1})*
+    over ``documents`` (optionally filtered) — shared by the train and
+    apply oracles so the greedy-merge SQL exists in exactly one place."""
+    parts = [_wf_syms_cte_sql("wf", "s1", where)]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            _pair_argmax_cte_sql(f"s{i}", f"p{i}", f"t{i}")
+            + ",\n    "
+            + _merge_apply_cte_sql(f"s{i}", f"s{i + 1}", f"m{i}", f"t{i}")
+        )
+    return parts
+
+
 def bpe_apply_oracle_sql(
     n_merges: int = BPE_DEFAULT_MERGES,
     train_where: str = "doc_id % 2 = 0",
@@ -285,20 +313,7 @@ def bpe_apply_oracle_sql(
     replays t1..t{n} over the HELD-OUT split's symbol table with no
     counting of its own — structurally the same no-statistics property
     the Spark :func:`bpe_apply` has."""
-    parts = [_wf_syms_cte_sql("wf", "s1", train_where)]
-    for i in range(1, n_merges + 1):
-        parts.append(
-            f"""p{i} AS MATERIALIZED (
-        SELECT sym, nxt, SUM(freq) AS n FROM (
-            SELECT freq, sym,
-                   LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
-            FROM s{i}
-        ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
-    ),
-    t{i} AS MATERIALIZED (SELECT sym, nxt, n FROM p{i} ORDER BY n DESC, sym, nxt LIMIT 1),
-    """
-            + _merge_apply_cte_sql(f"s{i}", f"s{i + 1}", f"m{i}", f"t{i}")
-        )
+    parts = _train_chain_sql(n_merges, train_where)
     parts.append(_wf_syms_cte_sql("wfa", "a1", apply_where))
     for i in range(1, n_merges + 1):
         parts.append(
@@ -322,60 +337,11 @@ def bpe_train_oracle_sql(
     table (bpe_train); ``final='encoded'`` selects the encoded word
     vocabulary from the last symbol state (bpe_encode)."""
     # BPE_RE contains a literal backslash-s; SQL single-quoted strings do
-    # not process backslash escapes, so it embeds verbatim on both engines
-    parts = [
-        f"""wf AS MATERIALIZED (
-        SELECT word, COUNT(*) AS freq FROM (
-            SELECT UNNEST(regexp_extract_all(lower(text), '{BPE_RE}')) AS word
-            FROM documents
-        ) GROUP BY word
-    )""",
-        """s1 AS MATERIALIZED (
-        SELECT word AS wid, freq, CAST(i AS BIGINT) AS pos,
-               substr(word, CAST(i AS INTEGER), 1) AS sym
-        FROM wf, UNNEST(generate_series(1, length(word))) AS u(i)
-    )""",
-    ]
-    for i in range(1, n_merges + 1):
-        parts.append(
-            f"""p{i} AS MATERIALIZED (
-        SELECT sym, nxt, SUM(freq) AS n FROM (
-            SELECT freq, sym,
-                   LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
-            FROM s{i}
-        ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
-    ),
-    t{i} AS MATERIALIZED (SELECT sym, nxt, n FROM p{i} ORDER BY n DESC, sym, nxt LIMIT 1),
-    m{i} AS MATERIALIZED (
-        SELECT wid, freq, pos, sym, nxt,
-               mt AND (ROW_NUMBER() OVER (PARTITION BY wid, mt, isl
-                                          ORDER BY pos)) % 2 = 1 AS take
-        FROM (
-            SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY wid, mt
-                                              ORDER BY pos) AS isl
-            FROM (
-                SELECT wid, freq, pos, sym,
-                       LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
-                       ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS rn,
-                       COALESCE(sym = (SELECT sym FROM t{i})
-                                AND LEAD(sym) OVER (PARTITION BY wid
-                                                    ORDER BY pos)
-                                    = (SELECT nxt FROM t{i}), FALSE) AS mt
-                FROM s{i}
-            )
-        )
-    ),
-    s{i + 1} AS MATERIALIZED (
-        SELECT wid, freq,
-               CAST(ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
-                    AS BIGINT) AS pos,
-               CASE WHEN take THEN sym || nxt ELSE sym END AS sym
-        FROM (
-            SELECT *, LAG(take) OVER (PARTITION BY wid ORDER BY pos) AS ptk
-            FROM m{i}
-        ) WHERE NOT COALESCE(ptk, FALSE)
-    )"""
-        )
+    # not process backslash escapes, so it embeds verbatim on both
+    # engines. The chain itself is generated by the SAME helpers the
+    # apply oracle uses, so the greedy-merge SQL cannot drift between
+    # the two oracles.
+    parts = _train_chain_sql(n_merges, "")
     if final == "encoded":
         selects = (
             f"SELECT wid AS word, freq, CAST(COUNT(*) AS BIGINT) AS n_syms, "

@@ -578,13 +578,17 @@ def _pq_assign(
     m: int,
     ksub: int,
     seed: str,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(vector, subspace) nearest-centroid assignment: (id, j,
     b.cid, b.dist) with b = min(struct(dist, cid)). Shared by pq_codes
-    (pivots to code columns) and pq_adc_topk (joins the LUT)."""
+    (pivots to code columns) and pq_adc_topk (joins the LUT); pass a
+    precomputed ``cent`` to avoid re-running the codebook's corpus-wide
+    TakeOrdered + collect."""
     sub = dim // m
     e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cent = _pq_codebook(embs, id_col, vec_col, ksub, seed)
+    if cent is None:
+        cent = _pq_codebook(embs, id_col, vec_col, ksub, seed)
     js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
     e_sub = e.select("id", "vec", js).select(
         "id", "j", F.expr(f"slice(vec, j * {sub} + 1, {sub})").alias("sv")
@@ -681,10 +685,10 @@ def pq_adc_topk(
     :func:`knn_bruteforce`). Output: (query_id, neighbor_id, adc_dist,
     rnk); self-matches excluded, ties to the smaller neighbor id."""
     sub = dim // m
-    codes = _pq_assign(corpus, id_col, vec_col, dim, m, ksub, seed).select(
+    cent = _pq_codebook(corpus, id_col, vec_col, ksub, seed)
+    codes = _pq_assign(corpus, id_col, vec_col, dim, m, ksub, seed, cent).select(
         F.col("id").alias("neighbor_id"), "j", F.col("b.cid").alias("cid")
     )
-    cent = _pq_codebook(corpus, id_col, vec_col, ksub, seed)
     js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
     q_sub = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")

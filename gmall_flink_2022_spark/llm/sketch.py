@@ -28,8 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.tokenize import tokenize_col
-from .text import _u32
+from .text import _toks_or_empty, _u32
 
 CMS_WIDTH = 1024
 CMS_DEPTH = 4
@@ -41,6 +40,23 @@ def _cms_bucket(token: Column, rw: Column, width: int, seed: str) -> Column:
     return (
         _u32(F.concat(F.lit(seed + "|"), rw.cast("string"), F.lit("|"), token))
         % width
+    )
+
+
+def _cms_cells(token: Column, width: int, depth: int, seed: str) -> Column:
+    """The token's ``depth`` (rw, bucket) cells as one explodable array —
+    the single place the cell derivation lives (sketch build and point
+    queries must agree bit-for-bit or estimates silently break)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("long").alias("rw"),
+                    _cms_bucket(token, F.lit(r), width, seed).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
     )
 
 
@@ -57,23 +73,9 @@ def token_cms(
     grid, so the map-side combine collapses everything to w*d rows per
     task before the (tiny) shuffle. Sketches over corpus shards merge
     by summing cnt on (rw, bucket)."""
-    toks = F.explode(
-        F.coalesce(tokenize_col(text_col), F.array().cast("array<string>"))
-    ).alias("token")
+    toks = F.explode(_toks_or_empty(text_col)).alias("token")
     cells = df.select(toks).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("long").alias("rw"),
-                        _cms_bucket(F.col("token"), F.lit(r), width, seed).alias(
-                            "bucket"
-                        ),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("c")
+        _cms_cells(F.col("token"), width, depth, seed).alias("c")
     )
     return (
         cells.select("c.rw", "c.bucket")
@@ -96,19 +98,7 @@ def cms_estimate(
     any number of candidates never shuffles anything corpus-sized."""
     probes = candidates.select(F.col(token_col).alias("token")).select(
         "token",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("long").alias("rw"),
-                        _cms_bucket(F.col("token"), F.lit(r), width, seed).alias(
-                            "bucket"
-                        ),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("c"),
+        _cms_cells(F.col("token"), width, depth, seed).alias("c"),
     ).select("token", "c.rw", "c.bucket")
     joined = probes.join(F.broadcast(sketch), ["rw", "bucket"], "left")
     return joined.groupBy("token").agg(
@@ -134,9 +124,7 @@ def cms_heavy_hitters(
     how this plan composes: the exact count joins AFTER the estimate
     filter, so it runs over the heavy candidates only)."""
     sketch = token_cms(df, text_col, width, depth, seed)
-    toks = F.explode(
-        F.coalesce(tokenize_col(text_col), F.array().cast("array<string>"))
-    ).alias("token")
+    toks = F.explode(_toks_or_empty(text_col)).alias("token")
     vocab = df.select(toks).distinct()
     est = cms_estimate(sketch, vocab, "token", width, depth, seed).filter(
         F.col("cms_est") >= min_count

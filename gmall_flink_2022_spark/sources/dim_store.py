@@ -207,6 +207,16 @@ class DimStore:
             if os.path.isdir(src):
                 os.replace(src, dst)  # bucket fully emptied -> dir just goes
         shutil.rmtree(merge_dir, ignore_errors=True)
+        # deleting the last row of every bucket must leave a READABLE
+        # empty table, not a schema-less dir (exists() true but every
+        # read/upsert raising UNABLE_TO_INFER_SCHEMA — a vacuum that
+        # removes the whole corpus would brick the index). Write one
+        # zero-row, schema-carrying file so reads return empty and the
+        # next upsert merges normally.
+        if not any(e.startswith("__bucket=") for e in os.listdir(path)):
+            keep.drop("__bucket").limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "__bucket=0"))
 
     def file_count(self, table: str) -> int:
         """Data-file count across bucket dirs (lifecycle observability —

@@ -236,3 +236,25 @@ def test_delete_is_partition_pruned_and_vacuum_wires_to_index(spark, tmp_path):
     d = {r["doc_id"]: r for r in inc.incremental_dedup(store, re_arrivals).collect()}
     assert d[42]["dup_kind"] != "exact"  # canonical copy gone
     assert d[43]["dup_kind"] == "exact" and d[43]["match_id"] == 3
+
+
+def test_delete_every_row_leaves_readable_empty_table(spark, tmp_path):
+    """Review r7: deleting the last row of EVERY bucket must not leave a
+    schema-less dir (exists() true, reads/upserts raising
+    UNABLE_TO_INFER_SCHEMA) — the table reads back empty and the next
+    upsert works."""
+    store = DimStore(spark, str(tmp_path / "empty"), n_buckets=4)
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, val string"
+    )
+    store.upsert("tab", rows, pk="id")
+    store.delete("tab", rows.select("id"), pk="id")
+    assert store.exists("tab")
+    assert store.read("tab").count() == 0
+    assert store.read("tab").columns == ["id", "val"]
+    # the index survives a full vacuum: next upsert and read work
+    store.upsert("tab", spark.createDataFrame([(9, "x")], "id long, val string"), pk="id")
+    assert [tuple(r) for r in store.read("tab").collect()] == [(9, "x")]
+    # compact on the empty/refilled table is safe too
+    store.compact("tab")
+    assert store.read("tab").count() == 1

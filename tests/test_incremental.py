@@ -263,3 +263,19 @@ def test_vacuum_embed_index(spark):
     ).collect()}
     assert out[20]["dup_kind"] != "exact"
     assert out[30]["dup_kind"] == "exact" and out[30]["match_id"] == 3
+
+
+def test_vacuum_entire_corpus_keeps_index_usable(spark):
+    """Review r7: retention that removes EVERY doc must leave the index
+    readable/ingestable — decisions on the next batch are all 'new'."""
+    store = _store(spark)
+    inc.build_dedup_index(store, _df(spark, CORPUS))
+    inc.vacuum_dedup_index(
+        store, spark.createDataFrame([(i,) for i, _ in CORPUS], "doc_id long")
+    )
+    assert store.read(inc.SIG_TABLE).count() == 0
+    d = {r["doc_id"]: r["dup_kind"]
+         for r in inc.ingest_with_dedup(store, _df(spark, CORPUS)).collect()}
+    assert set(d.values()) == {"new"}
+    # and they are indexed again
+    assert store.read(inc.SIG_TABLE).count() == len(CORPUS)
