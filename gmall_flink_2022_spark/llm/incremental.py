@@ -359,6 +359,52 @@ def read_cluster_map(store: DimStore) -> DataFrame:
     return store.read(CLUSTER_TABLE)
 
 
+def vacuum_cluster_map(store: DimStore, removed_ids: DataFrame) -> DataFrame:
+    """Retention for the cluster map: drop removed docs' member rows
+    and RE-ELECT the canonical label of any cluster whose minimum was
+    removed (new label = min surviving member id), keeping the map's
+    invariant that every cluster_id is the min id of its cluster.
+
+    Documented contract: the surviving partition is preserved — a
+    removed doc never SPLITS a cluster, because the map stores the
+    quotient, not the edges; exact decremental connectivity needs the
+    pair set (keep the pairs table and recompute the touched component
+    if splits matter — at 100 TB that is the storage-vs-recompute trade
+    this family already documents). Scale shape: the map streams
+    through broadcast probes of the (small) removal list and the
+    touched-label list; deletes/upserts ride the bucket-pruned store.
+
+    Returns the relabel rows written (id, cluster_id)."""
+    id_c = removed_ids.columns[0]
+    ids = (
+        removed_ids.select(F.col(id_c).alias("id"))
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=True)
+    )
+    m = store.read(CLUSTER_TABLE)
+    # labels being removed — their clusters need re-election (bounded
+    # by the removal list)
+    dead_labels = (
+        m.join(F.broadcast(ids), m["cluster_id"] == ids["id"])
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    store.delete(CLUSTER_TABLE, ids, pk="id")
+    if not dead_labels.take(1):
+        return m.filter(F.lit(False)).select("id", "cluster_id")
+    m2 = store.read(CLUSTER_TABLE)
+    touched = m2.join(F.broadcast(dead_labels), "cluster_id")
+    new_lbl = touched.groupBy("cluster_id").agg(F.min("id").alias("_new"))
+    relabeled = (
+        touched.join(F.broadcast(new_lbl), "cluster_id")
+        .select("id", F.col("_new").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    store.upsert(CLUSTER_TABLE, relabeled, pk="id")
+    return relabeled
+
+
 def foreach_batch_cluster_updater(store: DimStore):
     """Streaming twin: fold each micro-batch of (id_a, id_b) near-dup
     edges into the persisted cluster map. Because every fold maintains

@@ -19,19 +19,20 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
     # ROUND-7 WINDOW (VERDICT r6 ask #1: explicit triage, 59->50).
-    # Slots: (a) 16 never-driver-checked entries — the 7 born this round
+    # Slots: (a) 17 never-driver-checked entries — the 8 born this round
     # (llm_bpe_apply, llm_dedup_index_lifecycle,
-    # llm_dup_clusters_incremental + its streaming twin, llm_knn_pq_adc,
+    # llm_dup_clusters_incremental + its streaming twin +
+    # llm_dup_clusters_vacuum, llm_knn_pq_adc,
     # llm_token_cms_heavy + its streaming twin)
     # plus the 9 born after the r6 window froze; (b) the 4
-    # four-round-stale r3-green entries; (c) 30 of the
+    # four-round-stale r3-green entries; (c) 29 of the
     # 46 r4-green entries (3 rounds stale), prioritizing paths whose
     # shared code churned in r5-r7: the ENTIRE non-_scale streaming
     # suite (DimStore gained compact/delete/auto-compaction THIS round;
     # every streaming sink rides it or foreachBatch), the llm near-dup
     # family (llm/dedup.py estimator + probe-cache changes this round),
     # and the tokenizer-sharing keyword/CJK entries.
-    # SIXTEEN slip to r8, each with a fronted sibling on the identical
+    # SEVENTEEN slip to r8, each with a fronted sibling on the identical
     # code path and no r5-r7 churn of its own:
     #   stream_order_enrich_scale / stream_session_window_scale /
     #   stream_two_hop_scale / stream_keyword_stats_cjk_scale
@@ -59,7 +60,11 @@ _DRIVER_WINDOW_FIRST = [
     #   ads_rollup_revenue / ads_pivot_linestatus (displaced by the
     #     r7-born CMS pair; thin single-operator ROLLUP/PIVOT
     #     renderings over analytics.py untouched since r4, riding the
-    #     r6-green serving aggregations' frames).
+    #     r6-green serving aggregations' frames),
+    #   llm_token_stats (displaced by the r7-born
+    #     llm_dup_clusters_vacuum; thin tokenize+agg surface — the
+    #     tokenizer rides fronted dws_keyword_stats_cjk and token
+    #     counting rides fronted llm_token_cms_heavy's exact column).
     # The 3 rows-only ANN originals stay below slot 50 as every round —
     # their driver-checkable recall contracts rotate (2 of 3 slip with
     # the similarity family above).
@@ -68,6 +73,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_index_lifecycle",
     "llm_dup_clusters_incremental",
     "stream_llm_dup_clusters_incremental",
+    "llm_dup_clusters_vacuum",
     "llm_knn_pq_adc",
     "llm_token_cms_heavy",
     "stream_llm_token_cms",
@@ -108,7 +114,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_simhash",
     "llm_dedup_embed",
     "llm_knn_bruteforce",
-    "llm_token_stats",
     "llm_quality_score",
     "llm_fingerprint",
     "llm_corpus_curation",
@@ -124,7 +129,7 @@ _DRIVER_WINDOW_FIRST = [
 
 # (the round-6 window list lives in git history: d6f96dc)
 
-# r8 window candidates, in priority order: the 16 named r7 slips above
+# r8 window candidates, in priority order: the 17 named r7 slips above
 # (4 rounds stale by r8 — they go FIRST), then the r5-green cohort
 # (50 entries, 3 rounds stale at r8: the approx/percentile/cube batch,
 # the multimodal family, the sampling/fingerprint family, TPC-H

@@ -571,6 +571,85 @@ def llm_dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store.root, ignore_errors=True)
 
 
+@register(
+    "llm_dup_clusters_vacuum",
+    # closure over the full edge union -> delete removed ids -> per
+    # ORIGINAL cluster, surviving min becomes the label. (Clusters that
+    # kept their min re-elect to the same label, so one MIN covers both
+    # the re-elected and untouched cases.)
+    oracle="""
+    WITH RECURSIVE p AS (
+        SELECT doc_id AS id_a, doc_id + 1 AS id_b
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1, doc_id + 2 FROM documents WHERE doc_id % 14 = 0
+        UNION ALL
+        SELECT doc_id + 1, doc_id + 8 FROM documents WHERE doc_id % 14 = 0
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(id, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+    ),
+    asg AS (SELECT id, MIN(lbl) AS orig FROM reach GROUP BY id),
+    rem AS (SELECT doc_id AS id FROM documents WHERE doc_id % 14 = 0
+            UNION
+            SELECT doc_id + 8 FROM documents WHERE doc_id % 28 = 0),
+    surv AS (SELECT a.id, a.orig FROM asg a
+             LEFT JOIN rem r ON a.id = r.id WHERE r.id IS NULL),
+    newl AS (SELECT orig, MIN(id) AS nl FROM surv GROUP BY orig)
+    SELECT s.id, n.nl AS cluster_id
+    FROM surv s JOIN newl n ON s.orig = n.orig
+    """,
+    survey_ref="extension: cluster-map retention — removed docs' member "
+    "rows drop and clusters whose canonical minimum was removed "
+    "re-elect min(survivors), preserving the min-label invariant later "
+    "incremental updates depend on; the surviving partition is "
+    "preserved (the map stores the quotient, not the edges — exact "
+    "decremental splits need the pair table, documented trade)",
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_dup_clusters_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..llm import incremental as inc
+    from ..sources.dim_store import DimStore
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    b0 = ids.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    ext = ids.filter(F.col("doc_id") % 14 == 0)
+    b1 = ext.select(
+        (F.col("doc_id") + 1).alias("id_a"), (F.col("doc_id") + 2).alias("id_b")
+    )
+    b2 = ext.select(
+        (F.col("doc_id") + 1).alias("id_a"), (F.col("doc_id") + 8).alias("id_b")
+    )
+    removed = (
+        ids.filter(F.col("doc_id") % 14 == 0)
+        .select("doc_id")
+        .unionByName(
+            ids.filter(F.col("doc_id") % 28 == 0).select(
+                (F.col("doc_id") + 8).alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_clvac_"))
+    try:
+        inc.build_cluster_map(store, b0)
+        inc.update_dup_clusters(store, b1)
+        inc.update_dup_clusters(store, b2)
+        inc.vacuum_cluster_map(store, removed)
+        return inc.read_cluster_map(store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store.root, ignore_errors=True)
+
+
 # ----------------------------------------------------------------- SimHash
 _SBITS = 16
 _HEXPOS = "strpos('0123456789abcdef', substr(h, %d, 1)) - 1"

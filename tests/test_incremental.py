@@ -279,3 +279,29 @@ def test_vacuum_entire_corpus_keeps_index_usable(spark):
     assert set(d.values()) == {"new"}
     # and they are indexed again
     assert store.read(inc.SIG_TABLE).count() == len(CORPUS)
+
+
+def test_vacuum_cluster_map_reelects_labels(spark):
+    """Cluster-map retention: removed members drop; a cluster whose
+    MINIMUM was removed re-elects min(survivors) as its label; untouched
+    clusters keep their rows byte-identically; later updates still hold
+    the min-label invariant."""
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    store = _store(spark)
+    inc.build_cluster_map(store, pairs([(10, 11), (10, 12), (20, 21), (30, 31)]))
+    written = inc.vacuum_cluster_map(
+        store, spark.createDataFrame([(10,), (21,), (99,)], "doc_id long")
+    )
+    got = dict(sorted(inc.read_cluster_map(store).collect()))
+    # cluster {10,11,12}: min removed -> re-elected to 11
+    # cluster {20,21}: member removed, label kept
+    # cluster {30,31}: untouched; 99 never existed
+    assert got == {11: 11, 12: 11, 20: 20, 30: 30, 31: 30}
+    assert sorted(map(tuple, written.collect())) == [(11, 11), (12, 11)]
+    # invariant survives a later incremental update
+    inc.update_dup_clusters(store, pairs([(12, 31)]))
+    got2 = dict(sorted(inc.read_cluster_map(store).collect()))
+    assert got2 == {11: 11, 12: 11, 20: 20, 30: 11, 31: 11}
