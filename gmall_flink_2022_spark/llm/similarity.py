@@ -721,3 +721,121 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+def _full_l2(a: Column, b: Column) -> Column:
+    """Squared L2 between two full vectors (fixed-order fold)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 8,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    seed: str = "pq",
+    coarse_seed: str = "ivf",
+) -> DataFrame:
+    """The composed FAISS IVFADC layout (Jégou et al. 2011 §IV): a
+    coarse quantizer prunes the corpus to each query's ``n_probe``
+    nearest cells, and ADC over PQ codes scores ONLY those cells'
+    vectors — the candidate count drops to ~n_probe/n_cells of the
+    corpus before any distance work happens.
+
+    Both quantizers here are the repo's seeded closed-form selection
+    (:func:`_pq_codebook` — the n_cells/ksub corpus vectors with
+    smallest seeded hash), so the WHOLE search is deterministic and
+    oracle-hash-checkable end to end; swapping in k-means centers
+    (:func:`kmeans_cells`) or residual encoding (FAISS's refinement:
+    PQ over x - coarse_center, tighter ADC at the cost of per-cell
+    LUTs) changes the tiny center frames, not the plan shape.
+
+    Composition identity (property-tested): within a query's probed
+    cells, scores and ordering are EXACTLY those of
+    :func:`pq_adc_topk` on the cell-restricted corpus — pruning
+    changes WHICH candidates are scored, never HOW.
+
+    Scale shape: centers and probes broadcast; the corpus-side work is
+    the one-pass cell assignment + code table, and the probe join
+    prunes BEFORE the LUT join, so partial sums aggregate over probed
+    candidates only. At 100 TB the (cell -> codes) table is what you
+    persist partitioned by cell: a probe is then a partition-pruned
+    scan."""
+    coarse = _pq_codebook(corpus, id_col, vec_col, n_cells, coarse_seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    cells = (
+        c.crossJoin(F.broadcast(coarse))
+        .select(
+            "neighbor_id",
+            F.struct(_full_l2(F.col("vec"), F.col("cvec")).alias("d"), F.col("cid").alias("cell")).alias("s"),
+        )
+        .groupBy("neighbor_id")
+        .agg(F.min("s").alias("b"))
+        .select("neighbor_id", F.col("b.cell").alias("cell"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qw = W.partitionBy("query_id").orderBy(F.asc("qd"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            F.col("cid").alias("cell"),
+            _full_l2(F.col("qvec"), F.col("cvec")).alias("qd"),
+        )
+        .withColumn("prn", F.row_number().over(qw))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    sub = dim // m
+    cent = _pq_codebook(corpus, id_col, vec_col, ksub, seed)
+    codes = _pq_assign(corpus, id_col, vec_col, dim, m, ksub, seed, cent).select(
+        F.col("id").alias("neighbor_id"), "j", F.col("b.cid").alias("cid")
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    q_sub = q.select("query_id", "qvec", js).select(
+        "query_id", "j", F.expr(f"slice(qvec, j * {sub} + 1, {sub})").alias("sv")
+    )
+    c_sub = cent.select("cid", "cvec", js).select(
+        "cid", "j", F.expr(f"slice(cvec, j * {sub} + 1, {sub})").alias("cv")
+    )
+    lut = q_sub.join(F.broadcast(c_sub), "j").select(
+        "query_id", "j", "cid", _pq_sub_dist2().alias("dist")
+    )
+    # prune FIRST (cell probe), then look up distances — candidate rows
+    # are probed-cell only before any LUT work
+    cand = codes.join(cells, "neighbor_id").join(F.broadcast(probes), "cell")
+    parts = cand.join(F.broadcast(lut), ["query_id", "j", "cid"]).select(
+        "neighbor_id", "query_id", "j", "dist"
+    )
+    d_cols = [
+        F.max(F.when(F.col("j") == j, F.col("dist"))).alias(f"_d{j}")
+        for j in range(m)
+    ]
+    wide = parts.groupBy("neighbor_id", "query_id").agg(*d_cols)
+    adc = F.col("_d0")
+    for j in range(1, m):
+        adc = adc + F.col(f"_d{j}")
+    scored = wide.select(
+        "query_id", "neighbor_id", adc.alias("adc_dist")
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )

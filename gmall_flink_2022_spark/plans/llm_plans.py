@@ -972,6 +972,104 @@ def llm_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+        "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_IVFPQ_CELLS, _IVFPQ_PROBE = 16, 4
+
+
+@register(
+    "llm_knn_ivf_pq",
+    # the llm_knn_pq_adc oracle with a coarse-quantizer prune in front:
+    # seeded coarse centers, full-vector argmin cell assignment, per-
+    # query n_probe nearest cells, candidates = probed cells only
+    oracle=f"""
+    WITH cseed AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS cid
+        FROM embeddings
+    ),
+    coarse AS (SELECT cid, embedding AS cvec FROM cseed WHERE cid <= {_IVFPQ_CELLS}),
+    cellasg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_l2_sql("e.embedding", "c.cvec")}, c.cid) AS rn
+        FROM embeddings e, coarse c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (SELECT query_id, cid AS cell FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {_l2_sql("q.qvec", "c.cvec")}, c.cid) AS prn
+        FROM q, coarse c) WHERE prn <= {_IVFPQ_PROBE}),
+    seedv AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS cid
+        FROM embeddings
+    ),
+    cent AS (SELECT cid, embedding AS cvec FROM seedv WHERE cid <= {_PQ_K}),
+    sub AS (SELECT vec_id AS id, j,
+                   embedding[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+            FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+    csub AS (SELECT cid, j, cvec[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS cv
+             FROM cent, UNNEST([0,1,2,3]) AS t(j)),
+    d AS (SELECT s.id, s.j, c.cid, {_PQ_DIST} AS dist
+          FROM sub s JOIN csub c ON s.j = c.j),
+    best AS (SELECT id, j, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id, j
+                                     ORDER BY dist, cid) AS rn FROM d)
+        WHERE rn = 1),
+    qsub AS (SELECT vec_id AS query_id, j,
+                    embedding[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+             FROM embeddings, UNNEST([0,1,2,3]) AS t(j)
+             WHERE vec_id < 10),
+    lut AS (SELECT s.query_id, s.j, c.cid, {_PQ_DIST} AS dist
+            FROM qsub s JOIN csub c ON s.j = c.j),
+    parts AS (SELECT b.id AS neighbor_id, l.query_id, b.j, l.dist
+              FROM best b
+              JOIN cellasg ca ON ca.neighbor_id = b.id
+              JOIN probes pr ON pr.cell = ca.cell
+              JOIN lut l ON l.query_id = pr.query_id
+                        AND b.j = l.j AND b.cid = l.cid),
+    wide AS (SELECT neighbor_id, query_id,
+             {", ".join(f"MAX(CASE WHEN j={j} THEN dist END) AS d{j}" for j in range(_PQ_M))}
+             FROM parts GROUP BY neighbor_id, query_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      {" + ".join(f"d{j}" for j in range(_PQ_M))} AS adc_dist
+               FROM wide WHERE neighbor_id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id, adc_dist,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rnk
+               FROM scored)
+    SELECT query_id, neighbor_id, adc_dist, rnk FROM ranked WHERE rnk <= 5
+    """,
+    survey_ref="extension: composed IVF-PQ search (Jegou et al. 2011 "
+    "SIV IVFADC) — coarse cells prune to ~n_probe/n_cells of the "
+    "corpus BEFORE any distance work, ADC over PQ codes scores the "
+    "survivors; both quantizers seeded closed-form so the whole search "
+    "is oracle-hash-checked (k-means/residual variants swap the tiny "
+    "center frames, not the plan); composition identity vs pq_adc_topk "
+    "property-tested",
+    tags=("llm", "similarity", "embedding"),
+    bench=True,
+)
+def llm_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.ivf_pq_topk(
+        embs, queries, "vec_id", "embedding",
+        dim=64, m=_PQ_M, ksub=_PQ_K,
+        n_cells=_IVFPQ_CELLS, n_probe=_IVFPQ_PROBE, k=5,
+    )
+
+
 # ----------------------------------------------------- brute-force cosine kNN
 @register(
     "llm_knn_bruteforce",

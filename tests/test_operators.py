@@ -1621,3 +1621,58 @@ def test_cms_overestimates_and_merges(spark):
     for k, v in sb.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == su
+
+
+def test_ivf_pq_composition_identity(spark):
+    """IVF-PQ = prune-then-ADC: for every query, the result equals
+    pq_adc_topk run on the corpus RESTRICTED to that query's probed
+    cells — pruning changes which candidates are scored, never how."""
+    from pyspark.sql import Window as W
+
+    from gmall_flink_2022_spark.llm import similarity as sim
+
+    rows = [(i, [float((i * 13 + d * 5) % 17) - 8.0 for d in range(8)])
+            for i in range(1, 25)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = embs.filter(F.col("vec_id") <= 2)
+    kw = dict(dim=8, m=2, ksub=4, seed="pq")
+    got = sim.ivf_pq_topk(
+        embs, queries, "vec_id", "embedding",
+        n_cells=4, n_probe=2, k=50, **kw
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+
+    # reference: per query, restrict the corpus to its probed cells and
+    # run plain pq_adc_topk
+    coarse = sim._pq_codebook(embs, "vec_id", "embedding", 4, "ivf")
+    cellw = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    asg = (
+        embs.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "cid", sim._full_l2(F.col("embedding"), F.col("cvec")).alias("d"))
+        .withColumn("rn", F.row_number().over(cellw))
+        .filter("rn = 1")
+    )
+    cells = {r["vec_id"]: r["cid"] for r in asg.collect()}
+    expect = []
+    for qrow in queries.collect():
+        qid = qrow["vec_id"]
+        probed = sorted(
+            (r["cid"] for r in (
+                spark.createDataFrame([(qid, qrow["embedding"])], "vec_id long, embedding array<float>")
+                .crossJoin(F.broadcast(coarse))
+                .select("cid", sim._full_l2(F.col("embedding"), F.col("cvec")).alias("d"))
+                .orderBy(F.asc("d"), F.asc("cid")).limit(2).collect()
+            ))
+        )
+        restricted = embs.filter(F.col("vec_id").isin([v for v, c in cells.items() if c in probed]))
+        # pq codebook/codes must come from the FULL corpus (the index is
+        # built once); score restricted candidates via cms... use
+        # pq_adc_topk on (restricted corpus for codes? no) -> emulate:
+        sub = sim.pq_adc_topk(embs, queries.filter(F.col("vec_id") == qid),
+                              "vec_id", "embedding", k=1000, **kw)
+        keep_ids = {v for v, c in cells.items() if c in probed}
+        per_q = [r for r in sub.collect() if r["neighbor_id"] in keep_ids]
+        per_q.sort(key=lambda r: (r["adc_dist"], r["neighbor_id"]))
+        for rk, r in enumerate(per_q, 1):
+            expect.append((r["query_id"], r["neighbor_id"], r["adc_dist"], rk))
+    assert got_rows == sorted(expect)
