@@ -274,6 +274,24 @@ def _wf_syms_cte_sql(wf: str, s1: str, where: str) -> str:
     )"""
 
 
+MERGES_TABLE = "bpe_merges"
+
+
+def save_merges(store, merges: DataFrame) -> None:
+    """Persist a trained merge table into a DimStore (pk = step) — the
+    shipped-artifact half of the train-once/apply-everywhere story:
+    training jobs upsert here, inference jobs :func:`load_merges` +
+    :func:`bpe_apply` with no retraining (the same persisted-config
+    discipline as the routing table the reference streams its rules
+    from, function/TableProcessFunction.java:62-80)."""
+    store.upsert(MERGES_TABLE, merges, pk="step")
+
+
+def load_merges(store) -> DataFrame:
+    """The persisted merge table, ready for :func:`bpe_apply`."""
+    return store.read(MERGES_TABLE)
+
+
 def _pair_argmax_cte_sql(src: str, p: str, t: str) -> str:
     """Count + argmax CTE pair over symbol state ``src``: ``p`` = pair
     frequencies, ``t`` = the one selected (count DESC, left, right) pair

@@ -1676,3 +1676,27 @@ def test_ivf_pq_composition_identity(spark):
         for rk, r in enumerate(per_q, 1):
             expect.append((r["query_id"], r["neighbor_id"], r["adc_dist"], rk))
     assert got_rows == sorted(expect)
+
+
+def test_bpe_merges_roundtrip_through_store(spark, tmp_path):
+    """Shipped-artifact round trip: train -> save_merges -> load_merges
+    -> apply gives byte-identical encodings to applying the in-memory
+    table (the persisted tokenizer IS the tokenizer)."""
+    from gmall_flink_2022_spark.llm import bpe
+    from gmall_flink_2022_spark.sources.dim_store import DimStore
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest newer newest wide widely")],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [(2, "lowest wide zz newerly")], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(train, "text", n_merges=4)
+    store = DimStore(spark, str(tmp_path / "tok"))
+    bpe.save_merges(store, merges)
+    direct = sorted(map(tuple, bpe.bpe_apply(held, merges, "text").collect()))
+    shipped = sorted(
+        map(tuple, bpe.bpe_apply(held, bpe.load_merges(store), "text").collect())
+    )
+    assert shipped == direct and len(shipped) == 4
