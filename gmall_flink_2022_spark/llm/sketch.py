@@ -106,6 +106,84 @@ def cms_estimate(
     )
 
 
+def rare_token_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sketch: DataFrame | None = None,
+    min_freq: int = 5,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """Per-document rarity scoring against the sketch — the sketch used
+    as a DIMENSION: every token occurrence is classified rare/common by
+    its corpus-frequency ESTIMATE, never by a vocabulary-sized exact
+    count. Output (id, n_tokens, n_rare, rare_frac); docs dominated by
+    rare tokens (high rare_frac) are the gibberish/misspelling signal a
+    curation pipeline thresholds on (the corpus-relative cousin of the
+    Gopher rules' absolute thresholds).
+
+    ``sketch`` defaults to the corpus's own sketch (self-relative
+    rarity); pass a persisted one (DimStore table, yesterday's crawl)
+    to score a NEW batch against a REFERENCE corpus — the grid is
+    fixed-size, so the reference side broadcasts no matter how big the
+    corpus it summarizes was. This is the S11 cache-aside replacement
+    shape (broadcast dim re-read per batch) with the dim being a
+    sketch instead of a table — which is exactly what makes it work
+    when the 'dimension' is a 100 TB corpus's token statistics.
+
+    Note the CMS one-sidedness direction: estimates only OVERcount, so
+    a token can only look MORE common than it is — rare_frac is a
+    conservative (under-)estimate of the true rare fraction; collisions
+    never flag a common token as rare."""
+    if sketch is None:
+        sketch = token_cms(df, text_col, width, depth, seed)
+    toks = F.explode(_toks_or_empty(text_col)).alias("token")
+    occ = (
+        df.select(F.col(id_col).alias("id"), toks)
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    # probe the GRID-sized sketch per (doc, token) — only the sketch
+    # broadcasts (w*d rows); a vocab-sized estimate table never
+    # materializes, so nothing vocabulary-shaped is ever broadcast
+    probes = occ.select(
+        "id", "token", "occ", _cms_cells(F.col("token"), width, depth, seed).alias("c")
+    ).select("id", "token", "occ", "c.rw", "c.bucket")
+    joined = (
+        probes.join(F.broadcast(sketch), ["rw", "bucket"], "left")
+        .groupBy("id", "token", "occ")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    out = joined.groupBy("id").agg(
+        F.sum("occ").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("cms_est") < min_freq, F.col("occ")).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+    )
+    # empty/NULL docs: no occurrence rows — restore them with zeros so
+    # the output covers every input doc (fail-closed counting)
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(out, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+        )
+        .withColumn(
+            "rare_frac",
+            F.coalesce(
+                F.try_divide(
+                    F.col("n_rare").cast("double"), F.col("n_tokens").cast("double")
+                ),
+                F.lit(0.0),
+            ),
+        )
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     text_col: str = "text",

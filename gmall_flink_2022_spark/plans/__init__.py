@@ -19,20 +19,20 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
     # ROUND-7 WINDOW (VERDICT r6 ask #1: explicit triage, 59->50).
-    # Slots: (a) 18 never-driver-checked entries — the 9 born this round
-    # (llm_bpe_apply, llm_dedup_index_lifecycle,
+    # Slots: (a) 19 never-driver-checked entries — the 10 born this
+    # round (llm_bpe_apply, llm_dedup_index_lifecycle,
     # llm_dup_clusters_incremental + its streaming twin +
     # llm_dup_clusters_vacuum, llm_knn_pq_adc + llm_knn_ivf_pq,
-    # llm_token_cms_heavy + its streaming twin)
+    # llm_token_cms_heavy + its streaming twin + llm_rare_token_score)
     # plus the 9 born after the r6 window froze; (b) the 4
-    # four-round-stale r3-green entries; (c) 28 of the
+    # four-round-stale r3-green entries; (c) 27 of the
     # 46 r4-green entries (3 rounds stale), prioritizing paths whose
     # shared code churned in r5-r7: the ENTIRE non-_scale streaming
     # suite (DimStore gained compact/delete/auto-compaction THIS round;
     # every streaming sink rides it or foreachBatch), the llm near-dup
     # family (llm/dedup.py estimator + probe-cache changes this round),
     # and the tokenizer-sharing keyword/CJK entries.
-    # EIGHTEEN slip to r8, each with a fronted sibling on the identical
+    # NINETEEN slip to r8, each with a fronted sibling on the identical
     # code path and no r5-r7 churn of its own:
     #   stream_order_enrich_scale / stream_session_window_scale /
     #   stream_two_hop_scale / stream_keyword_stats_cjk_scale
@@ -68,7 +68,11 @@ _DRIVER_WINDOW_FIRST = [
     #   llm_fingerprint (displaced by the r7-born llm_knn_ivf_pq; the
     #     r7 text.py churn was confined to gopher/classifier — the
     #     fingerprint path is untouched since r4 and its
-    #     rolling/winnow siblings were r5-green).
+    #     rolling/winnow siblings were r5-green),
+    #   llm_quality_score (displaced by the r7-born
+    #     llm_rare_token_score; same argument — untouched thin feature
+    #     map, while the two text.py functions that DID change carry
+    #     r6-green rows and ride the parity sweep).
     # The 3 rows-only ANN originals stay below slot 50 as every round —
     # their driver-checkable recall contracts rotate (2 of 3 slip with
     # the similarity family above).
@@ -82,6 +86,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_knn_ivf_pq",
     "llm_token_cms_heavy",
     "stream_llm_token_cms",
+    "llm_rare_token_score",
     # --- (a) never driver-checked: born after the r6 window froze ---
     "llm_bpe_encode",
     "llm_tfidf_keywords",
@@ -119,7 +124,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_simhash",
     "llm_dedup_embed",
     "llm_knn_bruteforce",
-    "llm_quality_score",
     "llm_corpus_curation",
     "llm_dup_clusters",
     "llm_sequence_pack",
@@ -133,7 +137,7 @@ _DRIVER_WINDOW_FIRST = [
 
 # (the round-6 window list lives in git history: d6f96dc)
 
-# r8 window candidates, in priority order: the 18 named r7 slips above
+# r8 window candidates, in priority order: the 19 named r7 slips above
 # (4 rounds stale by r8 — they go FIRST), then the r5-green cohort
 # (50 entries, 3 rounds stale at r8: the approx/percentile/cube batch,
 # the multimodal family, the sampling/fingerprint family, TPC-H

@@ -2874,6 +2874,11 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..llm import sketch as sketch_mod  # noqa: E402
 
 _CMS_W, _CMS_D, _CMS_MIN = 1024, 4, 50
+# rarity threshold for rare_token_score: the synthetic vocabulary's
+# frequency floor is ~26-29 at test scales vs ~900 for common tokens, so
+# 100 cleanly marks the rare tail at both sf0.001 (parity sweep) and
+# sf0.01 (driver) while every common token stays common
+_CMS_MIN_FREQ = 100
 _CMS_TOKS = f"COALESCE({TOKS}, CAST([] AS VARCHAR[]))"
 
 
@@ -2924,6 +2929,50 @@ def llm_token_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_mod.cms_heavy_hitters(
         _docs(spark, sf_dir), "text", min_count=_CMS_MIN,
         width=_CMS_W, depth=_CMS_D,
+    )
+
+
+@register(
+    "llm_rare_token_score",
+    oracle=f"""
+    WITH {_CMS_SKETCH_CTES},
+    dtk AS (SELECT doc_id AS id, UNNEST({_CMS_TOKS}) AS token FROM documents),
+    occ AS (SELECT id, token, COUNT(*) AS occ FROM dtk GROUP BY id, token),
+    probes AS (SELECT id, token, occ, CAST(r AS BIGINT) AS rw,
+                      {_cms_bucket_sql('token', 'r')} AS bucket
+               FROM occ, UNNEST([0,1,2,3]) AS t(r)),
+    estp AS (SELECT p.id, p.token, p.occ,
+                    MIN(COALESCE(s.cnt, 0)) AS cms_est
+             FROM probes p LEFT JOIN sketch s
+               ON p.rw = s.rw AND p.bucket = s.bucket
+             GROUP BY p.id, p.token, p.occ),
+    agg AS (SELECT id, SUM(occ) AS n_tokens,
+                   SUM(CASE WHEN cms_est < {_CMS_MIN_FREQ} THEN occ ELSE 0 END)
+                     AS n_rare
+            FROM estp GROUP BY id)
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_rare, 0) AS BIGINT) AS n_rare,
+           CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(a.n_rare AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+           END AS rare_frac
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a ON d.doc_id = a.id
+    """,
+    survey_ref="extension: per-document rarity scoring with the sketch "
+    "as a DIMENSION — every token occurrence classified rare/common by "
+    "its frequency ESTIMATE; only the fixed grid broadcasts (nothing "
+    "vocabulary-shaped moves), so the reference corpus behind the "
+    "'dimension' can be 100 TB; the S11 cache-aside replacement shape "
+    "with a sketch standing in for the dim table; conservative by the "
+    "CMS one-sided guarantee (collisions never flag common as rare)",
+    tags=("llm", "text", "sketch"),
+    bench=True,
+)
+def llm_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_mod.rare_token_score(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_freq=_CMS_MIN_FREQ, width=_CMS_W, depth=_CMS_D,
     )
 
 

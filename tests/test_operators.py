@@ -1700,3 +1700,30 @@ def test_bpe_merges_roundtrip_through_store(spark, tmp_path):
         map(tuple, bpe.bpe_apply(held, bpe.load_merges(store), "text").collect())
     )
     assert shipped == direct and len(shipped) == 4
+
+
+def test_rare_token_score_reference_sketch_and_nulls(spark):
+    """Sketch-as-dimension: scoring a NEW batch against a REFERENCE
+    corpus's sketch flags tokens absent/rare in the reference; NULL and
+    empty docs emit zero rows with rare_frac 0.0 (fail-closed)."""
+    from gmall_flink_2022_spark.llm import sketch as sk
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat again and again today") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ref_sketch = sk.token_cms(ref, "text", width=256, depth=3)
+    batch = spark.createDataFrame(
+        [(100, "the cat sat"),              # all common in ref
+         (101, "zyx qwv unseen words"),     # all absent from ref
+         (102, ""), (103, None)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in sk.rare_token_score(
+        batch, "doc_id", "text", sketch=ref_sketch,
+        min_freq=5, width=256, depth=3,
+    ).collect()}
+    assert out[100]["n_rare"] == 0 and out[100]["rare_frac"] == 0.0
+    assert out[101]["n_rare"] == 4 and out[101]["rare_frac"] == 1.0
+    for i in (102, 103):
+        assert out[i]["n_tokens"] == 0 and out[i]["rare_frac"] == 0.0
