@@ -72,7 +72,12 @@ _DRIVER_WINDOW_FIRST = [
     #   llm_quality_score (displaced by the r7-born
     #     llm_rare_token_score; same argument — untouched thin feature
     #     map, while the two text.py functions that DID change carry
-    #     r6-green rows and ride the parity sweep).
+    #     r6-green rows and ride the parity sweep),
+    #   dws_session_window_native (displaced by the r7-born
+    #     stream_llm_rare_token_score; fronted stream_session_window
+    #     runs the IDENTICAL F.session_window('1800 seconds') groupBy
+    #     over the same events frame — only the endpoints differ, and
+    #     the batch rendering rides the parity sweep).
     # The 3 rows-only ANN originals stay below slot 50 as every round —
     # their driver-checkable recall contracts rotate (2 of 3 slip with
     # the similarity family above).
@@ -87,6 +92,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_token_cms_heavy",
     "stream_llm_token_cms",
     "llm_rare_token_score",
+    "stream_llm_rare_token_score",
     # --- (a) never driver-checked: born after the r6 window froze ---
     "llm_bpe_encode",
     "llm_tfidf_keywords",
@@ -131,7 +137,6 @@ _DRIVER_WINDOW_FIRST = [
     "dwd_db_route",
     "dws_union_stats",
     "dwd_semi_active_customers",
-    "dws_session_window_native",
     "dws_keyword_stats_cjk",
 ]
 

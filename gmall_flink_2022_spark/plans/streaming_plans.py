@@ -1899,3 +1899,80 @@ def _register_stream_token_cms() -> None:
 
 
 _register_stream_token_cms()
+
+
+def _register_stream_rare_token_score() -> None:
+    """Streaming rarity scoring against a PERSISTED reference sketch:
+    the sketch-as-dimension shape run as a live job — the reference
+    corpus's count-min sketch sits in the DimStore and is re-read per
+    micro-batch (the S11 cache-aside replacement: broadcast dim re-read
+    each batch, SURVEY §4), so arriving documents are scored against
+    corpus-wide token statistics while only the fixed w*d grid ever
+    moves. Scoring is per-document (no cross-batch state), so the
+    settled output equals the batch `llm_rare_token_score` answer and
+    the batch oracle applies verbatim."""
+    from ..llm import sketch as sketch_mod
+    from ..sources.dim_store import DimStore
+    from .llm_plans import _CMS_D, _CMS_MIN_FREQ, _CMS_W
+    from .registry import REGISTRY as _R
+
+    @register(
+        "stream_llm_rare_token_score",
+        oracle=_R["llm_rare_token_score"].oracle,
+        survey_ref="extension: rarity scoring as a STREAMING job — the "
+        "reference sketch is a DimStore 'dimension' re-read per "
+        "micro-batch (S11 cache-aside replacement with a sketch "
+        "standing in for the dim table); per-doc scoring is stateless "
+        "across batches, so settled == batch answer",
+        tags=("streaming", "llm", "text", "sketch"),
+    )
+    def stream_llm_rare_token_score(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        stage = tempfile.mkdtemp(prefix="gmall_rare_stream_")
+        try:
+            store = DimStore(spark, os.path.join(stage, "dim"))
+            ref = sketch_mod.token_cms(
+                docs, "text", width=_CMS_W, depth=_CMS_D
+            ).withColumn(
+                "_k",
+                F.concat_ws(
+                    ":",
+                    F.col("rw").cast("string"),
+                    F.col("bucket").cast("string"),
+                ),
+            )
+            store.upsert("ref_sketch", ref, pk="_k")
+            out_dir = os.path.join(stage, "out")
+
+            def score(batch: DataFrame, batch_id: int) -> None:
+                # dim re-read PER BATCH (cache-aside replacement): a
+                # concurrently-maintained sketch would be picked up at
+                # the next micro-batch boundary
+                sk = store.read("ref_sketch").select("rw", "bucket", "cnt")
+                out = sketch_mod.rare_token_score(
+                    batch,
+                    "doc_id",
+                    "text",
+                    sketch=sk,
+                    min_freq=_CMS_MIN_FREQ,
+                    width=_CMS_W,
+                    depth=_CMS_D,
+                )
+                out.write.mode("append").parquet(out_dir)
+
+            sdf = read_stream_table(spark, sf_dir, "documents")
+            q = (
+                sdf.writeStream.foreachBatch(score)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(stage, "ck"))
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+_register_stream_rare_token_score()

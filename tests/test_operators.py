@@ -1727,3 +1727,56 @@ def test_rare_token_score_reference_sketch_and_nulls(spark):
     assert out[101]["n_rare"] == 4 and out[101]["rare_frac"] == 1.0
     for i in (102, 103):
         assert out[i]["n_tokens"] == 0 and out[i]["rare_frac"] == 0.0
+
+
+def test_rare_token_score_cache_aside_sees_sketch_updates(spark, tmp_path):
+    """The streaming rendering's cache-aside contract: the reference
+    sketch is re-read from the DimStore per micro-batch, so a sketch
+    updated BETWEEN batches changes the very next batch's scoring (the
+    S11 replacement shape — dim re-read each batch, no stale cache)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.llm import sketch as sk
+    from gmall_flink_2022_spark.sources.dim_store import DimStore
+
+    kw = dict(width=256, depth=3)
+    store = DimStore(spark, str(tmp_path / "dim"))
+
+    def save(corpus):
+        grid = sk.token_cms(corpus, "text", **kw).withColumn(
+            "_k",
+            F.concat_ws(
+                ":", F.col("rw").cast("string"), F.col("bucket").cast("string")
+            ),
+        )
+        store.upsert("ref_sketch", grid, pk="_k")
+
+    def score(batch):
+        grid = store.read("ref_sketch").select("rw", "bucket", "cnt")
+        return {
+            r["id"]: r["n_rare"]
+            for r in sk.rare_token_score(
+                batch, "doc_id", "text", sketch=grid, min_freq=5, **kw
+            ).collect()
+        }
+
+    ref1 = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    save(ref1)
+    probe = spark.createDataFrame(
+        [(1, "zebra quartz")], "doc_id long, text string"
+    )
+    # batch 1: both probe tokens absent from the reference -> rare
+    assert score(probe)[1] == 2
+    # the dim advances between batches: the reference corpus grows by 10
+    # docs establishing 'zebra', and the refreshed sketch is published
+    # (recompute-and-publish; cell keys overlap so upsert replaces them)
+    ref2 = ref1.union(spark.createDataFrame(
+        [(100 + i, "zebra zebra zebra") for i in range(10)],
+        "doc_id long, text string",
+    ))
+    save(ref2)
+    # batch 2 re-reads the store: 'zebra' now common, 'quartz' still rare
+    assert score(probe)[1] == 1
