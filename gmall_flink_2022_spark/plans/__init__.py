@@ -77,7 +77,11 @@ _DRIVER_WINDOW_FIRST = [
     #     stream_llm_rare_token_score; fronted stream_session_window
     #     runs the IDENTICAL F.session_window('1800 seconds') groupBy
     #     over the same events frame — only the endpoints differ, and
-    #     the batch rendering rides the parity sweep).
+    #     the batch rendering rides the parity sweep),
+    #   dwd_db_route (displaced by the r7-born llm_decontaminate_bloom;
+    #     the broadcast-config router is the SAME code path as the
+    #     r5-green stream_db_route — operators/dwd.py:51 untouched
+    #     since r5, batch twin rides the parity sweep).
     # The 3 rows-only ANN originals stay below slot 50 as every round —
     # their driver-checkable recall contracts rotate (2 of 3 slip with
     # the similarity family above).
@@ -93,6 +97,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_llm_token_cms",
     "llm_rare_token_score",
     "stream_llm_rare_token_score",
+    "llm_decontaminate_bloom",
     # --- (a) never driver-checked: born after the r6 window froze ---
     "llm_bpe_encode",
     "llm_tfidf_keywords",
@@ -134,7 +139,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dup_clusters",
     "llm_sequence_pack",
     # --- (c) r4-green rotation: warehouse/batch spine ---
-    "dwd_db_route",
     "dws_union_stats",
     "dwd_semi_active_customers",
     "dws_keyword_stats_cjk",

@@ -2007,6 +2007,36 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contaminated_ids(train, bench, "doc_id", "text", n=3)
 
 
+@register(
+    "llm_decontaminate_bloom",
+    oracle=f"""
+    WITH {SHINGLE_CTE}
+    SELECT DISTINCT s.doc_id AS id
+    FROM sh s
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0) b
+      ON s.shingle = b.shingle
+    WHERE s.doc_id % 50 <> 0
+    """,
+    survey_ref="extension: decontamination with a BLOOM-BITMAP "
+    "prefilter — the benchmark shingle set summarized into an 8 KiB "
+    "bitmap embedded as an array literal, so the corpus side shrinks "
+    "via a join-free narrow filter before the exact verify semi-join; "
+    "no false negatives by construction, so the oracle is the EXACT "
+    "decontamination SQL (the semantic contract: the prefilter never "
+    "changes the answer). The explicit form of Spark's runtime "
+    "bloom-join pruning, sized for benchmark suites too large to "
+    "broadcast as raw shingle strings",
+    tags=("llm", "dedup", "decontam", "sketch"),
+)
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import decontam
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontam.contaminated_ids_bloom(train, bench, "doc_id", "text", n=3)
+
+
 # ---------------------------------------------- ANN recall contracts
 # The three rows-only ops (LSH/IVF ANN, LSH-blocked dedup) have seeded
 # candidate generation no SQL engine can replay — but their QUALITY is

@@ -492,6 +492,67 @@ def test_decontaminate_removes_overlapping_docs(spark):
     assert kept == {1, 3}
 
 
+def test_bloom_decontam_equals_exact_even_with_false_positives(spark):
+    """The bloom prefilter's semantic contract: bit-identical ids to the
+    exact path. A deliberately tiny bitmap (128 bits for ~dozens of
+    shingles) forces hash collisions, so false-positive candidates DO
+    reach the verify join — and are discarded there; an empty benchmark
+    yields an all-zero bitmap and an empty result without error."""
+    from gmall_flink_2022_spark.llm import decontam as dc
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog"),
+         (901, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "completely unrelated text about spark plans and shuffles"),
+         (2, "he saw the quick brown fox run away"),
+         (3, "five dozen liquor jugs were packed"),
+         (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        r["id"] for r in dc.contaminated_ids(docs, bench, "doc_id", "text").collect()
+    )
+    assert exact == [2, 3]
+    for m in (128, dc.BLOOM_BITS):
+        got = sorted(
+            r["id"]
+            for r in dc.contaminated_ids_bloom(
+                docs, bench, "doc_id", "text", m_bits=m
+            ).collect()
+        )
+        assert got == exact, f"m_bits={m}"
+    empty_bench = bench.filter("doc_id < 0")
+    assert dc.contaminated_ids_bloom(docs, empty_bench, "doc_id", "text").count() == 0
+
+
+def test_bloom_prefilter_plan_is_join_free(spark):
+    """The point of the bitmap: the corpus-side candidate filter is a
+    pure narrow expression — its physical plan contains NO join and no
+    Python eval; only the verify step joins (over survivors)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.llm import decontam as dc
+    from gmall_flink_2022_spark.llm.dedup import shingles
+
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta word"), F.col("id").cast("string")).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    words = dc.shingle_bloom_words(bench, "doc_id", "text")
+    assert len(words) == dc.BLOOM_BITS // 64 and any(w != 0 for w in words)
+    cand = shingles(docs, "doc_id", "text", dedupe=False).filter(
+        dc._bloom_might_contain(
+            F.col("shingle"), words, dc.BLOOM_BITS, dc.BLOOM_K, dc.BLOOM_SEED
+        )
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
 def test_cjk_lexicon_breadth_and_fallback_guard():
     """The expanded dictionary (VERDICT r2 #5): a few hundred multi-char
     terms, nested compounds present for longest-match, and the 壳/膜
