@@ -1,0 +1,193 @@
+"""Data Selection via Importance Resampling (DSIR; Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling") —
+select raw-corpus documents that look like a small target domain, by
+scoring each document under hashed n-gram bag-of-features importance
+weights log(p_target[f] / p_raw[f]).
+
+Spark-first rendering and its 100 TB posture:
+
+- The feature space is HASHED to ``n_buckets`` cells (the paper uses
+  10k), so the two "distributions" are bounded B-row aggregates with
+  map-side combine — nothing vocabulary-shaped is ever shuffled, and
+  the weight table broadcasts no matter how large either corpus is
+  (the same bounded-state discipline as the count-min sketch).
+- Scoring is a narrow gram explode + a broadcast join against the
+  B-row weight table + one per-doc aggregation: a single doc-keyed
+  shuffle for any corpus size.
+- Selection is deterministic top-k: rank by (score desc, md5(id)) via
+  TakeOrderedAndProject-friendly ordering. The paper perturbs scores
+  with Gumbel noise to SAMPLE rather than truncate; a seeded md5-based
+  jitter drops in here if sampling semantics are wanted — the
+  deterministic variant keeps the driver's hash-based correctness gate
+  meaningful.
+
+Engine-exact determinism (repo oracle convention: no transcendentals
+in outputs): the per-feature log-ratio is rendered as the INTEGER
+log2 magnitude ``ilog2(x) = length(bin(x)) - 1`` over add-one-smoothed
+counts — exact integer arithmetic both engines compute identically
+(`bin()` exists verbatim in Spark and DuckDB), preserving DSIR's
+structure (per-feature target/raw frequency ratio in log space,
+doc score = sum over feature occurrences) with a quantized magnitude.
+The same closed-form-integer-weights precedent as the md5-weight
+quality classifier (llm/text.py:401).
+
+Reference analog: per-key config-driven routing/weighting applied to a
+corpus-scale stream (function/TableProcessFunction.java:62-80 — a
+small control table steering a big stream; here the control table is
+the learned weight vector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import _toks_or_empty, _u32
+
+DSIR_BUCKETS = 1024
+DSIR_SEED = "dsir"
+
+
+def _ilog2(x: Column) -> Column:
+    """Integer log2 magnitude of a POSITIVE integer column:
+    length(bin(x)) - 1. Exact in both Spark and DuckDB."""
+    return (F.length(F.bin(x)) - 1).cast("long")
+
+
+def _grams(text_col: str) -> Column:
+    """Unigram + bigram feature grams as one array<string> (the paper's
+    hashed n-gram features). NULL/empty text -> empty array."""
+    toks = _toks_or_empty(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _bucket(gram: Column, n_buckets: int, seed: str) -> Column:
+    return _u32(F.concat(F.lit(seed + "|"), gram)) % n_buckets
+
+
+def feature_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = DSIR_SEED,
+) -> DataFrame:
+    """Hashed-feature occurrence counts: (bucket, cnt) — at most
+    ``n_buckets`` rows regardless of corpus size (map-side combine
+    collapses each task to B rows before the tiny shuffle)."""
+    g = df.select(F.explode(_grams(text_col)).alias("gram"))
+    return (
+        g.select(_bucket(F.col("gram"), n_buckets, seed).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = DSIR_SEED,
+) -> DataFrame:
+    """Per-bucket integer importance weight
+    ``w[f] = ilog2(t[f] + 1) - ilog2(r[f] + 1)`` (add-one smoothing) —
+    the quantized log(p_target/p_raw) up to the per-occurrence-constant
+    normalizer ilog2(T_tot) - ilog2(R_tot), which shifts every
+    occurrence equally and is folded into the documented score
+    semantics rather than the table. Output (bucket, t_cnt, r_cnt, w):
+    every bucket 0..B-1 present (absent features carry the smoothed
+    weight), so the scorer's join is against a DENSE B-row table."""
+    t = feature_counts(target, text_col, n_buckets, seed)
+    r = feature_counts(raw, text_col, n_buckets, seed)
+    dense = raw.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    return (
+        dense.join(t.withColumnRenamed("cnt", "t_cnt"), "bucket", "left")
+        .join(r.withColumnRenamed("cnt", "r_cnt"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("t_cnt", F.lit(0)).cast("long").alias("t_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).cast("long").alias("r_cnt"),
+        )
+        .withColumn(
+            "w",
+            _ilog2(F.col("t_cnt") + 1) - _ilog2(F.col("r_cnt") + 1),
+        )
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = DSIR_SEED,
+) -> DataFrame:
+    """Per-document importance score: sum of w[bucket] over every gram
+    occurrence -> (id, n_feats, score). The weight table is B rows and
+    BROADCASTS; the only doc-sized shuffle is the per-id aggregation.
+    Docs with no grams (NULL/empty/one-token-only text still yields its
+    unigrams; truly empty -> none) score (0, 0) — fail-closed."""
+    occ = docs.select(
+        F.col(id_col).alias("id"), F.explode(_grams(text_col)).alias("gram")
+    ).select("id", _bucket(F.col("gram"), n_buckets, seed).alias("bucket"))
+    scored = (
+        occ.join(F.broadcast(weights.select("bucket", "w")), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w").cast("long").alias("score"),
+        )
+    )
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = DSIR_SEED,
+) -> DataFrame:
+    """The full DSIR selection: learn weights target-vs-raw, score every
+    raw doc, keep the top ``k`` by (score desc, md5-hash asc — the
+    deterministic stand-in for the paper's Gumbel resampling). Output
+    (id, n_feats, score, keep) for EVERY raw doc, so the selection
+    boundary is auditable. Feature-less docs (NULL/empty text) are never
+    selected — their score of 0 could otherwise outrank genuinely
+    negative-evidence docs, and a doc with no evidence fails closed.
+    Ranking is a global top-k (orderBy + limit = per-partition heaps +
+    driver merge of k rows), never a single-partition full sort."""
+    w = dsir_weights(raw, target, text_col, n_buckets, seed)
+    s = dsir_score(raw, w, id_col, text_col, n_buckets, seed)
+    kept = (
+        s.filter(F.col("n_feats") > 0)
+        .orderBy(
+            F.desc("score"), F.asc(_u32(F.concat(F.lit("tie|"), F.col("id").cast("string")))), F.asc("id")
+        )
+        .limit(k)
+        .select(F.col("id").alias("__keep_id"))
+    )
+    return s.join(
+        F.broadcast(kept), s["id"] == F.col("__keep_id"), "left"
+    ).select(
+        "id",
+        "n_feats",
+        "score",
+        F.col("__keep_id").isNotNull().alias("keep"),
+    )

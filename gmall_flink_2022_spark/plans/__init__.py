@@ -81,7 +81,13 @@ _DRIVER_WINDOW_FIRST = [
     #   dwd_db_route (displaced by the r7-born llm_decontaminate_bloom;
     #     the broadcast-config router is the SAME code path as the
     #     r5-green stream_db_route — operators/dwd.py:51 untouched
-    #     since r5, batch twin rides the parity sweep).
+    #     since r5, batch twin rides the parity sweep),
+    #   stream_mm_features (displaced by the r7-born llm_dsir_select;
+    #     multimodal.py untouched since r5, and its runner/foreachBatch
+    #     machinery is exercised by a dozen fronted stream entries —
+    #     llm_dsir_weights also stays below 50: llm_dsir_select runs
+    #     the identical weights->score chain end-to-end and both ride
+    #     the parity sweep).
     # The 3 rows-only ANN originals stay below slot 50 as every round —
     # their driver-checkable recall contracts rotate (2 of 3 slip with
     # the similarity family above).
@@ -98,6 +104,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_rare_token_score",
     "stream_llm_rare_token_score",
     "llm_decontaminate_bloom",
+    "llm_dsir_select",
     # --- (a) never driver-checked: born after the r6 window froze ---
     "llm_bpe_encode",
     "llm_tfidf_keywords",
@@ -129,7 +136,6 @@ _DRIVER_WINDOW_FIRST = [
     "stream_keyword_stats_cjk",
     "stream_llm_dedup_exact",
     "stream_llm_decontaminate",
-    "stream_mm_features",
     # --- (c) r4-green rotation: llm family (dedup.py churned) ---
     "llm_dedup_ngram",
     "llm_dedup_simhash",

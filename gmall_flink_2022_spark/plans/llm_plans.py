@@ -2037,6 +2037,105 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contaminated_ids_bloom(train, bench, "doc_id", "text", n=3)
 
 
+# ---------------------------------- DSIR importance weighting / selection
+# target domain = doc_id % 20 == 0 exemplars, raw pool = the rest;
+# hashed unigram+bigram features, integer log2-magnitude weights (see
+# llm/dsir.py docstring for the engine-portable quantization).
+_DSIR_B = 1024
+_DSIR_K = 200
+_DSIR_GRAMS_CTE = f"""
+    dtk AS (SELECT doc_id, COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+            FROM documents),
+    dgr AS (SELECT doc_id,
+                   UNNEST(list_concat(toks,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks)-1),
+                                              i -> toks[i] || ' ' || toks[i+1])
+                          ELSE CAST([] AS VARCHAR[]) END)) AS gram
+            FROM dtk),
+    docc AS (SELECT doc_id, ({_u32_sql("'dsir|' || gram")}) % {_DSIR_B} AS bucket
+             FROM dgr),
+    dtc AS (SELECT bucket, COUNT(*) AS cnt FROM docc
+            WHERE doc_id % 20 = 0 GROUP BY bucket),
+    drc AS (SELECT bucket, COUNT(*) AS cnt FROM docc
+            WHERE doc_id % 20 <> 0 GROUP BY bucket),
+    dw AS (SELECT CAST(range AS BIGINT) AS bucket,
+                  CAST(COALESCE(t.cnt, 0) AS BIGINT) AS t_cnt,
+                  CAST(COALESCE(r.cnt, 0) AS BIGINT) AS r_cnt,
+                  CAST((length(bin(COALESCE(t.cnt, 0) + 1)) - 1)
+                     - (length(bin(COALESCE(r.cnt, 0) + 1)) - 1) AS BIGINT) AS w
+           FROM range({_DSIR_B})
+           LEFT JOIN dtc t ON range = t.bucket
+           LEFT JOIN drc r ON range = r.bucket)"""
+
+
+@register(
+    "llm_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_GRAMS_CTE}
+    SELECT bucket, t_cnt, r_cnt, w FROM dw
+    """,
+    survey_ref="extension: DSIR hashed n-gram importance weights (Xie "
+    "et al. 2023) — target-vs-raw feature distributions as BOUNDED "
+    f"B={_DSIR_B}-row aggregates with map-side combine (nothing "
+    "vocabulary-shaped shuffles); integer log2-magnitude quantization "
+    "for engine-exact parity (llm/dsir.py)",
+    tags=("llm", "text", "sampling", "sketch"),
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir.dsir_weights(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        "text",
+        n_buckets=_DSIR_B,
+    )
+
+
+@register(
+    "llm_dsir_select",
+    oracle=f"""
+    WITH {_DSIR_GRAMS_CTE},
+    dsc AS (SELECT o.doc_id, COUNT(*) AS n_feats, SUM(w.w) AS score
+            FROM (SELECT doc_id, bucket FROM docc WHERE doc_id % 20 <> 0) o
+            JOIN dw w ON o.bucket = w.bucket
+            GROUP BY o.doc_id),
+    ds AS (SELECT a.doc_id AS id,
+                  CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+                  CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+           FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) a
+           LEFT JOIN dsc s ON a.doc_id = s.doc_id),
+    dk AS (SELECT id FROM ds
+           WHERE n_feats > 0
+           ORDER BY score DESC,
+                    {_u32_sql("'tie|' || CAST(id AS VARCHAR)")} ASC,
+                    id ASC
+           LIMIT {_DSIR_K})
+    SELECT ds.id, ds.n_feats, ds.score, (dk.id IS NOT NULL) AS keep
+    FROM ds LEFT JOIN dk ON ds.id = dk.id
+    """,
+    survey_ref="extension: full DSIR selection — learn weights "
+    "target-vs-raw, score every raw doc (B-row weight table "
+    "BROADCASTS; one doc-keyed shuffle), keep deterministic top-"
+    f"{_DSIR_K} (TakeOrderedAndProject, never a single-partition "
+    "sort); the paper's Gumbel resampling replaced by an md5 "
+    "tiebreak so the driver hash gate stays meaningful",
+    tags=("llm", "text", "sampling"),
+)
+def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir.dsir_select(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        k=_DSIR_K,
+        n_buckets=_DSIR_B,
+    )
+
+
 # ---------------------------------------------- ANN recall contracts
 # The three rows-only ops (LSH/IVF ANN, LSH-blocked dedup) have seeded
 # candidate generation no SQL engine can replay — but their QUALITY is
