@@ -60,21 +60,22 @@ def _cms_cells(token: Column, width: int, depth: int, seed: str) -> Column:
     )
 
 
-def token_cms(
+def gram_cms(
     df: DataFrame,
-    text_col: str = "text",
+    grams: Column,
     width: int = CMS_WIDTH,
     depth: int = CMS_DEPTH,
     seed: str = CMS_SEED,
 ) -> DataFrame:
-    """The sketch itself: (rw, bucket, cnt) — at most ``width * depth``
-    rows regardless of corpus size. One narrow explode (token ->
-    ``depth`` cells) and ONE aggregation whose key space is the fixed
-    grid, so the map-side combine collapses everything to w*d rows per
-    task before the (tiny) shuffle. Sketches over corpus shards merge
-    by summing cnt on (rw, bucket)."""
-    toks = F.explode(_toks_or_empty(text_col)).alias("token")
-    cells = df.select(toks).select(
+    """CMS over an arbitrary ``array<string>`` gram column (tokens,
+    bigrams, shingles — anything): (rw, bucket, cnt), at most
+    ``width * depth`` rows regardless of corpus size. One narrow
+    explode (gram -> ``depth`` cells) and ONE aggregation whose key
+    space is the fixed grid, so the map-side combine collapses
+    everything to w*d rows per task before the (tiny) shuffle.
+    Sketches over corpus shards merge by summing cnt on (rw, bucket)."""
+    g = F.explode(grams).alias("token")
+    cells = df.select(g).select(
         _cms_cells(F.col("token"), width, depth, seed).alias("c")
     )
     return (
@@ -82,6 +83,18 @@ def token_cms(
         .groupBy("rw", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def token_cms(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """The token-frequency sketch: ``gram_cms`` over the tokenizer's
+    array (the original surface; see gram_cms for the state story)."""
+    return gram_cms(df, _toks_or_empty(text_col), width, depth, seed)
 
 
 def cms_estimate(
