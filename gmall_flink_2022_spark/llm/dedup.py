@@ -163,6 +163,15 @@ import weakref as _weakref
 #    correct physical strategies (collapse vs not), never semantics.
 # 2. object tier — WeakKeyDictionary fallback for frames whose plan
 #    can't produce a semantic hash (local relations in odd states).
+#
+# Freshness (r7 ADVICE): the semantic hash identifies the PLAN, not the
+# bytes under it — a DimStore table re-read after an upsert has the same
+# plan but different contents. The key therefore also folds in a
+# fingerprint of the plan's input files (parquet part files are
+# content-addressed-ish: every rewrite lands new part names), so a
+# source rewritten in-session gets a fresh probe instead of the stale
+# collapse decision. Callers that mutate sources through a channel that
+# preserves file names can force it with invalidate_pre_dedup_cache().
 _PRE_DEDUP_SEM_CACHE: "_collections.OrderedDict[tuple, bool]" = (
     _collections.OrderedDict()
 )
@@ -172,12 +181,26 @@ _PRE_DEDUP_PROBE_CACHE: "_weakref.WeakKeyDictionary[DataFrame, dict]" = (
 )
 
 
+def invalidate_pre_dedup_cache() -> None:
+    """Drop every memoized collapse decision — the explicit hook for
+    callers that rewrite a probed source in-session through a channel
+    the input-file fingerprint can't see (e.g. in-place file edits)."""
+    _PRE_DEDUP_SEM_CACHE.clear()
+    _PRE_DEDUP_PROBE_CACHE.clear()
+
+
 def _plan_sem_key(df: DataFrame):
-    """Semantic identity of the analyzed plan (None if unavailable)."""
+    """Semantic identity of the analyzed plan (None if unavailable):
+    (semanticHash, columns, input-file fingerprint). The file list is a
+    metadata call (no job); hashing it order-insensitively makes the key
+    stable across listing order while still changing whenever a source
+    dir is rewritten (new part-file names)."""
     try:
+        files_fp = hash(frozenset(df.inputFiles()))
         return (
             df._jdf.queryExecution().analyzed().semanticHash(),
             tuple(df.columns),
+            files_fp,
         )
     except Exception:
         return None

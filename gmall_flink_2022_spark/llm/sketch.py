@@ -97,6 +97,46 @@ def token_cms(
     return gram_cms(df, _toks_or_empty(text_col), width, depth, seed)
 
 
+def _guarded_cells(
+    sketch: DataFrame, width: int, depth: int
+) -> DataFrame:
+    """The sketch with every row's (rw, bucket) range-checked IN THE
+    PLAN (r7 ADVICE): a sketch built with a LARGER grid than the probe
+    expects puts cells outside [0, depth) x [0, width), and probing it
+    silently returns est=0 for nearly every token (wrong cells -> no
+    match -> "everything is rare"). The guard is folded into the cnt
+    column itself so column pruning can't drop it, and it costs no
+    extra action — rows are checked as the (grid-sized) sketch is read.
+    A sketch built with a SMALLER grid is undetectable from cell ranges
+    alone; use save_sketch/load_sketch for full-parameter validation."""
+    bad = (
+        (F.col("rw") < 0)
+        | (F.col("rw") >= depth)
+        | (F.col("bucket") < 0)
+        | (F.col("bucket") >= width)
+    )
+    msg = F.concat(
+        F.lit(
+            "CMS sketch/probe parameter mismatch: cell (rw="
+        ),
+        F.col("rw").cast("string"),
+        F.lit(", bucket="),
+        F.col("bucket").cast("string"),
+        F.lit(
+            f") outside the probe grid depth={depth} width={width} — "
+            "the sketch was built with different (width, depth); "
+            "rebuild it or probe with the build-time parameters"
+        ),
+    )
+    return sketch.select(
+        "rw",
+        "bucket",
+        F.when(bad, F.raise_error(msg).cast("long"))
+        .otherwise(F.col("cnt"))
+        .alias("cnt"),
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     candidates: DataFrame,
@@ -108,7 +148,9 @@ def cms_estimate(
     """Point-query estimates for a candidate token set: est = min over
     the token's ``depth`` cells (missing cell -> 0). The sketch is
     grid-sized, so it BROADCASTS to the candidate probe — estimating
-    any number of candidates never shuffles anything corpus-sized."""
+    any number of candidates never shuffles anything corpus-sized.
+    Sketch cells are range-validated in the plan (see _guarded_cells)."""
+    sketch = _guarded_cells(sketch, width, depth)
     probes = candidates.select(F.col(token_col).alias("token")).select(
         "token",
         _cms_cells(F.col("token"), width, depth, seed).alias("c"),
@@ -152,6 +194,14 @@ def rare_token_score(
     never flag a common token as rare."""
     if sketch is None:
         sketch = token_cms(df, text_col, width, depth, seed)
+    else:
+        # externally persisted sketch: range-check its cells in the plan
+        # (r7 ADVICE — a grid mismatch otherwise silently scores nearly
+        # every token rare); full-parameter validation incl. seed is
+        # load_sketch's job
+        sketch = _guarded_cells(
+            sketch.select("rw", "bucket", "cnt"), width, depth
+        )
     toks = F.explode(_toks_or_empty(text_col)).alias("token")
     occ = (
         df.select(F.col(id_col).alias("id"), toks)
@@ -195,6 +245,64 @@ def rare_token_score(
             ),
         )
     )
+
+
+def save_sketch(
+    store,
+    table: str,
+    sketch: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    seed: str = CMS_SEED,
+) -> None:
+    """Persist a sketch into a DimStore WITH its build parameters
+    (r7 ADVICE): each row carries (width, depth, seed) as constant
+    columns, so a later probe can verify it was built with the grid it
+    is about to assume — the cell-range guard alone cannot catch a
+    smaller grid or a different hash seed (cells stay in range, the
+    probe just reads the wrong cells and calls everything rare). The
+    meta columns cost 3 constants on a w*d-row table — nothing at any
+    scale. pk is the cell address, so re-saves upsert cell-wise."""
+    keyed = (
+        sketch.select("rw", "bucket", "cnt")
+        .withColumn("width", F.lit(width).cast("long"))
+        .withColumn("depth", F.lit(depth).cast("long"))
+        .withColumn("seed", F.lit(seed))
+        .withColumn(
+            "_k",
+            F.concat_ws(
+                ":", F.col("rw").cast("string"), F.col("bucket").cast("string")
+            ),
+        )
+    )
+    store.upsert(table, keyed, pk="_k")
+
+
+def load_sketch(
+    store,
+    table: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """Read a persisted sketch, asserting its recorded build parameters
+    match the requested (width, depth, seed) — the probe-time check the
+    r7 ADVICE asked for. The distinct-meta collect runs over the
+    grid-sized store table (<= w*d rows), a bounded driver round-trip."""
+    df = store.read(table)
+    metas = (
+        df.select("width", "depth", "seed").distinct().limit(3).collect()
+    )
+    want = (width, depth, seed)
+    got = sorted((r["width"], r["depth"], r["seed"]) for r in metas)
+    if got != [want]:
+        raise ValueError(
+            f"persisted CMS sketch '{table}' was built with "
+            f"(width, depth, seed) in {got}, probe expects {want} — "
+            "estimates would probe the wrong cells; rebuild the sketch "
+            "or probe with the recorded parameters"
+        )
+    return df.select("rw", "bucket", "cnt")
 
 
 def cms_heavy_hitters(

@@ -1933,24 +1933,22 @@ def _register_stream_rare_token_score() -> None:
         stage = tempfile.mkdtemp(prefix="gmall_rare_stream_")
         try:
             store = DimStore(spark, os.path.join(stage, "dim"))
-            ref = sketch_mod.token_cms(
-                docs, "text", width=_CMS_W, depth=_CMS_D
-            ).withColumn(
-                "_k",
-                F.concat_ws(
-                    ":",
-                    F.col("rw").cast("string"),
-                    F.col("bucket").cast("string"),
-                ),
+            ref = sketch_mod.token_cms(docs, "text", width=_CMS_W, depth=_CMS_D)
+            # persist WITH build parameters (r8: save/load_sketch
+            # validate width/depth/seed at probe time — a mismatched
+            # grid would otherwise silently score every token rare)
+            sketch_mod.save_sketch(
+                store, "ref_sketch", ref, width=_CMS_W, depth=_CMS_D
             )
-            store.upsert("ref_sketch", ref, pk="_k")
             out_dir = os.path.join(stage, "out")
 
             def score(batch: DataFrame, batch_id: int) -> None:
                 # dim re-read PER BATCH (cache-aside replacement): a
                 # concurrently-maintained sketch would be picked up at
                 # the next micro-batch boundary
-                sk = store.read("ref_sketch").select("rw", "bucket", "cnt")
+                sk = sketch_mod.load_sketch(
+                    store, "ref_sketch", width=_CMS_W, depth=_CMS_D
+                )
                 out = sketch_mod.rare_token_score(
                     batch,
                     "doc_id",

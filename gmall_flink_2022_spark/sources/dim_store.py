@@ -28,6 +28,7 @@ user dim at 100 TB raise n_buckets accordingly).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -35,7 +36,20 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 
 class DimStore:
-    """Directory-backed dim tables with bucketed upsert semantics."""
+    """Directory-backed dim tables with bucketed upsert semantics.
+
+    Crash atomicity (r7 ADVICE): every multi-bucket swap (upsert merge,
+    compact, delete) is journaled — the fully-written replacement dir is
+    recorded in ``<table>.__journal`` (atomic write-then-rename) BEFORE
+    the first bucket dir is swapped, and the journal is removed only
+    after the last swap. A crash mid-swap therefore leaves a journal
+    that names exactly which buckets still need replacing/removing, and
+    every store entry point replays it first — no half-applied delete
+    can resurrect rows or drop them invisibly. The store is
+    single-writer per table (the reference's Phoenix upsert sink is a
+    single Flink sink task per table too); concurrent writers would
+    need a lock around stage+journal+swap.
+    """
 
     def __init__(
         self,
@@ -59,10 +73,85 @@ class DimStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    # ------------------------------------------------ journaled swaps
+    def _journal_path(self, table: str) -> str:
+        return self._path(table) + ".__journal"
+
+    def _apply_swaps(
+        self, path: str, src_dir: str, swaps: list[int], removes: list[int]
+    ) -> None:
+        """Replay a journal body: replace each ``swaps`` bucket dir with
+        its fully-written counterpart under ``src_dir``; remove each
+        ``removes`` bucket dir (a delete that emptied the bucket). Both
+        halves are idempotent — a src dir already swapped in is simply
+        absent, an already-removed dst rmtree's to a no-op — so replay
+        after a crash at ANY point converges to the committed state."""
+        for b in swaps:
+            src = os.path.join(src_dir, f"__bucket={b}")
+            dst = os.path.join(path, f"__bucket={b}")
+            if os.path.isdir(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+        for b in removes:
+            shutil.rmtree(os.path.join(path, f"__bucket={b}"), ignore_errors=True)
+
+    def _swap_buckets(
+        self,
+        table: str,
+        src_dir: str,
+        swaps: list[int],
+        removes: list[int] | tuple = (),
+    ) -> None:
+        """Commit a fully-staged replacement: journal first (atomic
+        write + rename), then swap, then clear the journal and the
+        staging dir. The journal existing == the swap is committed and
+        MUST complete; its absence == the table is consistent."""
+        path = self._path(table)
+        journal = self._journal_path(table)
+        tmp = journal + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"src": os.path.basename(src_dir), "swaps": swaps,
+                 "removes": removes},
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, journal)
+        self._apply_swaps(path, src_dir, swaps, removes)
+        os.remove(journal)
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    def _recover(self, table: str) -> None:
+        """Replay a committed-but-interrupted swap (journal present).
+        Runs at every entry point, so a crashed delete/compact/upsert
+        completes on the next touch instead of surfacing half-applied
+        (resurrected or duplicated) rows. If the completed replay leaves
+        a table with no bucket dirs (a crash inside a delete-everything
+        before its empty-schema guard ran), the table dir is dropped —
+        the next upsert recreates it DDL-on-demand; the non-crash path
+        instead leaves a readable empty table, both consistent states."""
+        journal = self._journal_path(table)
+        if not os.path.isfile(journal):
+            return
+        with open(journal) as f:
+            j = json.load(f)
+        path = self._path(table)
+        src_dir = os.path.join(os.path.dirname(path), j["src"])
+        self._apply_swaps(path, src_dir, j["swaps"], j.get("removes", []))
+        os.remove(journal)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        if os.path.isdir(path) and not any(
+            e.startswith("__bucket=") for e in os.listdir(path)
+        ):
+            shutil.rmtree(path, ignore_errors=True)
+
     def exists(self, table: str) -> bool:
+        self._recover(table)
         return os.path.isdir(self._path(table))
 
     def read(self, table: str) -> DataFrame:
+        self._recover(table)
         return self.spark.read.parquet(self._path(table)).drop("__bucket")
 
     def upsert(self, table: str, batch: DataFrame, pk: str = "id") -> None:
@@ -130,12 +219,8 @@ class DimStore:
             # Delta/Iceberg MERGE INTO with file-level pruning)
             merge_dir = f"{path}.__merge"
             merged.write.mode("overwrite").partitionBy("__bucket").parquet(merge_dir)
-            for b in affected:
-                src = os.path.join(merge_dir, f"__bucket={b}")
-                dst = os.path.join(path, f"__bucket={b}")
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(src, dst)
-            shutil.rmtree(merge_dir, ignore_errors=True)
+            # journaled swap (crash mid-loop resumes at next touch)
+            self._swap_buckets(table, merge_dir, affected)
             shutil.rmtree(stage, ignore_errors=True)
         else:
             # first write: the staged dir IS the table — one rename, zero
@@ -165,12 +250,13 @@ class DimStore:
             .partitionBy("__bucket")
             .parquet(out)
         )
-        for entry in os.listdir(out):
-            if entry.startswith("__bucket="):
-                dst = os.path.join(path, entry)
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(os.path.join(out, entry), dst)
-        shutil.rmtree(out, ignore_errors=True)
+        swaps = [
+            int(e.split("=", 1)[1])
+            for e in os.listdir(out)
+            if e.startswith("__bucket=")
+        ]
+        # journaled swap (crash mid-loop resumes at next touch)
+        self._swap_buckets(table, out, swaps)
 
     def delete(self, table: str, keys: DataFrame, pk: str = "id") -> None:
         """Retention: remove the rows whose ``pk`` appears in ``keys`` —
@@ -200,13 +286,17 @@ class DimStore:
         keep = current.join(doomed.select(pk), on=pk, how="left_anti")
         merge_dir = f"{path}.__merge"
         keep.write.mode("overwrite").partitionBy("__bucket").parquet(merge_dir)
-        for b in affected:
-            src = os.path.join(merge_dir, f"__bucket={b}")
-            dst = os.path.join(path, f"__bucket={b}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                os.replace(src, dst)  # bucket fully emptied -> dir just goes
-        shutil.rmtree(merge_dir, ignore_errors=True)
+        # split the affected buckets by outcome BEFORE journaling, so a
+        # crash-replay knows that a bucket with no replacement dir was
+        # fully emptied (remove dst) rather than already swapped — the
+        # ambiguity that made the unjournaled loop unresumable
+        swaps = [
+            b
+            for b in affected
+            if os.path.isdir(os.path.join(merge_dir, f"__bucket={b}"))
+        ]
+        removes = [b for b in affected if b not in set(swaps)]
+        self._swap_buckets(table, merge_dir, swaps, removes)
         # deleting the last row of every bucket must leave a READABLE
         # empty table, not a schema-less dir (exists() true but every
         # read/upsert raising UNABLE_TO_INFER_SCHEMA — a vacuum that
@@ -237,6 +327,7 @@ class DimStore:
     def file_count(self, table: str) -> int:
         """Data-file count across bucket dirs (lifecycle observability —
         what the compaction chain test bounds)."""
+        self._recover(table)
         path = self._path(table)
         total = 0
         for dirpath, _dirs, files in os.walk(path):

@@ -1900,3 +1900,125 @@ def test_rare_token_score_cache_aside_sees_sketch_updates(spark, tmp_path):
     save(ref2)
     # batch 2 re-reads the store: 'zebra' now common, 'quartz' still rare
     assert score(probe)[1] == 1
+
+
+# ----------------------------------------------------------- r8 ADVICE fixes
+
+
+def test_pre_dedup_memo_refreshes_on_source_rewrite(spark, tmp_path):
+    """r7 ADVICE (dedup.py memo freshness): the collapse-decision memo is
+    keyed by the plan's SEMANTIC hash, which survives a rewrite of the
+    files underneath — the input-file fingerprint in the key must give a
+    rewritten source a FRESH probe (unique -> dup-heavy corpus flips the
+    decision in-session)."""
+    from gmall_flink_2022_spark.llm import dedup
+
+    path = str(tmp_path / "corpus")
+    uniq = spark.createDataFrame(
+        [(i, f"totally unique text number {i} with words {i * 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    uniq.write.mode("overwrite").parquet(path)
+    df1 = spark.read.parquet(path)
+    assert dedup._should_pre_dedup(df1, F.md5(F.col("text"))) is False
+
+    heavy = spark.createDataFrame(
+        [(i, f"same text block {i % 5}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    heavy.write.mode("overwrite").parquet(path)
+    df2 = spark.read.parquet(path)
+    # identical plan (same path, same schema) — only the bytes changed;
+    # the fingerprint must force a re-probe and flip the decision
+    assert dedup._should_pre_dedup(df2, F.md5(F.col("text"))) is True
+
+
+def test_invalidate_pre_dedup_cache_clears_both_tiers(spark, sf_dir):
+    from gmall_flink_2022_spark.llm import dedup
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup._should_pre_dedup(docs, F.md5(F.col("text")))
+    assert len(dedup._PRE_DEDUP_SEM_CACHE) > 0
+    dedup.invalidate_pre_dedup_cache()
+    assert len(dedup._PRE_DEDUP_SEM_CACHE) == 0
+    assert len(dedup._PRE_DEDUP_PROBE_CACHE) == 0
+
+
+def test_rare_token_score_rejects_grid_mismatch(spark):
+    """r7 ADVICE (sketch.py probe validation): probing with a smaller
+    grid than the sketch was built with must raise loudly instead of
+    silently classifying nearly every token as rare (est=0)."""
+    import pytest
+
+    from gmall_flink_2022_spark.llm import sketch as sk
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    big = sk.token_cms(ref, "text", width=4096, depth=6)
+    batch = spark.createDataFrame(
+        [(1, "the cat")], "doc_id long, text string"
+    )
+    out = sk.rare_token_score(
+        batch, "doc_id", "text", sketch=big, min_freq=5, width=256, depth=3
+    )
+    with pytest.raises(Exception, match="parameter mismatch"):
+        out.collect()
+
+
+def test_save_load_sketch_validates_params(spark, tmp_path):
+    """save_sketch persists (width, depth, seed) alongside the grid;
+    load_sketch asserts they match the probe's parameters and the
+    round-tripped grid scores identically to the in-memory sketch."""
+    import pytest
+
+    from gmall_flink_2022_spark.llm import sketch as sk
+    from gmall_flink_2022_spark.sources.dim_store import DimStore
+
+    store = DimStore(spark, str(tmp_path / "dim"))
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    grid = sk.token_cms(ref, "text", width=256, depth=3)
+    sk.save_sketch(store, "s", grid, width=256, depth=3)
+
+    loaded = sk.load_sketch(store, "s", width=256, depth=3)
+    assert sorted(map(tuple, loaded.collect())) == sorted(
+        map(tuple, grid.collect())
+    )
+    with pytest.raises(ValueError, match="probe expects"):
+        sk.load_sketch(store, "s", width=512, depth=3)
+    with pytest.raises(ValueError, match="probe expects"):
+        sk.load_sketch(store, "s", width=256, depth=3, seed="other")
+
+
+def test_driver_sim_canon_rows_dtype_aware():
+    """r7 ADVICE (driver_sim comparison): float32-vs-float64 promotion,
+    -0.0, NaN, and int-vs-whole-float must not flip the verdict; genuine
+    value differences still must."""
+    import numpy as np
+    import pandas as pd
+
+    from tools.driver_sim import canon_rows
+
+    a = pd.DataFrame(
+        {
+            "x": np.array([1.0, -0.0, np.nan, 0.1], dtype="float32"),
+            "k": np.array([1, 2, 3, 4], dtype="int64"),
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "x": np.array(
+                [1.0, 0.0, np.nan, np.float64(np.float32(0.1))], dtype="float64"
+            ),
+            "k": np.array([1.0, 2.0, 3.0, 4.0], dtype="float64"),
+        }
+    )
+    assert canon_rows(a) == canon_rows(b)
+    c = b.copy()
+    c.loc[0, "x"] = 1.5
+    assert canon_rows(a) != canon_rows(c)

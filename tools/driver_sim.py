@@ -16,6 +16,32 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 N = int(os.environ.get("DRIVER_SIM_N", "50"))
 
 
+def canon_rows(pdf) -> list[tuple]:
+    """Canonical sorted row tuples for comparison (r7 ADVICE: dtype-aware,
+    not astype(str) — float32-vs-float64 promotion, -0.0 and NaN repr
+    differences must not flip the verdict). Numeric float columns are
+    widened to float64, -0.0 normalized, and rendered at 12 significant
+    digits (the repo's oracles avoid order-dependent float accumulation,
+    so agreement far beyond 12 digits is the contract; 12 absorbs the
+    last-ulp-ish noise a widening cast introduces). Everything else
+    compares as str, with datetimes ISO-formatted by pandas."""
+    import numpy as np
+
+    cols = sorted(pdf.columns)
+    out = []
+    for c in cols:
+        s = pdf[c]
+        if s.dtype.kind == "f":
+            v = s.astype("float64").to_numpy(copy=True)
+            v[v == 0.0] = 0.0  # -0.0 -> 0.0
+            out.append(["NaN" if np.isnan(x) else f"{x:.12g}" for x in v])
+        elif s.dtype.kind in "iu":
+            out.append([str(int(x)) for x in s.to_numpy()])
+        else:
+            out.append(s.astype(str).tolist())
+    return sorted(zip(*out)) if out else []
+
+
 def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
@@ -44,13 +70,9 @@ def main() -> None:
             g = qs[name](spark, SF).toPandas()
             if name in osql:
                 w = con.execute(osql[name]).fetchdf()
-                gs = sorted(
-                    map(tuple, g[sorted(g.columns)].astype(str).values.tolist())
-                )
-                ws = sorted(
-                    map(tuple, w[sorted(w.columns)].astype(str).values.tolist())
-                )
-                ok = gs == ws and sorted(g.columns) == sorted(w.columns)
+                ok = sorted(g.columns) == sorted(w.columns) and canon_rows(
+                    g
+                ) == canon_rows(w)
                 status = "OK" if ok else "MISMATCH"
             else:
                 status = f"rows-only({len(g)})"
