@@ -191,3 +191,101 @@ def dsir_select(
         "score",
         F.col("__keep_id").isNotNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k resampling (the paper's actual selection semantics).
+# Engine-exact rendering: Gumbel noise needs -ln(-ln(u)), and ln() is
+# not correctly-rounded identically across engines — so the noise is
+# QUANTIZED to GUMBEL_LEVELS inverse-CDF values precomputed in Python
+# and embedded as an integer array literal on BOTH sides (the same
+# shared-literal discipline as the Bloom bitmap, llm/decontam.py): the
+# doc's hash picks a level, the level indexes the table, and the
+# perturbed key is pure integer arithmetic both engines compute
+# bit-identically. The md5 level hash is seeded 'gum|' to decorrelate
+# from the md5 tiebreak and the sampling family's unsalted hash.
+# ---------------------------------------------------------------------------
+
+GUMBEL_LEVELS = 1024
+GUMBEL_SCALE = 1 << 16
+
+
+def gumbel_table(
+    levels: int = GUMBEL_LEVELS, scale: int = GUMBEL_SCALE
+) -> list[int]:
+    """The quantized standard-Gumbel inverse CDF: level l (a hash-
+    uniform in [0, levels)) maps to round(G((l+0.5)/levels) * scale)
+    with G(u) = -ln(-ln(u)) — mid-quantile evaluation so the table is
+    symmetric-ish and every level is interior. Computed once in Python
+    (math.log is the ONLY transcendental, and it never runs inside
+    either engine), shipped as a literal."""
+    import math
+
+    return [
+        round(-math.log(-math.log((l + 0.5) / levels)) * scale)
+        for l in range(levels)
+    ]
+
+
+def dsir_select_gumbel(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = DSIR_SEED,
+    levels: int = GUMBEL_LEVELS,
+) -> DataFrame:
+    """DSIR selection with the paper's Gumbel-top-k resampling instead
+    of deterministic truncation: keep the top ``k`` docs by
+    ``log w_i / T + G_i`` (Gumbel-max: equivalent to sampling k docs
+    without replacement with probability proportional to
+    ``w_i^(1/T)``). The integer score is the quantized log2 importance
+    weight, so ``log w = score * ln2``; the perturbed key is rendered as
+
+        perturbed = score * round(ln2 * SCALE / T) + gumbel_int[lvl]
+
+    — all integer arithmetic (see gumbel_table for why). Temperature
+    interpolates between pure sampling-by-weight (T=1) and the
+    deterministic top-k of dsir_select (T -> 0, noise negligible).
+
+    Output (id, n_feats, score, perturbed, keep) for EVERY raw doc —
+    same auditable-boundary contract as dsir_select; feature-less docs
+    are never selected (no evidence fails closed). Top-k is
+    TakeOrderedAndProject, never a single-partition sort; the noise
+    table is ``levels`` integers, a literal in the plan."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0 (use dsir_select for T->0)")
+    import math
+
+    table = gumbel_table(levels)
+    ln2_scale = round(math.log(2.0) * GUMBEL_SCALE / temperature)
+    w = dsir_weights(raw, target, text_col, n_buckets, seed)
+    s = dsir_score(raw, w, id_col, text_col, n_buckets, seed)
+    lvl = _u32(F.concat(F.lit("gum|"), F.col("id").cast("string"))) % levels
+    g = F.element_at(F.lit(table), (lvl + 1).cast("int"))
+    s = s.withColumn(
+        "perturbed",
+        (F.col("score") * F.lit(ln2_scale) + g).cast("long"),
+    )
+    kept = (
+        s.filter(F.col("n_feats") > 0)
+        .orderBy(
+            F.desc("perturbed"),
+            F.asc(_u32(F.concat(F.lit("tie|"), F.col("id").cast("string")))),
+            F.asc("id"),
+        )
+        .limit(k)
+        .select(F.col("id").alias("__keep_id"))
+    )
+    return s.join(
+        F.broadcast(kept), s["id"] == F.col("__keep_id"), "left"
+    ).select(
+        "id",
+        "n_feats",
+        "score",
+        "perturbed",
+        F.col("__keep_id").isNotNull().alias("keep"),
+    )

@@ -2136,6 +2136,78 @@ def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_gumbel_oracle() -> str:
+    """Oracle for the Gumbel-resampled selection: the SAME quantized
+    inverse-CDF integer table the Spark side embeds (generated by ONE
+    Python function, so the two literals cannot drift), indexed by the
+    'gum|'-seeded md5 level hash — pure integer arithmetic on both
+    engines."""
+    import math
+
+    from ..llm import dsir
+
+    table = dsir.gumbel_table()
+    ln2_scale = round(math.log(2.0) * dsir.GUMBEL_SCALE / _DSIR_GUMBEL_T)
+    arr = "[" + ", ".join(str(v) for v in table) + "]"
+    lvl_hash = _u32_sql("'gum|' || CAST(id AS VARCHAR)")
+    lvl = f"({lvl_hash}) % {dsir.GUMBEL_LEVELS}"
+    return f"""
+    WITH {_DSIR_GRAMS_CTE},
+    dsc AS (SELECT o.doc_id, COUNT(*) AS n_feats, SUM(w.w) AS score
+            FROM (SELECT doc_id, bucket FROM docc WHERE doc_id % 20 <> 0) o
+            JOIN dw w ON o.bucket = w.bucket
+            GROUP BY o.doc_id),
+    ds AS (SELECT a.doc_id AS id,
+                  CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+                  CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+           FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) a
+           LEFT JOIN dsc s ON a.doc_id = s.doc_id),
+    gt AS (SELECT {arr} AS arr),
+    dp AS (SELECT id, n_feats, score,
+                  CAST(score * {ln2_scale}
+                       + arr[({lvl}) + 1] AS BIGINT) AS perturbed
+           FROM ds, gt),
+    dk AS (SELECT id FROM dp
+           WHERE n_feats > 0
+           ORDER BY perturbed DESC,
+                    {_u32_sql("'tie|' || CAST(id AS VARCHAR)")} ASC,
+                    id ASC
+           LIMIT {_DSIR_K})
+    SELECT dp.id, dp.n_feats, dp.score, dp.perturbed,
+           (dk.id IS NOT NULL) AS keep
+    FROM dp LEFT JOIN dk ON dp.id = dk.id
+    """
+
+
+_DSIR_GUMBEL_T = 1.0
+
+
+@register(
+    "llm_dsir_select_gumbel",
+    oracle=_dsir_gumbel_oracle(),
+    survey_ref="extension (VERDICT r7 ask #6): DSIR selection with the "
+    "paper's Gumbel-top-k RESAMPLING — keep top-k of score*ln2/T + G, "
+    "i.e. sample k docs w/o replacement with prob proportional to "
+    "w^(1/T); the Gumbel noise is a quantized 1024-level inverse-CDF "
+    "INTEGER table precomputed in Python and embedded as a literal on "
+    "both engines (the Bloom-bitmap shared-literal discipline), so the "
+    "sampled selection is engine-exact and the driver hash gate stays "
+    "meaningful; md5 'gum|' seed decorrelates noise from tiebreaks",
+    tags=("llm", "text", "sampling"),
+)
+def llm_dsir_select_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir.dsir_select_gumbel(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        k=_DSIR_K,
+        temperature=_DSIR_GUMBEL_T,
+        n_buckets=_DSIR_B,
+    )
+
+
 # ---------------------------------------------- ANN recall contracts
 # The three rows-only ops (LSH/IVF ANN, LSH-blocked dedup) have seeded
 # candidate generation no SQL engine can replay — but their QUALITY is
@@ -3062,6 +3134,42 @@ def llm_token_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_token_cms_heavy_scale",
+    oracle=f"""
+    WITH {_CMS_SKETCH_CTES},
+    exact AS (SELECT token, COUNT(*) AS exact_cnt
+              FROM tk GROUP BY token HAVING COUNT(*) >= {_CMS_MIN}),
+    probes AS (SELECT token, CAST(r AS BIGINT) AS rw,
+                      {_cms_bucket_sql('token', 'r')} AS bucket
+               FROM exact, UNNEST([0,1,2,3]) AS t(r)),
+    est AS (SELECT p.token, MIN(COALESCE(s.cnt, 0)) AS cms_est
+            FROM probes p LEFT JOIN sketch s
+              ON p.rw = s.rw AND p.bucket = s.bucket
+            GROUP BY p.token)
+    SELECT e.token, CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(e.exact_cnt AS BIGINT) AS exact_cnt
+    FROM exact e JOIN est ON e.token = est.token
+    """,
+    survey_ref="extension (VERDICT r7 ask #5): heavy hitters with a "
+    "SCALE-SAFE candidate source — per-partition local counting with a "
+    "pigeonhole threshold (total >= T across P partitions forces a "
+    "local count >= ceil(T/P) somewhere) replaces the vocabulary-sized "
+    "distinct of llm_token_cms_heavy; nothing vocabulary-shaped is "
+    "exchanged (plan-gated: the candidate emitter is exchange-free), "
+    "and both one-sided guarantees compose — candidates ⊇ true heavies "
+    "(pigeonhole), est >= exact (CMS) — so the exact final filter "
+    "returns precisely the true heavy-hitter set",
+    tags=("llm", "text", "sketch"),
+    bench=True,
+)
+def llm_token_cms_heavy_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_mod.cms_heavy_hitters_scale(
+        _docs(spark, sf_dir), "text", min_count=_CMS_MIN,
+        width=_CMS_W, depth=_CMS_D,
+    )
+
+
+@register(
     "llm_rare_token_score",
     oracle=f"""
     WITH {_CMS_SKETCH_CTES},
@@ -3150,18 +3258,37 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "al. 2016 open-vocabulary property). The merge table is the "
     "config-table shape of the reference's routing rules "
     "(function/TableProcessFunction.java:62-80): a small precomputed "
-    "table the data flows through",
+    "table the data flows through. r8: the artifact now ROUND-TRIPS "
+    "through a DimStore (train -> save_merges -> load_merges -> apply) "
+    "so the shipped-artifact path itself is driver-checked — bench "
+    "note: this adds one n_merges-row store upsert+read to the r7 "
+    "timing (bounded, not corpus-sized)",
     tags=("llm", "text", "tokenizer", "iterative"),
     bench=True,
 )
 def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.dim_store import DimStore
+
     docs = _docs(spark, sf_dir)
-    merges = bpe_mod.bpe_train(
-        docs.filter(F.col("doc_id") % 2 == 0), "text", n_merges=_BPE_MERGES
-    )
-    return bpe_mod.bpe_apply(
-        docs.filter(F.col("doc_id") % 2 == 1), merges, "text"
-    )
+    stage = tempfile.mkdtemp(prefix="gmall_bpe_store_")
+    try:
+        merges = bpe_mod.bpe_train(
+            docs.filter(F.col("doc_id") % 2 == 0), "text", n_merges=_BPE_MERGES
+        )
+        # ship the artifact: the TRAINING job persists the merge table,
+        # the INFERENCE job reads it back — no retraining in the apply
+        # path (the half of the story r7 left unit-test-only)
+        store = DimStore(spark, stage)
+        bpe_mod.save_merges(store, merges)
+        shipped = bpe_mod.load_merges(store)
+        return bpe_mod.bpe_apply(
+            docs.filter(F.col("doc_id") % 2 == 1), shipped, "text"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # -------------------------------------------- full curation pipeline (v2)

@@ -2022,3 +2022,76 @@ def test_driver_sim_canon_rows_dtype_aware():
     c = b.copy()
     c.loc[0, "x"] = 1.5
     assert canon_rows(a) != canon_rows(c)
+
+
+def test_cms_heavy_hitters_scale_matches_exact(spark, sf_dir):
+    """The scale-safe variant returns EXACTLY the true heavy hitters
+    (pigeonhole candidates can't miss one; the exact filter removes the
+    extras), with est >= exact on every row."""
+    from gmall_flink_2022_spark.llm import sketch as sk
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = sk.cms_heavy_hitters_scale(
+        docs, "text", min_count=50, width=1024, depth=4
+    ).collect()
+    from gmall_flink_2022_spark.llm.text import _toks_or_empty
+
+    truth = {
+        r["token"]: r["n"]
+        for r in docs.select(F.explode(_toks_or_empty("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+        .collect()
+    }
+    assert {r["token"] for r in got} == set(truth)
+    for r in got:
+        assert r["exact_cnt"] == truth[r["token"]]
+        assert r["cms_est"] >= r["exact_cnt"]
+
+
+def test_dsir_gumbel_k_determinism_and_temperature(spark, sf_dir):
+    """VERDICT r7 ask #6 property test: Gumbel-top-k keeps exactly k
+    docs, is deterministic across invocations, never selects a
+    feature-less doc, actually perturbs the T=1 selection away from the
+    deterministic truncation, and converges to score-monotone selection
+    as T -> 0 (noise span < one score unit)."""
+    from gmall_flink_2022_spark.llm import dsir
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = d.filter(F.col("doc_id") % 20 != 0)
+    tgt = d.filter(F.col("doc_id") % 20 == 0)
+    k = 50
+
+    out1 = dsir.dsir_select_gumbel(raw, tgt, k=k, temperature=1.0).collect()
+    out2 = dsir.dsir_select_gumbel(raw, tgt, k=k, temperature=1.0).collect()
+    kept1 = {r["id"] for r in out1 if r["keep"]}
+    kept2 = {r["id"] for r in out2 if r["keep"]}
+    assert len(kept1) == k and kept1 == kept2
+    assert all(r["n_feats"] > 0 for r in out1 if r["keep"])
+    # every raw doc is in the output with an auditable boundary
+    assert len(out1) == raw.count()
+
+    det = {
+        r["id"]
+        for r in dsir.dsir_select(raw, tgt, k=k).collect()
+        if r["keep"]
+    }
+    # hot temperature: noise span (~633k / (ln2*SCALE/T)) covers tens of
+    # score units, so sampling visibly diverges from truncation even on
+    # a corpus whose top-k scores are widely separated
+    hot = {
+        r["id"]
+        for r in dsir.dsir_select_gumbel(raw, tgt, k=k, temperature=8.0).collect()
+        if r["keep"]
+    }
+    assert hot != det, "hot-temperature Gumbel selection never perturbed anything"
+
+    # T small enough that one score unit (ln2/T * SCALE) dwarfs the
+    # noise span -> selection is score-ordered up to boundary ties
+    cold = dsir.dsir_select_gumbel(raw, tgt, k=k, temperature=0.05).collect()
+    kept_scores = [r["score"] for r in cold if r["keep"]]
+    drop_scores = [r["score"] for r in cold if not r["keep"] and r["n_feats"] > 0]
+    assert min(kept_scores) >= max(drop_scores)

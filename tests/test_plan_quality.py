@@ -515,3 +515,22 @@ def test_pq_adc_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_heavy_hitter_candidates_exchange_free(spark, sf_dir):
+    """VERDICT r7 ask #5 gate: the scale-safe heavy-hitter candidate
+    emitter (scan -> explode -> mapInPandas local counting) must contain
+    NO exchange — candidate generation happens where the data sits, and
+    only locally-hot candidates (never the vocabulary) are shuffled by
+    the downstream distinct/exact stages."""
+    from gmall_flink_2022_spark.llm import sketch as sk
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    emitter = sk._local_heavy_emit(docs, "text", 50)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        emitter.explain("formatted")
+    p = buf.getvalue()
+    assert "MapInPandas" in p
+    assert "Exchange" not in p, "candidate emitter shuffles before filtering"
