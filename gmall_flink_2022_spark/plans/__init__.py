@@ -18,146 +18,117 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
-    # ROUND-7 WINDOW (VERDICT r6 ask #1: explicit triage, 59->50).
-    # Slots: (a) 19 never-driver-checked entries — the 10 born this
-    # round (llm_bpe_apply, llm_dedup_index_lifecycle,
-    # llm_dup_clusters_incremental + its streaming twin +
-    # llm_dup_clusters_vacuum, llm_knn_pq_adc + llm_knn_ivf_pq,
-    # llm_token_cms_heavy + its streaming twin + llm_rare_token_score)
-    # plus the 9 born after the r6 window froze; (b) the 4
-    # four-round-stale r3-green entries; (c) 27 of the
-    # 46 r4-green entries (3 rounds stale), prioritizing paths whose
-    # shared code churned in r5-r7: the ENTIRE non-_scale streaming
-    # suite (DimStore gained compact/delete/auto-compaction THIS round;
-    # every streaming sink rides it or foreachBatch), the llm near-dup
-    # family (llm/dedup.py estimator + probe-cache changes this round),
-    # and the tokenizer-sharing keyword/CJK entries.
-    # NINETEEN slip to r8, each with a fronted sibling on the identical
-    # code path and no r5-r7 churn of its own:
-    #   stream_order_enrich_scale / stream_session_window_scale /
-    #   stream_two_hop_scale / stream_keyword_stats_cjk_scale
-    #     (knob-only _scale twins; originals fronted),
-    #   llm_knn_lsh_contract / llm_dedup_embed_lsh_contract /
-    #   llm_semdedup_contract / llm_dedup_embed_planted
-    #     (similarity.py untouched since the r6-green zero-vector fix;
-    #     llm_dedup_embed + llm_knn_bruteforce fronted cover the
-    #     cosine/bucket machinery),
-    #   llm_mixture_sample / llm_shuffle_order
-    #     (sampling.py untouched since r5; hash/stratified/split twins
-    #     were r5-green),
-    #   llm_chunk_overlap (packing.py untouched; llm_sequence_pack
-    #     fronted),
-    #   udf_surface_token_count (thin tokenize_col surface; the
-    #     tokenizer is exercised by fronted dws_keyword_stats_cjk),
-    #   dws_keyword_stats_windowed (displaced late by the r7-born
-    #     stream_llm_dup_clusters_incremental; its tumbling-window
-    #     keyword pipeline is covered by fronted dws_keyword_stats_cjk
-    #     + the r6-green dws_keyword_stats),
-    #   dwd_anti_idle_customers (displaced by the r7-born
-    #     llm_knn_pq_adc; sibling dwd_semi_active_customers stays
-    #     fronted over the identical frames — only the join type
-    #     differs, code untouched since r4),
-    #   ads_rollup_revenue / ads_pivot_linestatus (displaced by the
-    #     r7-born CMS pair; thin single-operator ROLLUP/PIVOT
-    #     renderings over analytics.py untouched since r4, riding the
-    #     r6-green serving aggregations' frames),
-    #   llm_token_stats (displaced by the r7-born
-    #     llm_dup_clusters_vacuum; thin tokenize+agg surface — the
-    #     tokenizer rides fronted dws_keyword_stats_cjk and token
-    #     counting rides fronted llm_token_cms_heavy's exact column),
-    #   llm_fingerprint (displaced by the r7-born llm_knn_ivf_pq; the
-    #     r7 text.py churn was confined to gopher/classifier — the
-    #     fingerprint path is untouched since r4 and its
-    #     rolling/winnow siblings were r5-green),
-    #   llm_quality_score (displaced by the r7-born
-    #     llm_rare_token_score; same argument — untouched thin feature
-    #     map, while the two text.py functions that DID change carry
-    #     r6-green rows and ride the parity sweep),
-    #   dws_session_window_native (displaced by the r7-born
-    #     stream_llm_rare_token_score; fronted stream_session_window
-    #     runs the IDENTICAL F.session_window('1800 seconds') groupBy
-    #     over the same events frame — only the endpoints differ, and
-    #     the batch rendering rides the parity sweep),
-    #   dwd_db_route (displaced by the r7-born llm_decontaminate_bloom;
-    #     the broadcast-config router is the SAME code path as the
-    #     r5-green stream_db_route — operators/dwd.py:51 untouched
-    #     since r5, batch twin rides the parity sweep),
-    #   stream_mm_features (displaced by the r7-born llm_dsir_select;
-    #     multimodal.py untouched since r5, and its runner/foreachBatch
-    #     machinery is exercised by a dozen fronted stream entries —
-    #     llm_dsir_weights also stays below 50: llm_dsir_select runs
-    #     the identical weights->score chain end-to-end and both ride
-    #     the parity sweep).
+    # ROUND-8 WINDOW (VERDICT r7 ask #1 executed verbatim).
+    # Slots: (a) the 4 r8-born/semantically-changed entries plus
+    # stream_llm_rare_token_score (its persistence path moved to the new
+    # validated save_sketch/load_sketch this round) and llm_bpe_apply
+    # (now round-trips the merge table through a DimStore); (b)
+    # llm_dsir_weights — the ONLY previously never-driver-checked entry;
+    # (c) ALL 22 named r7 slips (4 rounds stale at r8, the r4-green
+    # cohort — they go first per standing policy); (d) 22 of the
+    # 50-entry r5-green cohort (3 rounds stale), prioritizing entries
+    # whose SHARED code churned in r6-r8: DimStore riders (journaled
+    # swaps landed THIS round: stats_store_idempotent_upsert,
+    # stream_db_route), dedup.py riders (memo-key freshness churn:
+    # substring/simhash64/paragraph/curation_full), text.py riders
+    # (r7 NULL-coalesce: gopher/lang_id/ngram_familiarity),
+    # similarity.py rider (r6-r7 PQ refactor: llm_knn_ivf_contract),
+    # bpe-chain rider (llm_sequence_pack_bpe), the hash-universe
+    # sibling of the new Gumbel entry (llm_mixture_temperature), then
+    # the stale multimodal + sampling + fingerprint families.
+    # TWENTY-EIGHT r5-green entries slip to r9, each with a fronted
+    # same-code-path sibling and no r6-r8 churn of its own:
+    #   tpch_q2/q6/q7/q8/q9/q11/q12/q14/q16/q18/q19/q20/q21 +
+    #   tpch_q3-adjacent shapes (13 entries: thin single-shape SQL
+    #     renderings over tpch_more/tpch_shapes.py untouched since r5;
+    #     the warehouse spine entries they share frames with are
+    #     r6-r7-green and all ride the per-session parity sweep),
+    #   dws_product_stats_approx / dws_province_stats_approx /
+    #   ads_price_percentiles / ads_cube_revenue /
+    #   ads_customer_quartiles (analytics.py untouched since r5;
+    #     exact siblings r6-green),
+    #   dws_events_sliding / events_zorder_key /
+    #   stream_events_sliding_scale / stream_visitor_stats_scale /
+    #   stream_product_stats_scale / stream_uv_dropdup (knob/_scale
+    #     twins — originals fronted in r7 and green; zorder layout is
+    #     plan-gated in test_plan_quality),
+    #   llm_dup_cluster_keep_best / llm_pagerank_centrality /
+    #   llm_bpe_pair_counts (thin surfaces over machinery that is
+    #     r7-green via llm_dup_clusters_incremental / llm_dup_clusters
+    #     and the r8-fronted BPE chain's first stage),
+    #   llm_bm25_topk (retrieval.py untouched since r5; its sibling
+    #     llm_tfidf_keywords over the same postings machinery is
+    #     r7-green and fronted in the r7 window).
     # The 3 rows-only ANN originals stay below slot 50 as every round —
-    # their driver-checkable recall contracts rotate (2 of 3 slip with
-    # the similarity family above).
-    # --- (a) never driver-checked: r7-born ---
+    # their driver-checkable recall contracts are fronted this round
+    # (llm_knn_lsh_contract, llm_knn_ivf_contract,
+    # llm_dedup_embed_lsh_contract all in the window).
+    # --- (a) r8-born / r8-changed ---
+    "llm_token_cms_heavy_scale",
+    "llm_dsir_select_gumbel",
+    "stream_llm_dsir_score",
     "llm_bpe_apply",
-    "llm_dedup_index_lifecycle",
-    "llm_dup_clusters_incremental",
-    "stream_llm_dup_clusters_incremental",
-    "llm_dup_clusters_vacuum",
-    "llm_knn_pq_adc",
-    "llm_knn_ivf_pq",
-    "llm_token_cms_heavy",
-    "stream_llm_token_cms",
-    "llm_rare_token_score",
     "stream_llm_rare_token_score",
-    "llm_decontaminate_bloom",
-    "llm_dsir_select",
-    # --- (a) never driver-checked: born after the r6 window froze ---
-    "llm_bpe_encode",
-    "llm_tfidf_keywords",
-    "llm_pq_codes",
-    "llm_split_leakage",
-    "llm_length_buckets",
-    "llm_dedup_within_doc",
-    "llm_corpus_diff",
-    "stream_llm_quality_classifier",
-    "stream_llm_embed_dedup_incremental",
-    # --- (b) four-round-stale r3-green ---
-    "set_except_buyers",
-    "set_intersect_all_buyers",
-    "set_except_all_buyers",
-    "dws_keywords_sql_lateral",
-    # --- (c) r4-green rotation: streaming suite (DimStore/foreachBatch
-    #     churned this round) ---
-    "stream_visitor_stats",
-    "stream_payment_wide",
-    "stream_payment_wide_outer",
-    "stream_product_stats",
-    "stream_user_jump",
-    "stream_unique_visit",
-    "stream_uv_dropdup_ttl",
-    "stream_order_enrich",
-    "stream_stats_upsert_sink",
-    "stream_session_window",
-    "stream_two_hop_pipeline",
-    "stream_keyword_stats_cjk",
-    "stream_llm_dedup_exact",
-    "stream_llm_decontaminate",
-    # --- (c) r4-green rotation: llm family (dedup.py churned) ---
-    "llm_dedup_ngram",
-    "llm_dedup_simhash",
-    "llm_dedup_embed",
-    "llm_knn_bruteforce",
-    "llm_corpus_curation",
-    "llm_dup_clusters",
-    "llm_sequence_pack",
-    # --- (c) r4-green rotation: warehouse/batch spine ---
-    "dws_union_stats",
-    "dwd_semi_active_customers",
-    "dws_keyword_stats_cjk",
+    # --- (b) never driver-checked ---
+    "llm_dsir_weights",
+    # --- (c) the 22 named r7 slips (r4-green, stalest first) ---
+    "stream_order_enrich_scale",
+    "stream_session_window_scale",
+    "stream_two_hop_scale",
+    "stream_keyword_stats_cjk_scale",
+    "llm_knn_lsh_contract",
+    "llm_dedup_embed_lsh_contract",
+    "llm_semdedup_contract",
+    "llm_dedup_embed_planted",
+    "llm_mixture_sample",
+    "llm_shuffle_order",
+    "llm_chunk_overlap",
+    "udf_surface_token_count",
+    "dws_keyword_stats_windowed",
+    "dwd_anti_idle_customers",
+    "ads_rollup_revenue",
+    "ads_pivot_linestatus",
+    "llm_token_stats",
+    "llm_fingerprint",
+    "llm_quality_score",
+    "dws_session_window_native",
+    "dwd_db_route",
+    "stream_mm_features",
+    # --- (d) r5-green rotation: churned-code riders first ---
+    "stats_store_idempotent_upsert",
+    "stream_db_route",
+    "llm_substring_dedup",
+    "llm_dedup_simhash64",
+    "llm_dedup_paragraph",
+    "llm_curation_pipeline_full",
+    "llm_gopher_filter",
+    "llm_lang_id",
+    "llm_ngram_familiarity",
+    "llm_knn_ivf_contract",
+    "llm_sequence_pack_bpe",
+    "llm_mixture_temperature",
+    # --- (d) r5-green rotation: stale families ---
+    "mm_media_features",
+    "mm_frame_sample",
+    "mm_frame_dedup",
+    "mm_image_resize",
+    "mm_audio_frames",
+    "llm_sample_hash",
+    "llm_sample_stratified",
+    "llm_train_val_split",
+    "llm_fingerprint_rolling",
+    "llm_fingerprint_winnow",
 ]
 
-# (the round-6 window list lives in git history: d6f96dc)
+# (the round-6 window list lives in git history: d6f96dc;
+#  the round-7 list in 359bae4)
 
-# r8 window candidates, in priority order: the 19 named r7 slips above
-# (4 rounds stale by r8 — they go FIRST), then the r5-green cohort
-# (50 entries, 3 rounds stale at r8: the approx/percentile/cube batch,
-# the multimodal family, the sampling/fingerprint family, TPC-H
-# batches 2-3, the r5 streaming rotations), then whatever r7 itself
-# leaves unchecked.
+# r9 window candidates, in priority order: the 28 named r8 slips above
+# (4 rounds stale by r9 — they go FIRST: the 13 TPC-H batch-2/3
+# entries, the 5 approx/percentile/cube analytics entries, the 6
+# events/_scale knob twins, the 3 thin cluster/pagerank/bpe-stage
+# surfaces, and llm_bm25_topk), then anything born or churned in r9,
+# then the r6-green cohort (3 rounds stale at r9).
 
 
 def _prioritize() -> None:
