@@ -3677,3 +3677,92 @@ def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return dedup.corpus_diff(olds, news, "doc_id", "text")
+
+
+# -------------------------------- HLL register sketch: bounded-state UV
+# The reference's UV problem (dwm/UniqueVisitApp.java:37-76) holds one
+# ValueState PER DISTINCT mid — state grows with cardinality, the thing
+# that breaks at 100 TB. The HLL register grid holds HLL_M longs per
+# group no matter how many distinct users stream through; batch and
+# streaming renderings settle to the identical register table because
+# MAX commutes across shards/micro-batches.
+_HLL_M = sketch_mod.HLL_M
+
+
+def _hll_regs_sql() -> str:
+    uid = "CAST(user_id AS VARCHAR)"
+    b = _u32_sql(f"'hllb|' || {uid}")
+    y = _u32_sql(f"'hllr|' || {uid}")
+    return f"""
+    h AS (SELECT event_type,
+                 ({b}) % {_HLL_M} AS bucket,
+                 ({y}) AS y
+          FROM events),
+    r AS (SELECT event_type, bucket,
+                 MAX(CASE WHEN y = 0 THEN 33
+                          ELSE 33 - length(bin(y)) END) AS rho
+          FROM h GROUP BY event_type, bucket)"""
+
+
+@register(
+    "dws_uv_hll",
+    oracle=f"""
+    WITH {_hll_regs_sql()}
+    SELECT event_type, bucket, CAST(rho AS BIGINT) AS rho FROM r
+    """,
+    survey_ref="extension: HyperLogLog register sketch (Flajolet et al. "
+    "2007) for the A5/UV problem — dwm/UniqueVisitApp.java:37-76 keeps "
+    "one keyed ValueState per distinct mid (state grows with user "
+    f"cardinality); the register grid keeps {_HLL_M} longs per group "
+    "for ANY cardinality. md5-derived bucket/rank make the table "
+    "engine-exact; registers merge by MAX across shards/streams/days",
+    tags=("llm", "sketch", "events"),
+    bench=True,
+)
+def dws_uv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return sketch_mod.hll_registers(ev, "user_id", ["event_type"])
+
+
+@register(
+    "dws_uv_hll_estimate",
+    oracle=f"""
+    WITH {_hll_regs_sql()},
+    g AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT g.event_type, CAST(range AS BIGINT) AS bucket
+             FROM g, range({_HLL_M})),
+    dense AS (SELECT grid.event_type, grid.bucket, COALESCE(r.rho, 0) AS rho
+              FROM grid LEFT JOIN r
+                ON grid.event_type = r.event_type AND grid.bucket = r.bucket),
+    agg AS (SELECT event_type,
+                   CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS v_zero,
+                   SUM(1.0 / CAST((1::BIGINT << rho) AS DOUBLE)) AS inv_sum
+            FROM dense GROUP BY event_type),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_uv
+           FROM events GROUP BY event_type)
+    SELECT a.event_type, a.v_zero,
+           {sketch_mod.hll_alpha_m2()!r} / a.inv_sum AS raw_est,
+           CAST(e.exact_uv AS BIGINT) AS exact_uv
+    FROM agg a JOIN ex e ON a.event_type = e.event_type
+    """,
+    survey_ref="extension: the raw HLL estimate alpha_m*m^2/sum(2^-rho) "
+    "next to the exact COUNT DISTINCT for auditability — engine-exact "
+    "because every 2^-rho term is a power of two in [2^-33, 1] (all "
+    "partial sums are integer multiples of 2^-33 below 2^41, so float "
+    "addition is exact in any order) and the one division rounds "
+    "identically; v_zero emitted for consumers wanting the "
+    "linear-counting small-range correction (ln() stays out of the "
+    "engines)",
+    tags=("llm", "sketch", "events"),
+)
+def dws_uv_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    regs = sketch_mod.hll_registers(ev, "user_id", ["event_type"])
+    est = sketch_mod.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_uv")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "v_zero", "raw_est", "exact_uv"
+    )

@@ -2053,3 +2053,43 @@ def _register_stream_dsir_score() -> None:
 
 
 _register_stream_dsir_score()
+
+
+def _register_stream_uv_hll() -> None:
+    """Streaming HLL UV: the bounded-state answer to the reference's
+    UV problem run as a live job — an update-mode MAX aggregation whose
+    key space is (event_type x HLL_M buckets), so the state store holds
+    at most groups*m rows for ANY number of distinct users (contrast
+    stream_unique_visit: per-mid keyed state, the thing that grows
+    without bound at 100 TB). MAX commutes across micro-batches, so the
+    settled register table equals the batch dws_uv_hll answer and the
+    batch oracle applies verbatim."""
+    from ..llm import sketch as sketch_mod
+    from .registry import REGISTRY as _R
+
+    @register(
+        "stream_uv_hll",
+        oracle=_R["dws_uv_hll"].oracle,
+        survey_ref="extension: HLL registers as a STREAMING aggregation "
+        "— bounded state BY CONSTRUCTION (the register grid is the key "
+        "space, dwm/UniqueVisitApp.java:37-76's per-mid ValueState "
+        "replaced by m longs per group); settled == batch because MAX "
+        "commutes; update-mode keyed upsert sink",
+        tags=("streaming", "llm", "sketch", "events"),
+    )
+    def stream_uv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_stream_table(spark, sf_dir, "events")
+        regs = sketch_mod.hll_registers(ev, "user_id", ["event_type"])
+        keyed = regs.withColumn(
+            "_k",
+            F.concat_ws(
+                ":", F.col("event_type"), F.col("bucket").cast("string")
+            ),
+        )
+        out = _run_update_upsert(keyed, _uniq("uv_hll"))
+        return out.select(
+            "event_type", "bucket", F.col("rho").cast("long").alias("rho")
+        )
+
+
+_register_stream_uv_hll()

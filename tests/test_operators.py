@@ -2095,3 +2095,51 @@ def test_dsir_gumbel_k_determinism_and_temperature(spark, sf_dir):
     kept_scores = [r["score"] for r in cold if r["keep"]]
     drop_scores = [r["score"] for r in cold if not r["keep"] and r["n_feats"] > 0]
     assert min(kept_scores) >= max(drop_scores)
+
+
+def test_hll_registers_merge_and_estimate(spark, sf_dir):
+    """HLL properties: (1) registers merge by MAX across shards to
+    exactly the whole-corpus table (the property that makes the
+    streaming/sharded renderings settle to the batch answer); (2) the
+    raw estimate lands within the expected error envelope of the exact
+    distinct count (m=256 -> ~6.5% standard error; assert 20%);
+    (3) ranks stay in [1, 33]."""
+    from gmall_flink_2022_spark.llm import sketch as sk
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    whole = sk.hll_registers(ev, "user_id", ["event_type"])
+    s1 = sk.hll_registers(ev.filter(F.col("user_id") % 2 == 0), "user_id", ["event_type"])
+    s2 = sk.hll_registers(ev.filter(F.col("user_id") % 2 == 1), "user_id", ["event_type"])
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    rows = whole.collect()
+    assert all(1 <= r["rho"] <= 33 for r in rows)
+
+    import math
+
+    m = sk.HLL_M
+    est = {}
+    for r in sk.hll_estimate(whole, ["event_type"]).collect():
+        e = r["raw_est"]
+        # the standard small-range (linear counting) correction the
+        # operator deliberately leaves to consumers (ln() stays out of
+        # the engines; v_zero is emitted for exactly this)
+        if e <= 2.5 * m and r["v_zero"] > 0:
+            e = m * math.log(m / r["v_zero"])
+        est[r["event_type"]] = e
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n < 0.20, (et, est[et], n)
