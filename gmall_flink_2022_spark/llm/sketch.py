@@ -522,3 +522,81 @@ def hll_estimate(
         "v_zero",
         (F.lit(hll_alpha_m2(m)) / F.col("_inv_sum")).alias("raw_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram sketch — bounded-state QUANTILES, completing the
+# sketch family (frequency = count-min, distinct = HLL, quantile =
+# histogram): a clamped fixed-width bucket grid whose counts merge by
+# SUM across shards/micro-batches, answering any quantile with one-sided
+# error <= one bucket width. Engine-exact when the bucket width is a
+# power of two: v / width is an exponent shift (no rounding), floor is
+# exact, and the quantile rank ceil(q * N) rounds identically — so the
+# whole sketch AND its quantile answers hash-match across engines.
+# The streaming rendering is an update-mode SUM over <= n_bins keys:
+# bounded state for unbounded input, same discipline as the CMS/HLL
+# grids (the percentile analog of the reference's windowed aggregations,
+# dws/VisitorStatsApp.java, whose per-key state this bounds).
+# ---------------------------------------------------------------------------
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    n_bins: int,
+    group_cols: list[str] | tuple = (),
+) -> DataFrame:
+    """The histogram: (group..., bucket, cnt), at most ``n_bins`` rows
+    per group. bucket = clamp(floor(v / width), 0, n_bins-1); values
+    above the grid land in the top bucket (documented clamp — size the
+    grid so the tail you care about is interior). NULL values carry no
+    quantile information and are dropped (fail-closed counting).
+    Shards merge by summing cnt on (group, bucket)."""
+    v = F.col(value_col).cast("double")
+    b = F.floor(v / F.lit(float(width))).cast("long")
+    bucket = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    width: float,
+    qs: list[float] | tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile answers from a histogram: for each q, the first bucket
+    whose cumulative count reaches rank ceil(q * N) -> (q, bucket,
+    est_hi, n) with ``est_hi = (bucket+1) * width`` the one-sided upper
+    boundary: true_quantile in (est_hi - width, est_hi] whenever the
+    value was interior to the grid. The cumulative window runs over the
+    <= n_bins histogram rows — bounded, deliberately single-partition
+    (tiny data), the same posture as shuffle_order's 256-row offset
+    window. N rides along so consumers can audit the rank."""
+    from pyspark.sql import Window as W
+
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    j = cum.crossJoin(F.broadcast(qdf)).crossJoin(F.broadcast(tot))
+    return (
+        j.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "n")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "q",
+            "bucket",
+            ((F.col("bucket") + 1) * F.lit(float(width))).alias("est_hi"),
+            "n",
+        )
+    )

@@ -36,13 +36,15 @@ _DRIVER_WINDOW_FIRST = [
     # bpe-chain rider (llm_sequence_pack_bpe), the hash-universe
     # sibling of the new Gumbel entry (llm_mixture_temperature), then
     # the stale multimodal + sampling + fingerprint families.
-    # THIRTY-ONE r5-green entries slip to r9, each with a fronted
+    # THIRTY-THREE r5-green entries slip to r9, each with a fronted
     # same-code-path sibling and no r6-r8 churn of its own:
     #   llm_fingerprint_rolling / llm_fingerprint_winnow /
-    #   llm_sample_stratified (displaced late by the r8-born HLL trio;
-    #     fronted llm_fingerprint covers the fingerprint feature file
-    #     and fronted llm_sample_hash + llm_train_val_split cover the
-    #     sampling hash universe — all three files untouched since r5),
+    #   llm_sample_stratified / llm_sample_hash / llm_train_val_split
+    #     (displaced late by the r8-born HLL trio + histogram pair;
+    #     fronted llm_fingerprint covers the fingerprint feature file,
+    #     and sampling.py — untouched since r5 — keeps THREE fronted
+    #     representatives: llm_mixture_sample + llm_shuffle_order from
+    #     the r4 cohort and llm_mixture_temperature in slot (d)),
     #   tpch_q2/q6/q7/q8/q9/q11/q12/q14/q16/q18/q19/q20/q21 +
     #   tpch_q3-adjacent shapes (13 entries: thin single-shape SQL
     #     renderings over tpch_more/tpch_shapes.py untouched since r5;
@@ -75,6 +77,8 @@ _DRIVER_WINDOW_FIRST = [
     "dws_uv_hll",
     "dws_uv_hll_estimate",
     "stream_uv_hll",
+    "ads_price_quantile_sketch",
+    "stream_value_histogram",
     "llm_bpe_apply",
     "stream_llm_rare_token_score",
     # --- (b) never driver-checked ---
@@ -121,14 +125,12 @@ _DRIVER_WINDOW_FIRST = [
     "mm_frame_dedup",
     "mm_image_resize",
     "mm_audio_frames",
-    "llm_sample_hash",
-    "llm_train_val_split",
 ]
 
 # (the round-6 window list lives in git history: d6f96dc;
 #  the round-7 list in 359bae4)
 
-# r9 window candidates, in priority order: the 31 named r8 slips above
+# r9 window candidates, in priority order: the 33 named r8 slips above
 # (4 rounds stale by r9 — they go FIRST: the 13 TPC-H batch-2/3
 # entries, the 5 approx/percentile/cube analytics entries, the 6
 # events/_scale knob twins, the 3 thin cluster/pagerank/bpe-stage

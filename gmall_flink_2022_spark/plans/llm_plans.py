@@ -3766,3 +3766,45 @@ def dws_uv_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "v_zero", "raw_est", "exact_uv"
     )
+
+
+# ----------------------- histogram sketch: bounded-state quantiles
+# width 512 = 2^9 over 256 bins covers l_extendedprice (< 105k) with
+# every value interior; power-of-two width keeps floor(v/width) exact
+# in both engines (see llm/sketch.py module note).
+_PHIST_W, _PHIST_BINS = 512, 256
+_PHIST_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "ads_price_quantile_sketch",
+    oracle=f"""
+    WITH h AS (SELECT LEAST(GREATEST(CAST(floor(l_extendedprice / {_PHIST_W}.0)
+                                     AS BIGINT), 0), {_PHIST_BINS - 1}) AS bucket
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    hist AS (SELECT bucket, COUNT(*) AS cnt FROM h GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+    qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    pick AS (SELECT q, n, MIN(bucket) AS bucket
+             FROM qs, cum, tot WHERE cum >= ceil(q * n) GROUP BY q, n)
+    SELECT q, bucket, CAST((bucket + 1) * {_PHIST_W} AS DOUBLE) AS est_hi, n
+    FROM pick
+    """,
+    survey_ref="extension: bounded-state QUANTILES — a fixed 256-bin "
+    "histogram (counts merge by SUM across shards) answers p50/p90/p99 "
+    "with one-sided error <= one bucket width; completes the sketch "
+    "family (frequency=CMS, distinct=HLL, quantile=histogram). "
+    "Power-of-two width makes bucketing and rank arithmetic "
+    "engine-exact; contrast ads_price_percentiles (exact/approx "
+    "percentile over the full value shuffle) — this is the shape that "
+    "runs on an unbounded stream or merges across 100 TB shards",
+    tags=("llm", "sketch", "serving"),
+    bench=True,
+)
+def ads_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    hist = sketch_mod.value_histogram(
+        li, "l_extendedprice", width=_PHIST_W, n_bins=_PHIST_BINS
+    )
+    return sketch_mod.histogram_quantiles(hist, width=_PHIST_W, qs=_PHIST_QS)

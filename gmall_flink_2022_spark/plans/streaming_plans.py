@@ -2093,3 +2093,41 @@ def _register_stream_uv_hll() -> None:
 
 
 _register_stream_uv_hll()
+
+
+def _register_stream_value_histogram() -> None:
+    """Streaming histogram sketch: an update-mode SUM whose key space is
+    the fixed 256-bucket grid — bounded state for unbounded input, the
+    quantile analog of stream_llm_token_cms / stream_uv_hll; counts
+    commute across micro-batches so the settled histogram equals the
+    batch one and a plain SQL oracle applies."""
+    from ..llm import sketch as sketch_mod
+
+    # width 4 over 256 bins covers events.value (< 328) interior;
+    # power-of-two width keeps floor(v/4) engine-exact
+    w, bins = 4, 256
+
+    @register(
+        "stream_value_histogram",
+        oracle=f"""
+        WITH h AS (SELECT LEAST(GREATEST(CAST(floor(value / {w}.0) AS BIGINT),
+                                         0), {bins - 1}) AS bucket
+                   FROM events WHERE value IS NOT NULL)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY bucket
+        """,
+        survey_ref="extension: histogram sketch as a STREAMING "
+        "aggregation — bounded state BY CONSTRUCTION (the bucket grid "
+        "is the key space); settled == batch because counts commute; "
+        "any quantile of the live stream is answerable from the "
+        "settled grid with <= one-bucket-width error",
+        tags=("streaming", "llm", "sketch", "events"),
+    )
+    def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_stream_table(spark, sf_dir, "events")
+        hist = sketch_mod.value_histogram(ev, "value", width=w, n_bins=bins)
+        keyed = hist.withColumn("_k", F.col("bucket").cast("string"))
+        out = _run_update_upsert(keyed, _uniq("val_hist"))
+        return out.select("bucket", F.col("cnt").cast("long").alias("cnt"))
+
+
+_register_stream_value_histogram()

@@ -2143,3 +2143,37 @@ def test_hll_registers_merge_and_estimate(spark, sf_dir):
     }
     for et, n in exact.items():
         assert abs(est[et] - n) / n < 0.20, (et, est[et], n)
+
+
+def test_histogram_quantile_bound_and_merge(spark, sf_dir):
+    """Histogram sketch properties: (1) shard histograms merge by SUM to
+    the whole-corpus histogram; (2) each quantile answer brackets the
+    true (percentile_disc-style) quantile within one bucket width."""
+    from gmall_flink_2022_spark.llm import sketch as sk
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    w, bins = 512, 256
+    whole = sk.value_histogram(li, "l_extendedprice", width=w, n_bins=bins)
+    s1 = sk.value_histogram(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", w, bins
+    )
+    s2 = sk.value_histogram(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", w, bins
+    )
+    merged = (
+        s1.unionByName(s2).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    import math
+
+    vals = sorted(r[0] for r in li.select("l_extendedprice").collect())
+    for r in sk.histogram_quantiles(whole, width=w, qs=(0.5, 0.9, 0.99)).collect():
+        true_q = vals[math.ceil(r["q"] * len(vals)) - 1]
+        assert r["est_hi"] - w < true_q <= r["est_hi"], (r, true_q)
+        assert r["n"] == len(vals)
