@@ -580,15 +580,27 @@ def histogram_quantiles(
     from pyspark.sql import Window as W
 
     spark = hist.sparkSession
+    # both the running and the total sum ride ONE tiny single-partition
+    # window over the <= n_bins histogram rows — a separate hist.agg()
+    # total would re-execute the whole upstream scan (measured: the
+    # first rendering read lineitem twice)
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
             W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
         ),
+    ).withColumn(
+        "n",
+        F.sum("cnt")
+        .over(
+            W.orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .cast("long"),
     )
-    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    j = cum.crossJoin(F.broadcast(qdf)).crossJoin(F.broadcast(tot))
+    j = cum.crossJoin(F.broadcast(qdf))
     return (
         j.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
         .groupBy("q", "n")
