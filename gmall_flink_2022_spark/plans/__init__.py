@@ -36,15 +36,17 @@ _DRIVER_WINDOW_FIRST = [
     # bpe-chain rider (llm_sequence_pack_bpe), the hash-universe
     # sibling of the new Gumbel entry (llm_mixture_temperature), then
     # the stale multimodal + sampling + fingerprint families.
-    # THIRTY-THREE r5-green entries slip to r9, each with a fronted
+    # THIRTY-FOUR r5-green entries slip to r9, each with a fronted
     # same-code-path sibling and no r6-r8 churn of its own:
     #   llm_fingerprint_rolling / llm_fingerprint_winnow /
-    #   llm_sample_stratified / llm_sample_hash / llm_train_val_split
-    #     (displaced late by the r8-born HLL trio + histogram pair;
-    #     fronted llm_fingerprint covers the fingerprint feature file,
-    #     and sampling.py — untouched since r5 — keeps THREE fronted
-    #     representatives: llm_mixture_sample + llm_shuffle_order from
-    #     the r4 cohort and llm_mixture_temperature in slot (d)),
+    #   llm_sample_stratified / llm_sample_hash / llm_train_val_split /
+    #   llm_mixture_temperature (displaced late by the r8-born HLL
+    #     trio + histogram pair + llm_bpe_train_sampled; fronted
+    #     llm_fingerprint covers the fingerprint feature file, and
+    #     sampling.py — untouched since r5 — keeps fronted
+    #     representatives llm_mixture_sample + llm_shuffle_order from
+    #     the r4 cohort plus the r8-born hash-sampled BPE entry over
+    #     the same hash_sample path),
     #   tpch_q2/q6/q7/q8/q9/q11/q12/q14/q16/q18/q19/q20/q21 +
     #   tpch_q3-adjacent shapes (13 entries: thin single-shape SQL
     #     renderings over tpch_more/tpch_shapes.py untouched since r5;
@@ -79,6 +81,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_uv_hll",
     "ads_price_quantile_sketch",
     "stream_value_histogram",
+    "llm_bpe_train_sampled",
     "llm_bpe_apply",
     "stream_llm_rare_token_score",
     # --- (b) never driver-checked ---
@@ -118,7 +121,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_ngram_familiarity",
     "llm_knn_ivf_contract",
     "llm_sequence_pack_bpe",
-    "llm_mixture_temperature",
     # --- (d) r5-green rotation: stale families ---
     "mm_media_features",
     "mm_frame_sample",
@@ -130,7 +132,7 @@ _DRIVER_WINDOW_FIRST = [
 # (the round-6 window list lives in git history: d6f96dc;
 #  the round-7 list in 359bae4)
 
-# r9 window candidates, in priority order: the 33 named r8 slips above
+# r9 window candidates, in priority order: the 34 named r8 slips above
 # (4 rounds stale by r9 — they go FIRST: the 13 TPC-H batch-2/3
 # entries, the 5 approx/percentile/cube analytics entries, the 6
 # events/_scale knob twins, the 3 thin cluster/pagerank/bpe-stage

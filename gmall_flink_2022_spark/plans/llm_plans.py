@@ -3808,3 +3808,34 @@ def ads_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_extendedprice", width=_PHIST_W, n_bins=_PHIST_BINS
     )
     return sketch_mod.histogram_quantiles(hist, width=_PHIST_W, qs=_PHIST_QS)
+
+
+_BPE_SAMPLE_THRESH = int(0.25 * (1 << 32))
+
+
+@register(
+    "llm_bpe_train_sampled",
+    oracle=bpe_mod.bpe_apply_oracle_sql(
+        _BPE_MERGES,
+        train_where=f"{_u32_sql('doc_id')} < {_BPE_SAMPLE_THRESH}",
+        apply_where="",
+    ),
+    survey_ref="extension: the 100 TB BPE posture made literal — train "
+    "the merge table on a deterministic 25% hash sample (token "
+    "statistics are corpus-level aggregates; a sample estimates them "
+    "without the full-corpus iterative cost, the same sampled-training "
+    "discipline as the IVF codebooks in llm/similarity.py), then apply "
+    "the shipped artifact to the WHOLE corpus with no counting. The "
+    "apply pass is the only full-corpus work and it is "
+    "embarrassingly parallel per word",
+    tags=("llm", "text", "tokenizer", "iterative", "sampling"),
+)
+def llm_bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import sampling
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_mod.bpe_train(
+        sampling.hash_sample(docs, "doc_id", 0.25), "text",
+        n_merges=_BPE_MERGES,
+    )
+    return bpe_mod.bpe_apply(docs, merges, "text")
