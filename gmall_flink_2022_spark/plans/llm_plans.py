@@ -3839,3 +3839,96 @@ def llm_bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_merges=_BPE_MERGES,
     )
     return bpe_mod.bpe_apply(docs, merges, "text")
+
+
+# ------------------------- windowed HLL: the A1/A5 daily UV, bounded
+# The reference computes daily UV with one keyed ValueState per mid
+# (dwm/UniqueVisitApp.java:37-76, day-scoped TTL) and per-window
+# HashSets (dws/VisitorStatsApp.java) — state grows with user
+# cardinality. Here each (day, event_type) window carries HLL_M
+# registers, period: the per-window state is a CONSTANT.
+
+
+def _hll_daily_sql() -> str:
+    uid = "CAST(user_id AS VARCHAR)"
+    b = _u32_sql(f"'hllb|' || {uid}")
+    y = _u32_sql(f"'hllr|' || {uid}")
+    return f"""
+    e AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, user_id
+          FROM events),
+    h AS (SELECT dt, event_type,
+                 ({b}) % {_HLL_M} AS bucket,
+                 ({y}) AS y
+          FROM e),
+    r AS (SELECT dt, event_type, bucket,
+                 MAX(CASE WHEN y = 0 THEN 33
+                          ELSE 33 - length(bin(y)) END) AS rho
+          FROM h GROUP BY dt, event_type, bucket)"""
+
+
+def _daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type", "user_id"
+    )
+
+
+@register(
+    "dws_daily_uv_hll",
+    oracle=f"""
+    WITH {_hll_daily_sql()}
+    SELECT dt, event_type, bucket, CAST(rho AS BIGINT) AS rho FROM r
+    """,
+    survey_ref="§2.4 A1/A5 at scale: the daily-UV register table — "
+    "per-(day, event_type) window state is a CONSTANT "
+    f"{_HLL_M} registers instead of dwm/UniqueVisitApp.java:37-76's "
+    "per-mid ValueState / dws/VisitorStatsApp.java's per-window "
+    "HashSet; windows roll forward, state per window never grows",
+    tags=("llm", "sketch", "events"),
+)
+def dws_daily_uv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_mod.hll_registers(
+        _daily_events(spark, sf_dir), "user_id", ["dt", "event_type"]
+    )
+
+
+@register(
+    "dws_daily_uv_hll_estimate",
+    oracle=f"""
+    WITH {_hll_daily_sql()},
+    g AS (SELECT DISTINCT dt, event_type FROM e),
+    grid AS (SELECT g.dt, g.event_type, CAST(range AS BIGINT) AS bucket
+             FROM g, range({_HLL_M})),
+    dense AS (SELECT grid.dt, grid.event_type, grid.bucket,
+                     COALESCE(r.rho, 0) AS rho
+              FROM grid LEFT JOIN r
+                ON grid.dt = r.dt AND grid.event_type = r.event_type
+               AND grid.bucket = r.bucket),
+    agg AS (SELECT dt, event_type,
+                   CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS v_zero,
+                   SUM(1.0 / CAST((1::BIGINT << rho) AS DOUBLE)) AS inv_sum
+            FROM dense GROUP BY dt, event_type),
+    ex AS (SELECT dt, event_type, COUNT(DISTINCT user_id) AS exact_uv
+           FROM e GROUP BY dt, event_type)
+    SELECT a.dt, a.event_type, a.v_zero,
+           {sketch_mod.hll_alpha_m2()!r} / a.inv_sum AS raw_est,
+           CAST(e2.exact_uv AS BIGINT) AS exact_uv
+    FROM agg a JOIN ex e2
+      ON a.dt = e2.dt AND a.event_type = e2.event_type
+    """,
+    survey_ref="§2.4 A1/A5 at scale: the VisitorStats uv_ct column "
+    "sketch-estimated per (day, event_type) window with the exact "
+    "count alongside for audit — the engine-exact raw estimate plus "
+    "v_zero (see dws_uv_hll_estimate for the float-exactness argument)",
+    tags=("llm", "sketch", "events"),
+)
+def dws_daily_uv_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _daily_events(spark, sf_dir)
+    regs = sketch_mod.hll_registers(ev, "user_id", ["dt", "event_type"])
+    est = sketch_mod.hll_estimate(regs, ["dt", "event_type"])
+    exact = ev.groupBy("dt", "event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_uv")
+    )
+    return est.join(exact, ["dt", "event_type"]).select(
+        "dt", "event_type", "v_zero", "raw_est", "exact_uv"
+    )

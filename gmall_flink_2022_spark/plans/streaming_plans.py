@@ -2131,3 +2131,43 @@ def _register_stream_value_histogram() -> None:
 
 
 _register_stream_value_histogram()
+
+
+def _register_stream_daily_uv_hll() -> None:
+    """The windowed-HLL UV as a live job: update-mode MAX whose key
+    space is (day x event_type x HLL_M) — per-window state constant
+    while windows roll forward; settles to the batch register table
+    because MAX commutes across micro-batches."""
+    from ..llm import sketch as sketch_mod
+    from .registry import REGISTRY as _R
+
+    @register(
+        "stream_daily_uv_hll",
+        oracle=_R["dws_daily_uv_hll"].oracle,
+        survey_ref="§2.4 A1/A5 at scale, streaming: the daily-UV "
+        "register grid as an update-mode aggregation — per-window "
+        "state bounded BY CONSTRUCTION (contrast stream_unique_visit's "
+        "per-mid state); settled == batch",
+        tags=("streaming", "llm", "sketch", "events"),
+    )
+    def stream_daily_uv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_stream_table(spark, sf_dir, "events").select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            "event_type",
+            "user_id",
+        )
+        regs = sketch_mod.hll_registers(ev, "user_id", ["dt", "event_type"])
+        keyed = regs.withColumn(
+            "_k",
+            F.concat_ws(
+                ":", F.col("dt"), F.col("event_type"),
+                F.col("bucket").cast("string"),
+            ),
+        )
+        out = _run_update_upsert(keyed, _uniq("daily_uv_hll"))
+        return out.select(
+            "dt", "event_type", "bucket", F.col("rho").cast("long").alias("rho")
+        )
+
+
+_register_stream_daily_uv_hll()
