@@ -612,3 +612,81 @@ def histogram_quantiles(
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid persistence with parameter validation — the save_sketch/
+# load_sketch discipline (r7 ADVICE) generalized to the other two
+# grids: every persisted sketch carries its build parameters, and every
+# load asserts them before a probe can silently read the wrong cells.
+# ---------------------------------------------------------------------------
+
+
+def _save_grid(store, table: str, grid: DataFrame, meta: dict, key_cols) -> None:
+    keyed = grid
+    for k, v in meta.items():
+        keyed = keyed.withColumn(k, F.lit(v))
+    keyed = keyed.withColumn(
+        "_k", F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    )
+    store.upsert(table, keyed, pk="_k")
+
+
+def _load_grid(store, table: str, meta: dict, out_cols) -> DataFrame:
+    df = store.read(table)
+    rows = df.select(*meta.keys()).distinct().limit(3).collect()
+    got = sorted(tuple(r[k] for k in meta) for r in rows)
+    want = tuple(meta.values())
+    if got != [want]:
+        raise ValueError(
+            f"persisted sketch '{table}' was built with {list(meta)} in "
+            f"{got}, probe expects {want} — rebuild the sketch or probe "
+            "with the recorded parameters"
+        )
+    return df.select(*out_cols)
+
+
+def save_hll(
+    store, table: str, registers: DataFrame,
+    group_cols: list[str] | tuple = (), m: int = HLL_M,
+) -> None:
+    """Persist an HLL register table with its build parameter ``m`` (and
+    the repo hash seeds, which are baked constants): a probe densifying
+    against the wrong m would mis-estimate silently."""
+    _save_grid(
+        store, table, registers,
+        {"m": m, "seed": "hllb|hllr"},
+        [*group_cols, "bucket"],
+    )
+
+
+def load_hll(
+    store, table: str, group_cols: list[str] | tuple = (), m: int = HLL_M
+) -> DataFrame:
+    return _load_grid(
+        store, table, {"m": m, "seed": "hllb|hllr"},
+        [*group_cols, "bucket", "rho"],
+    )
+
+
+def save_histogram(
+    store, table: str, hist: DataFrame, width: float, n_bins: int,
+    group_cols: list[str] | tuple = (),
+) -> None:
+    """Persist a histogram with (width, n_bins): quantiles computed
+    against the wrong width return boundaries from a different grid."""
+    _save_grid(
+        store, table, hist,
+        {"width": float(width), "n_bins": n_bins},
+        [*group_cols, "bucket"],
+    )
+
+
+def load_histogram(
+    store, table: str, width: float, n_bins: int,
+    group_cols: list[str] | tuple = (),
+) -> DataFrame:
+    return _load_grid(
+        store, table, {"width": float(width), "n_bins": n_bins},
+        [*group_cols, "bucket", "cnt"],
+    )

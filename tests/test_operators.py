@@ -2177,3 +2177,33 @@ def test_histogram_quantile_bound_and_merge(spark, sf_dir):
         true_q = vals[math.ceil(r["q"] * len(vals)) - 1]
         assert r["est_hi"] - w < true_q <= r["est_hi"], (r, true_q)
         assert r["n"] == len(vals)
+
+
+def test_hll_and_histogram_store_roundtrip_validation(spark, tmp_path):
+    """The validated-persistence pattern generalized across the sketch
+    family: HLL registers and histograms round-trip through a DimStore
+    with their build parameters, and a mismatched probe raises instead
+    of silently reading the wrong grid."""
+    import pytest
+
+    from gmall_flink_2022_spark.llm import sketch as sk
+    from gmall_flink_2022_spark.sources.dim_store import DimStore
+
+    store = DimStore(spark, str(tmp_path / "dim"))
+    ev = spark.createDataFrame(
+        [(i % 7, f"t{i % 3}") for i in range(100)], "user_id long, et string"
+    )
+    regs = sk.hll_registers(ev, "user_id", ["et"], m=64)
+    sk.save_hll(store, "regs", regs, ["et"], m=64)
+    back = sk.load_hll(store, "regs", ["et"], m=64)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, regs.collect()))
+    with pytest.raises(ValueError, match="probe expects"):
+        sk.load_hll(store, "regs", ["et"], m=256)
+
+    vals = spark.createDataFrame([(float(i),) for i in range(64)], "v double")
+    hist = sk.value_histogram(vals, "v", width=8, n_bins=16)
+    sk.save_histogram(store, "hist", hist, width=8, n_bins=16)
+    back = sk.load_histogram(store, "hist", width=8, n_bins=16)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, hist.collect()))
+    with pytest.raises(ValueError, match="probe expects"):
+        sk.load_histogram(store, "hist", width=4, n_bins=16)

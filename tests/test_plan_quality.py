@@ -534,3 +534,22 @@ def test_heavy_hitter_candidates_exchange_free(spark, sf_dir):
     p = buf.getvalue()
     assert "MapInPandas" in p
     assert "Exchange" not in p, "candidate emitter shuffles before filtering"
+
+
+def test_grid_sketch_plans_stay_jvm_and_pruned(spark, sf_dir):
+    """The HLL/histogram grid entries are pure JVM narrow-map + grid
+    aggregation: no Python evaluation anywhere, scans pruned to the
+    needed columns, and the quantile entry reads lineitem exactly once
+    (the separate-total regression this round fixed)."""
+    for name, cols in (
+        ("dws_uv_hll", "user_id"),
+        ("dws_daily_uv_hll", "user_id"),
+        ("ads_price_quantile_sketch", "l_extendedprice"),
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "MapInPandas" not in p, name
+        rs = [l for l in p.splitlines() if "ReadSchema" in l]
+        assert rs and all(cols in l for l in rs), (name, rs)
+    p = _plan(spark, sf_dir, "ads_price_quantile_sketch")
+    assert p.count("Location: InMemoryFileIndex") == 1, "lineitem scanned twice"
