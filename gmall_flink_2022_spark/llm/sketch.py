@@ -568,6 +568,7 @@ def histogram_quantiles(
     hist: DataFrame,
     width: float,
     qs: list[float] | tuple = (0.5, 0.9, 0.99),
+    group_cols: list[str] | tuple = (),
 ) -> DataFrame:
     """Quantile answers from a histogram: for each q, the first bucket
     whose cumulative count reaches rank ceil(q * N) -> (q, bucket,
@@ -580,22 +581,25 @@ def histogram_quantiles(
     from pyspark.sql import Window as W
 
     spark = hist.sparkSession
-    # both the running and the total sum ride ONE tiny single-partition
-    # window over the <= n_bins histogram rows — a separate hist.agg()
-    # total would re-execute the whole upstream scan (measured: the
-    # first rendering read lineitem twice)
+    # both the running and the total sum ride ONE tiny window over the
+    # <= n_bins histogram rows per group — a separate hist.agg() total
+    # would re-execute the whole upstream scan (measured: the first
+    # rendering read lineitem twice). Ungrouped: deliberately a single
+    # partition (tiny data); grouped: one shuffle on the group key over
+    # the grid-sized histogram.
+    base = (
+        W.partitionBy(*group_cols).orderBy("bucket")
+        if group_cols
+        else W.orderBy("bucket")
+    )
     cum = hist.withColumn(
         "cum",
-        F.sum("cnt").over(
-            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
-        ),
+        F.sum("cnt").over(base.rowsBetween(W.unboundedPreceding, 0)),
     ).withColumn(
         "n",
         F.sum("cnt")
         .over(
-            W.orderBy("bucket").rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
+            base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         )
         .cast("long"),
     )
@@ -603,9 +607,10 @@ def histogram_quantiles(
     j = cum.crossJoin(F.broadcast(qdf))
     return (
         j.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("q", "n")
+        .groupBy(*group_cols, "q", "n")
         .agg(F.min("bucket").alias("bucket"))
         .select(
+            *group_cols,
             "q",
             "bucket",
             ((F.col("bucket") + 1) * F.lit(float(width))).alias("est_hi"),

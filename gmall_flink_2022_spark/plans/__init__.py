@@ -36,7 +36,7 @@ _DRIVER_WINDOW_FIRST = [
     # bpe-chain rider (llm_sequence_pack_bpe), the hash-universe
     # sibling of the new Gumbel entry (llm_mixture_temperature), then
     # the stale multimodal + sampling + fingerprint families.
-    # THIRTY-SEVEN r5-green entries slip to r9, each with a fronted
+    # THIRTY-EIGHT r5-green entries slip to r9, each with a fronted
     # same-code-path sibling and no r6-r8 churn of its own:
     #   llm_fingerprint_rolling / llm_fingerprint_winnow /
     #   llm_sample_stratified / llm_sample_hash / llm_train_val_split /
@@ -52,6 +52,11 @@ _DRIVER_WINDOW_FIRST = [
     #     untouched since r5 and keeps fronted representatives
     #     mm_media_features + mm_frame_sample here plus
     #     stream_mm_features in the r4 cohort above),
+    #   llm_ngram_familiarity (displaced late by the r8-born
+    #     ads_brand_price_quantiles; its text.py neighborhood keeps
+    #     fronted representatives llm_gopher_filter + llm_lang_id +
+    #     llm_quality_score, and its gram machinery rides the fronted
+    #     CMS/DSIR entries),
     #   tpch_q2/q6/q7/q8/q9/q11/q12/q14/q16/q18/q19/q20/q21 +
     #   tpch_q3-adjacent shapes (13 entries: thin single-shape SQL
     #     renderings over tpch_more/tpch_shapes.py untouched since r5;
@@ -90,6 +95,7 @@ _DRIVER_WINDOW_FIRST = [
     "dws_daily_uv_hll",
     "dws_daily_uv_hll_estimate",
     "stream_daily_uv_hll",
+    "ads_brand_price_quantiles",
     "llm_bpe_apply",
     "stream_llm_rare_token_score",
     # --- (b) never driver-checked ---
@@ -126,7 +132,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_curation_pipeline_full",
     "llm_gopher_filter",
     "llm_lang_id",
-    "llm_ngram_familiarity",
     "llm_knn_ivf_contract",
     "llm_sequence_pack_bpe",
     # --- (d) r5-green rotation: stale families ---
@@ -137,7 +142,7 @@ _DRIVER_WINDOW_FIRST = [
 # (the round-6 window list lives in git history: d6f96dc;
 #  the round-7 list in 359bae4)
 
-# r9 window candidates, in priority order: the 37 named r8 slips above
+# r9 window candidates, in priority order: the 38 named r8 slips above
 # (4 rounds stale by r9 — they go FIRST: the 13 TPC-H batch-2/3
 # entries, the 5 approx/percentile/cube analytics entries, the 6
 # events/_scale knob twins, the 3 thin cluster/pagerank/bpe-stage

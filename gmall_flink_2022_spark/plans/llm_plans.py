@@ -3932,3 +3932,49 @@ def dws_daily_uv_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, ["dt", "event_type"]).select(
         "dt", "event_type", "v_zero", "raw_est", "exact_uv"
     )
+
+
+@register(
+    "ads_brand_price_quantiles",
+    oracle=f"""
+    WITH j AS (SELECT p.p_brand, l.l_extendedprice AS v
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE l.l_extendedprice IS NOT NULL),
+    h AS (SELECT p_brand,
+                 LEAST(GREATEST(CAST(floor(v / {_PHIST_W}.0) AS BIGINT), 0),
+                       {_PHIST_BINS - 1}) AS bucket
+          FROM j),
+    hist AS (SELECT p_brand, bucket, COUNT(*) AS cnt
+             FROM h GROUP BY p_brand, bucket),
+    cum AS (SELECT p_brand, bucket,
+                   SUM(cnt) OVER (PARTITION BY p_brand ORDER BY bucket) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+            FROM hist),
+    qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    pick AS (SELECT p_brand, q, n, MIN(bucket) AS bucket
+             FROM qs, cum WHERE cum >= ceil(q * n) GROUP BY p_brand, q, n)
+    SELECT p_brand, q, bucket,
+           CAST((bucket + 1) * {_PHIST_W} AS DOUBLE) AS est_hi, n
+    FROM pick
+    """,
+    survey_ref="extension: GROUPED quantile sketch — per-brand price "
+    "p50/p90/p99 from per-group histograms (broadcast dim join feeds "
+    "the grid; the quantile window shuffles only the grid-sized "
+    "histogram on the group key, never the fact rows); the serving-"
+    "layer rendering of the §2.8 aggregations with bounded per-group "
+    "state",
+    tags=("llm", "sketch", "serving"),
+)
+def ads_brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand", "l_extendedprice"
+    )
+    hist = sketch_mod.value_histogram(
+        j, "l_extendedprice", width=_PHIST_W, n_bins=_PHIST_BINS,
+        group_cols=["p_brand"],
+    )
+    return sketch_mod.histogram_quantiles(
+        hist, width=_PHIST_W, qs=_PHIST_QS, group_cols=["p_brand"]
+    )

@@ -2207,3 +2207,55 @@ def test_hll_and_histogram_store_roundtrip_validation(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, hist.collect()))
     with pytest.raises(ValueError, match="probe expects"):
         sk.load_histogram(store, "hist", width=4, n_bins=16)
+
+
+def test_dsir_score_cache_aside_sees_weight_updates(spark, tmp_path):
+    """The streaming DSIR rendering's cache-aside contract (mirrors the
+    sketch version): the weight table is re-read from the DimStore per
+    micro-batch, so weights re-learned and published BETWEEN batches
+    change the very next batch's scoring."""
+    from gmall_flink_2022_spark.llm import dsir
+    from gmall_flink_2022_spark.sources.dim_store import DimStore
+
+    store = DimStore(spark, str(tmp_path / "dim"))
+
+    def publish(raw, target):
+        w = dsir.dsir_weights(raw, target, "text", n_buckets=64)
+        store.upsert("w", w, pk="bucket")
+
+    def score(batch):
+        wt = store.read("w").select("bucket", "w")
+        return {
+            r["id"]: r["score"]
+            for r in dsir.dsir_score(
+                batch, wt, "doc_id", "text", n_buckets=64
+            ).collect()
+        }
+
+    raw = spark.createDataFrame(
+        [(i, "common words about nothing much") for i in range(20)],
+        "doc_id long, text string",
+    )
+    t1 = spark.createDataFrame(
+        [(100 + i, "quantum physics papers") for i in range(10)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "quantum physics"), (2, "common words")],
+        "doc_id long, text string",
+    )
+    publish(raw, t1)
+    s1 = score(probe)
+    assert s1[1] > s1[2]  # target-domain doc preferred under t1 weights
+
+    # the dim advances: a new target domain is published between batches
+    t2 = spark.createDataFrame(
+        [(200 + i, "common words everywhere") for i in range(10)],
+        "doc_id long, text string",
+    )
+    publish(raw, t2)
+    s2 = score(probe)
+    # the very next batch scores under the NEW weights: the doc matching
+    # the new target moves up, the old-target doc moves down (absolute
+    # signs are DSIR-correct contrast vs the raw pool, not asserted)
+    assert s2[2] > s1[2] and s2[1] < s1[1]
