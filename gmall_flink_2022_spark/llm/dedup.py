@@ -504,6 +504,104 @@ def ngram_jaccard_pairs(
     return cross.unionByName(within)
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """Similarity join via PREFIX FILTERING (AllPairs/PPJoin family,
+    Bayardo et al. 2007 / Xiao et al. 2008) — the third candidate-
+    generation family next to LSH banding and the df-capped inverted
+    index, and the only one of the three that is EXACT: output is every
+    pair with shingle-Jaccard >= t, no recall loss, yet no all-pairs
+    join.
+
+    How: order the universe of shingles globally by document frequency
+    ascending (rarest first, ties by shingle text). A doc with k shingles
+    indexes only its PREFIX — the first k - ceil(t*k) + 1 shingles in
+    that order; every doc probes the prefix index with its FULL shingle
+    set. Completeness: J(x,y) >= t with |x| >= |y| forces
+    |x ∩ y| >= t*|x| (since J <= |y|/|x| means |y| >= t|x|, and
+    c >= t(|x|+|y|)/(1+t) >= t|x|), so y must hit at least one of x's
+    prefix shingles — the pair surfaces through the larger doc's prefix.
+    Verification then touches candidates only: each candidate pair joins
+    the two docs' sorted shingle arrays and intersects them in codegen.
+
+    t is passed as an integer percentage so the prefix length is pure
+    integer arithmetic (ceil(t*k) = (t_pct*k + 99) div 100) — no float
+    boundary can disagree between planning and the oracle.
+
+    100 TB posture: prefix shingles are by construction the RAREST in the
+    corpus, so the index join's per-key fan-out is minimal exactly where
+    an unordered inverted index explodes; candidate count falls as t
+    rises (longer docs index fewer shingles). Shuffles: shingle-df agg,
+    per-doc rank (id-partitioned window), index join on shingle, verify
+    join on id — all on natural keys. Per-doc collected shingle arrays
+    are bounded by document length, the tokenizer's own bound.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("k"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("sdf", "shingle")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("k") - F.expr(f"({threshold_pct} * k + 99) div 100") + 1
+    ).select("id", "shingle")
+    cand = (
+        prefix.alias("p")
+        .join(sh.alias("s"), "shingle")
+        .filter(F.col("p.id") != F.col("s.id"))
+        .select(
+            F.least("p.id", "s.id").alias("id_a"),
+            F.greatest("p.id", "s.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("shset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    verified = (
+        cand.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa.shset", "sb.shset")).cast("long").alias(
+                "common"
+            ),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+    )
+    # integer threshold test (100*c >= t_pct*(na+nb-c)) so the cut cannot
+    # straddle a float rounding boundary; the reported jaccard column is
+    # the single-division double both engines compute identically
+    return verified.filter(
+        100 * F.col("common")
+        >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("common"))
+    )
+
+
 def _minhash_cols(num_hashes: int) -> list:
     """One MinHash value per seed: min over shingles of the 8-hex-char
     prefix of md5(seed || '|' || shingle). Lexicographic min over a
@@ -1135,6 +1233,41 @@ def paragraph_dedup(
     # taken literally; pass ``joiner`` explicitly when sep is a regex),
     # so the op is idempotent and downstream separator-based processing
     # keeps working; window mode joins with a single space as before
+    return _reassemble_segments(
+        marked, joiner if joiner is not None else (sep if sep is not None else " ")
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str | None = None,
+    window: int = 20,
+    max_df: int = 1,
+    joiner: str | None = None,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: a segment (paragraph / line /
+    window-token chunk, same segmentation contract as paragraph_segments)
+    that appears in MORE THAN ``max_df`` distinct documents is dropped
+    from EVERY document — no canonical copy survives. This is the CCNet /
+    RefinedWeb line-DF boilerplate pass (nav bars, cookie banners, footers
+    repeat across a site's pages; the line itself is noise, so unlike
+    paragraph_dedup's keep-first-occurrence there is nothing worth
+    keeping). Output contract matches paragraph_dedup:
+    (id, n_segments, n_removed, clean_text), zero-segment docs absent.
+
+    Scale shape: one aggregation on the segment hash (distinct-holder
+    count), one hash join back, one reassembly groupBy on id — three
+    shuffles on natural keys. The hash aggregate is the inverted line
+    index; hot boilerplate lines are exactly the high-df keys, and they
+    carry only a count here (never a pair expansion), so skew is bounded
+    by construction.
+    """
+    seg = paragraph_segments(df, id_col, text_col, sep=sep, window=window)
+    seg = seg.withColumn("h", F.md5("seg"))
+    stats = seg.groupBy("h").agg(F.countDistinct("id").alias("n_docs"))
+    marked = seg.join(stats, "h").withColumn("keep", F.col("n_docs") <= max_df)
     return _reassemble_segments(
         marked, joiner if joiner is not None else (sep if sep is not None else " ")
     )

@@ -297,6 +297,51 @@ def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Redaction pass: pattern -> placeholder, applied IN THIS ORDER (URLs
+# first so an address embedded in a URL is swallowed by the <url> token
+# rather than half-redacted; digit runs last so ids inside emails/URLs
+# are already gone). Placeholders contain no pattern-matchable
+# characters, so the pass is idempotent.
+PII_REDACTIONS: tuple[tuple[str, str], ...] = (
+    (URL_RE, "<url>"),
+    (EMAIL_RE, "<email>"),
+    (DIGIT_RUN_RE, "<num>"),
+)
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing: rewrite each document with URL / email / long-digit
+    spans replaced by typed placeholders, reporting per-kind replacement
+    counts. The de-identification pass every published pretraining corpus
+    runs before release (e.g. the C4/RefinedWeb cleanup stage).
+
+    Counts are measured SEQUENTIALLY — n_emails counts matches in the
+    text after URL redaction, n_nums after both — so each count equals
+    the number of placeholders of that kind actually present in
+    clean_text (a match swallowed by an earlier pattern is not
+    double-counted). Narrow map, JVM regex end to end (no Python, zero
+    exchanges); text is lowercased first, same normalization as
+    pii_flags.
+    """
+    t0 = F.lower(F.col(text_col))
+    t1 = F.regexp_replace(t0, URL_RE, "<url>")
+    t2 = F.regexp_replace(t1, EMAIL_RE, "<email>")
+    t3 = F.regexp_replace(t2, DIGIT_RUN_RE, "<num>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t0, F.lit(URL_RE), 0)).cast("long").alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all(t1, F.lit(EMAIL_RE), 0)).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t2, F.lit(DIGIT_RUN_RE), 0))
+        .cast("long")
+        .alias("n_nums"),
+        t3.alias("clean_text"),
+    )
+
+
 # Gopher rule thresholds (Rae et al. 2021, Table A1 — the subset whose
 # signals exist in this schema; word-count bounds shrunk to the synthetic
 # corpus's length scale so the filter exercises both branches).

@@ -83,6 +83,28 @@ _DRIVER_WINDOW_FIRST = [
     # (llm_knn_lsh_contract, llm_knn_ivf_contract,
     # llm_dedup_embed_lsh_contract all in the window).
     # --- (a) r8-born / r8-changed ---
+    # Late-r8 births (after the first window freeze; the freeze re-opened
+    # and the full window driver-sim'd again on the final tree): the
+    # prefix-filter exact similarity join, triangle counting, PII
+    # redaction batch+stream, boilerplate strip, CDC materialization.
+    # They displace SIX (d)-cohort entries, each with a fronted
+    # same-code-path sibling: llm_sequence_pack_bpe (BPE chain keeps two
+    # fronted entries: llm_bpe_apply + llm_bpe_train_sampled),
+    # llm_knn_ivf_contract (similarity.py untouched in r8; the fronted
+    # llm_knn_lsh_contract + llm_dedup_embed_lsh_contract ride the same
+    # contract harness), llm_curation_pipeline_full (dedup.py memo churn
+    # also ridden by fronted llm_substring_dedup + llm_dedup_simhash64),
+    # llm_dedup_paragraph (its paragraph_segments/_reassemble machinery
+    # is exercised by the NEW fronted llm_boilerplate_strip over the
+    # same planted corpus), mm_media_features + mm_frame_sample
+    # (multimodal.py untouched since r5; fronted stream_mm_features
+    # rides the same feature UDF path).
+    "llm_dedup_prefix_jaccard",
+    "llm_dup_graph_triangles",
+    "llm_pii_redact",
+    "stream_llm_pii_redact",
+    "llm_boilerplate_strip",
+    "dwd_cdc_materialize",
     "llm_token_cms_heavy_scale",
     "llm_dsir_select_gumbel",
     "stream_llm_dsir_score",
@@ -128,26 +150,19 @@ _DRIVER_WINDOW_FIRST = [
     "stream_db_route",
     "llm_substring_dedup",
     "llm_dedup_simhash64",
-    "llm_dedup_paragraph",
-    "llm_curation_pipeline_full",
     "llm_gopher_filter",
     "llm_lang_id",
-    "llm_knn_ivf_contract",
-    "llm_sequence_pack_bpe",
-    # --- (d) r5-green rotation: stale families ---
-    "mm_media_features",
-    "mm_frame_sample",
 ]
 
 # (the round-6 window list lives in git history: d6f96dc;
 #  the round-7 list in 359bae4)
 
-# r9 window candidates, in priority order: the 38 named r8 slips above
-# (4 rounds stale by r9 — they go FIRST: the 13 TPC-H batch-2/3
-# entries, the 5 approx/percentile/cube analytics entries, the 6
-# events/_scale knob twins, the 3 thin cluster/pagerank/bpe-stage
-# surfaces, and llm_bm25_topk), then anything born or churned in r9,
-# then the r6-green cohort (3 rounds stale at r9).
+# r9 window candidates, in priority order: the 44 named r8 slips above
+# (the 38 original slips PLUS the 6 late-r8 displacements:
+# llm_sequence_pack_bpe, llm_knn_ivf_contract, llm_curation_pipeline_full,
+# llm_dedup_paragraph, mm_media_features, mm_frame_sample) — they go
+# FIRST, then anything born or churned in r9, then the r6-green cohort
+# (3 rounds stale at r9).
 
 
 def _prioritize() -> None:

@@ -136,6 +136,42 @@ def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_dedup_prefix_jaccard",
+    # The oracle is the brute-force exact all-pairs join at the same
+    # threshold: prefix filtering promises ZERO recall loss, so the
+    # strongest possible check is equality with the exhaustive answer —
+    # any pair the rarest-first prefix index fails to surface (or any
+    # spurious survivor) hash-mismatches. Threshold is an integer
+    # percentage on both sides so the cut can't straddle float rounding.
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
+           CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE 100 * common >= 60 * (sa.n + sb.n - common)
+    """,
+    survey_ref="extension: EXACT similarity join via prefix filtering "
+    "(AllPairs / PPJoin candidate generation — rarest-shingle prefix "
+    "index probed by full shingle sets; the third candidate family next "
+    "to LSH banding and the df-capped inverted index, with zero recall "
+    "loss by theorem)",
+    tags=("llm", "dedup", "exact"),
+    bench=True,
+)
+def llm_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.prefix_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold_pct=60
+    )
+
+
 # ----------------------------------------------- substring-level exact dedup
 # Planted corpus: the synthetic documents share essentially no 8-token
 # runs (small vocab, ~30^8 gram space), so the raw-table query is
@@ -1447,6 +1483,81 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+# ------------------------------------------------- triangle counting
+# Cluster-cohesion diagnostic over the near-dup graph. The raw corpus's
+# near-dup pairs are too sparse to close triangles, so the entry plants
+# clique structure both engines derive identically: every 10th doc gets
+# one full copy (+100000) and every 20th a second (+300000) — %20 docs
+# form guaranteed 3-cliques, %10-but-not-%20 docs form single edges that
+# must NOT count. Edges = the df-capped n-gram Jaccard pairs at 0.5 over
+# that corpus; the oracle recomputes them exhaustively and counts
+# triangles with the canonical a<b<c triple join.
+_TRI_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+)
+"""
+
+
+@register(
+    "llm_dup_graph_triangles",
+    oracle=f"""
+    WITH {_TRI_CORPUS_SQL},
+    {shingle_cte("corpus")},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a
+        JOIN keep k ON a.shingle = k.shingle
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pr AS (
+        SELECT id_a AS a, id_b AS b
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE)
+              / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+    ),
+    tr AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM pr e1
+        JOIN pr e2 ON e2.a = e1.b
+        JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT u AS id FROM tr
+        UNION ALL SELECT v FROM tr
+        UNION ALL SELECT w FROM tr
+    )
+    SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id
+    """,
+    survey_ref="extension: triangle counting over the near-dup graph "
+    "(degree-ordered wedge join, Suri & Vassilvitskii 2011 — the "
+    "cluster-cohesion diagnostic distinguishing true dup cliques from "
+    "transitive template drift)",
+    tags=("llm", "dedup", "graph"),
+)
+def llm_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import graph
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    c1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    c2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(c1).unionByName(c2)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return graph.triangle_counts(pairs.select("id_a", "id_b"))
+
+
 @register(
     "llm_dup_clusters_incremental",
     # two-batch unroll oracle: the incremental map must equal the
@@ -1979,6 +2090,88 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_flags(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ------------------------------------------------------------ PII redaction
+# The synthetic corpus carries no PII-shaped spans (checked), so the entry
+# plants them deterministically: emails on doc_id%4==0, URLs on %4==1,
+# long digit runs on %4==2, %4==3 untouched — every redaction kind and the
+# no-op path all exercised, including the count-after-previous-pass
+# sequencing (a digit run inside an already-redacted span must not count).
+_PII_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com now'
+             WHEN 1 THEN text || ' see https://example.org/p/'
+                         || CAST(doc_id AS VARCHAR) || ' today'
+             WHEN 2 THEN text || ' ref 88' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                         || ' end'
+             ELSE text
+           END AS text
+    FROM documents
+)
+"""
+
+
+def _plant_pii(d: DataFrame) -> DataFrame:
+    """Narrow planting map shared by the batch entry and its streaming
+    twin (works on any frame with doc_id/text, batch or streaming)."""
+    sid = F.col("doc_id").cast("string")
+    planted = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), sid,
+                     F.lit("@mail.example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), F.lit(" see https://example.org/p/"), sid,
+                     F.lit(" today")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("text"), F.lit(" ref 88"), F.lpad(sid, 6, "0"),
+                     F.lit(" end")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", planted.alias("text"))
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _plant_pii(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+@register(
+    "llm_pii_redact",
+    oracle=f"""
+    WITH {_PII_CORPUS_SQL},
+    s0 AS (SELECT doc_id, lower(text) AS t0 FROM corpus),
+    s1 AS (SELECT doc_id, t0,
+                  regexp_replace(t0, 'https?://[^\\s]+', '<url>', 'g') AS t1
+           FROM s0),
+    s2 AS (SELECT doc_id, t0, t1,
+                  regexp_replace(t1, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}',
+                                 '<email>', 'g') AS t2
+           FROM s1)
+    SELECT doc_id AS id,
+           len(regexp_extract_all(t0, 'https?://[^\\s]+')) AS n_urls,
+           len(regexp_extract_all(t1,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(t2, '[0-9]{{6,}}')) AS n_nums,
+           regexp_replace(t2, '[0-9]{{6,}}', '<num>', 'g') AS clean_text
+    FROM s2
+    """,
+    survey_ref="extension: PII redaction (typed-placeholder rewrite with "
+    "sequential URL -> email -> digit-run passes; the de-identification "
+    "stage of every released pretraining corpus). Counts are "
+    "replacements actually performed, measured after the preceding pass",
+    tags=("llm", "text", "pii"),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_redact(_pii_corpus(spark, sf_dir), "doc_id", "text")
 
 
 @register(
@@ -2619,6 +2812,47 @@ def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(
         _para_corpus(spark, sf_dir), "doc_id", "text", window=_PARA_W
+    )
+
+
+@register(
+    "llm_boilerplate_strip",
+    # Same planted corpus and segmentation as llm_dedup_paragraph, but the
+    # keep rule is the boilerplate one: a segment held by >1 document dies
+    # in EVERY document (no keep-first canonical copy) — full copies lose
+    # every segment on BOTH sides, prefix copies lose the shared windows
+    # on both sides, unique docs pass untouched.
+    oracle=f"""
+    WITH {_PARA_CORPUS_SQL},
+    tk AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(
+                   list_slice(toks, i*{_PARA_W}+1, i*{_PARA_W}+{_PARA_W}),
+                   ' ') AS seg
+        FROM tk, UNNEST(generate_series(
+                 0, CAST(ceil(len(toks)/{_PARA_W}.0) AS INT) - 1)) AS t(i)
+        WHERE len(toks) > 0
+    ),
+    hs AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM seg),
+    st AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM hs GROUP BY h),
+    mk AS (SELECT hs.doc_id, hs.pos, hs.seg, st.n_docs <= 1 AS keep
+           FROM hs JOIN st USING (h))
+    SELECT doc_id AS id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                               ORDER BY pos), '') AS clean_text
+    FROM mk GROUP BY doc_id
+    """,
+    survey_ref="extension: corpus-frequency boilerplate removal (CCNet / "
+    "RefinedWeb line-DF pass: a segment in more than max_df documents is "
+    "noise and dies everywhere, unlike paragraph dedup's keep-first)",
+    tags=("llm", "dedup", "text"),
+)
+def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.boilerplate_strip(
+        _para_corpus(spark, sf_dir), "doc_id", "text", window=_PARA_W, max_df=1
     )
 
 

@@ -2171,3 +2171,29 @@ def _register_stream_daily_uv_hll() -> None:
 
 
 _register_stream_daily_uv_hll()
+
+
+def _register_stream_pii_redact() -> None:
+    from .registry import REGISTRY as _R  # reuse the batch oracle verbatim
+
+    @register(
+        "stream_llm_pii_redact",
+        oracle=_R["llm_pii_redact"].oracle,
+        survey_ref="streaming rendering of PII redaction: stateless "
+        "narrow map per micro-batch (append mode, no state store) — "
+        "scrub-before-persist is how de-identification actually deploys "
+        "on a live ingest feed",
+        tags=("streaming", "llm", "text", "pii"),
+    )
+    def stream_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm.text import pii_redact
+        from .llm_plans import _plant_pii
+
+        d = _plant_pii(
+            read_stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        out = pii_redact(d, "doc_id", "text")
+        return run_stream_to_table(out, _uniq("pii_redact"), output_mode="append")
+
+
+_register_stream_pii_redact()

@@ -151,6 +151,104 @@ def dwd_db_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S1/S2 + compaction — CDC changelog materialized to latest row state.
+# The changelog is synthesized deterministically from orders (no binlog in
+# the container): every order inserts (as Debezium 'create', exercising
+# the create->insert normalization), every 5th updates to status 'P',
+# every 10th then deletes — so the output exercises insert-only,
+# update-wins and tombstone paths. The JSON-envelope round trip
+# (to_json -> parse_cdc) is engine-internal; the oracle builds the same
+# changelog as typed rows and takes the per-key max-seq survivor.
+# --------------------------------------------------------------------------
+@register(
+    "dwd_cdc_materialize",
+    oracle="""
+    WITH ch AS (
+        SELECT o_orderkey AS pk, 1 AS seq, 'insert' AS op,
+               o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2, 'update', 'P',
+               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'delete', NULL, NULL
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    ranked AS (
+        SELECT pk, seq, op, status, price,
+               row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+        FROM ch
+    )
+    SELECT pk, seq AS last_seq, status,
+           CAST(CAST(price AS DECIMAL(15,2)) AS DOUBLE) AS price
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+    survey_ref="§2.1 S1/S2 (CDC envelope ingest + create->insert "
+    "normalization, function/CustomerDeserialization.java:19-69) composed "
+    "with latest-image compaction — the declarative analog of the "
+    "reference's replay-into-Phoenix upsert path "
+    "(dwd/BaseDBApp.java sink, utils/DimSinkFunction.java)",
+    tags=("dwd", "cdc"),
+)
+def dwd_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.cdc import materialize_latest, parse_cdc
+
+    o = _t(spark, sf_dir, "orders")
+    pk = F.col("o_orderkey").cast("string")
+    price = F.col("o_totalprice").cast("decimal(15,2)").cast("string")
+    nomap = F.lit(None).cast("map<string,string>")
+
+    def env(before, after, typ: str):
+        return F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("order_info").alias("tableName"),
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(typ).alias("type"),
+            )
+        ).alias("value")
+
+    ins = o.select(
+        env(
+            nomap,
+            F.create_map(
+                F.lit("pk"), pk, F.lit("op_seq"), F.lit("1"),
+                F.lit("status"), F.col("o_orderstatus"), F.lit("price"), price,
+            ),
+            "create",  # Debezium snapshot op; parse_cdc must normalize
+        )
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        env(
+            nomap,
+            F.create_map(
+                F.lit("pk"), pk, F.lit("op_seq"), F.lit("2"),
+                F.lit("status"), F.lit("P"), F.lit("price"), price,
+            ),
+            "update",
+        )
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        env(
+            F.create_map(F.lit("pk"), pk, F.lit("op_seq"), F.lit("3")),
+            nomap,
+            "delete",
+        )
+    )
+    parsed = parse_cdc(ins.unionAll(upd).unionAll(dele))
+    mat = materialize_latest(parsed, "pk", "op_seq", ["status", "price"])
+    return mat.select(
+        F.col("pk").cast("long").alias("pk"),
+        "last_seq",
+        "status",
+        F.col("price").cast("decimal(15,2)").cast("double").alias("price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A5 — UV dedup: first event per user per day (UniqueVisitApp semantics).
 # --------------------------------------------------------------------------
 @register(

@@ -40,3 +40,46 @@ def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
 def filter_deletes(cdc: DataFrame) -> DataFrame:
     """Drop delete ops before routing — dwd/BaseDBApp.java:32-33 (P2)."""
     return cdc.filter(F.col("type") != "delete")
+
+
+def materialize_latest(
+    cdc: DataFrame, key_field: str, seq_field: str, payload_fields: list[str]
+) -> DataFrame:
+    """Changelog compaction: collapse a parsed CDC envelope stream to the
+    LATEST ROW IMAGE per (tableName, key), with deletes applied as
+    tombstones — the ods->dwd materialization the reference performs by
+    replaying the binlog into Phoenix upserts (dwd/BaseDBApp.java sink
+    path; DimSinkFunction.java upsert-per-change). Here it is one
+    declarative aggregation instead of row-at-a-time upserts.
+
+    ``key_field``/``seq_field`` name entries of the envelope's row-image
+    map (``after`` for upserts, ``before`` for deletes — a Debezium
+    delete carries only the old image); ``seq`` stands in for binlog
+    position and must be unique per key. ``payload_fields`` are the image
+    columns to surface.
+
+    Spark-first shape: max(struct(seq, op, payload...)) per key — an
+    order-independent argmax that map-side PARTIAL-aggregates, so the
+    single shuffle moves one pre-reduced row per key per input partition
+    (a window row_number() would sort every version of every key through
+    the exchange instead). Keys whose winning op is a delete drop out
+    after the aggregate. This is exactly the log-structured compaction
+    merge (Delta/Hudi snapshot read), expressed as a groupBy.
+    """
+    img = F.coalesce(F.col("after"), F.col("before"))
+    keyed = cdc.select(
+        "tableName",
+        img[key_field].alias("pk"),
+        F.struct(
+            img[seq_field].cast("long").alias("seq"),
+            F.col("type").alias("op"),
+            *[F.col("after")[f].alias(f) for f in payload_fields],
+        ).alias("ver"),
+    )
+    top = keyed.groupBy("tableName", "pk").agg(F.max("ver").alias("ver"))
+    return top.filter(F.col("ver.op") != "delete").select(
+        "tableName",
+        "pk",
+        F.col("ver.seq").alias("last_seq"),
+        *[F.col(f"ver.{f}").alias(f) for f in payload_fields],
+    )

@@ -2259,3 +2259,139 @@ def test_dsir_score_cache_aside_sees_weight_updates(spark, tmp_path):
     # the new target moves up, the old-target doc moves down (absolute
     # signs are DSIR-correct contrast vs the raw pool, not asserted)
     assert s2[2] > s1[2] and s2[1] < s1[1]
+
+
+def test_pii_redact_sequencing_and_idempotence(spark):
+    from gmall_flink_2022_spark.llm.text import pii_redact
+
+    rows = [
+        (1, "mail me at Bob.Smith+x@Example.COM today"),
+        (2, "go to https://ex.org/u?e=a@b.co 123456789 tail"),
+        (3, "order 00123456 and 99x"),
+        (4, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and "<email>" in out[1]["clean_text"]
+    # the email lives INSIDE the URL: the URL pass swallows it, so the
+    # sequential email count must be 0 (it performed no replacement)
+    assert out[2]["n_urls"] == 1 and out[2]["n_emails"] == 0
+    assert out[2]["n_nums"] == 1 and out[2]["clean_text"] == "go to <url> <num> tail"
+    assert out[3]["n_nums"] == 1 and out[3]["clean_text"] == "order <num> and 99x"
+    assert out[4]["clean_text"] == "nothing here"
+    # idempotent: placeholders match none of the patterns
+    clean = spark.createDataFrame(
+        [(k, v["clean_text"]) for k, v in out.items()], "doc_id long, text string"
+    )
+    again = {r["id"]: r for r in pii_redact(clean, "doc_id", "text").collect()}
+    for k in out:
+        assert again[k]["clean_text"] == out[k]["clean_text"]
+        assert (again[k]["n_urls"], again[k]["n_emails"], again[k]["n_nums"]) == (
+            0, 0, 0,
+        )
+
+
+def test_boilerplate_strip_df_threshold(spark):
+    from gmall_flink_2022_spark.llm.dedup import boilerplate_strip
+
+    rows = [
+        (1, "cookie banner\nreal content one"),
+        (2, "cookie banner\nreal content two"),
+        (3, "cookie banner\nunique stuff"),
+        (4, "standalone page"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in boilerplate_strip(df, "id", "text", sep="\n").collect()
+    }
+    # max_df=1 (default): the banner is held by 3 docs -> dies EVERYWHERE,
+    # no keep-first canonical copy survives (contrast paragraph_dedup)
+    assert out[1]["clean_text"] == "real content one" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "real content two"
+    assert out[3]["clean_text"] == "unique stuff"
+    assert out[4]["clean_text"] == "standalone page" and out[4]["n_removed"] == 0
+    # max_df=3 tolerates df=3: nothing is removed
+    keep = {
+        r["id"]: r
+        for r in boilerplate_strip(df, "id", "text", sep="\n", max_df=3).collect()
+    }
+    assert all(keep[i]["n_removed"] == 0 for i in (1, 2, 3, 4))
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    from gmall_flink_2022_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),     # high overlap with 1
+        (3, "alpha beta gamma theta iota kappa"),      # medium overlap
+        (4, "completely different words only here"),
+        (5, "alpha beta gamma delta epsilon zeta"),    # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, threshold=0.6, max_shingle_df=None,
+        pre_dedup=False,
+    )
+    fast = prefix_jaccard_pairs(df, "doc_id", "text", n=1, threshold_pct=60)
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    b = {key(r): (r["common"], r["n_a"], r["n_b"]) for r in brute.collect()}
+    f = {key(r): (r["common"], r["n_a"], r["n_b"]) for r in fast.collect()}
+    assert b == f and (1, 5) in f  # exact-dup pair must surface
+
+
+def test_triangle_counts_known_graph(spark):
+    from gmall_flink_2022_spark.llm.graph import triangle_counts
+
+    edges = [
+        # 4-clique on 1..4 (every node closes C(3,2)=3 triangles), with
+        # a duplicate and a reversed edge that must canonicalize away
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (2, 1), (3, 4),
+        # a path 5-6-7: wedges but no closure
+        (5, 6), (6, 7),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_cdc_materialize_latest_semantics(spark):
+    import json
+
+    from gmall_flink_2022_spark.sources.cdc import materialize_latest, parse_cdc
+
+    def env(table, typ, before, after):
+        return json.dumps(
+            {
+                "database": "gmall",
+                "tableName": table,
+                "before": before,
+                "after": after,
+                "type": typ,
+            }
+        )
+
+    lines = [
+        # k1: snapshot 'create' (must normalize to insert) then update wins
+        env("t1", "create", None, {"pk": "k1", "op_seq": "1", "v": "old"}),
+        env("t1", "update", None, {"pk": "k1", "op_seq": "2", "v": "new"}),
+        # k2: inserted then deleted (delete carries only the before image)
+        env("t1", "insert", None, {"pk": "k2", "op_seq": "1", "v": "x"}),
+        env("t1", "delete", {"pk": "k2", "op_seq": "3", "v": "x"}, None),
+        # same pk under ANOTHER table must not collide
+        env("t2", "insert", None, {"pk": "k1", "op_seq": "7", "v": "other"}),
+    ]
+    raw = spark.createDataFrame([(v,) for v in lines], "value string")
+    parsed = parse_cdc(raw)
+    assert parsed.filter(parsed["type"] == "create").count() == 0  # normalized
+    out = {
+        (r["tableName"], r["pk"]): r
+        for r in materialize_latest(parsed, "pk", "op_seq", ["v"]).collect()
+    }
+    assert set(out) == {("t1", "k1"), ("t2", "k1")}  # k2 tombstoned away
+    assert out[("t1", "k1")]["v"] == "new" and out[("t1", "k1")]["last_seq"] == 2
+    assert out[("t2", "k1")]["v"] == "other" and out[("t2", "k1")]["last_seq"] == 7

@@ -553,3 +553,32 @@ def test_grid_sketch_plans_stay_jvm_and_pruned(spark, sf_dir):
         assert rs and all(cols in l for l in rs), (name, rs)
     p = _plan(spark, sf_dir, "ads_price_quantile_sketch")
     assert p.count("Location: InMemoryFileIndex") == 1, "lineitem scanned twice"
+
+
+def test_pii_redact_zero_exchange(spark, sf_dir):
+    # scrubbing is a pure narrow map: no shuffle, no Python, all codegen
+    p = _plan(spark, sf_dir, "llm_pii_redact")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_prefix_jaccard_stays_jvm(spark, sf_dir):
+    p = _plan(spark, sf_dir, "llm_dedup_prefix_jaccard")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cdc_materialize_aggregates_not_window_sorts(spark, sf_dir):
+    # latest-image compaction must be the map-side-combining max(struct)
+    # aggregate, NOT a row_number window (which sorts every version of
+    # every key through the exchange)
+    p = _plan(spark, sf_dir, "dwd_cdc_materialize")
+    assert "Window" not in p
+    # max(struct) buffers aren't hashable, so Spark picks SortAggregate —
+    # still a partial+final pair (map-side combine), which is the point
+    assert (
+        p.count("HashAggregate") >= 2
+        or p.count("ObjectHashAggregate") >= 2
+        or p.count("SortAggregate") >= 2
+    )
+    assert "BatchEvalPython" not in p
