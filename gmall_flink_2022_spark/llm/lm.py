@@ -1,0 +1,131 @@
+"""N-gram language-model perplexity scoring — the CCNet quality signal
+(Wenzek et al. 2020): train a bigram LM on a reference corpus, score
+every candidate document by its bits-per-token under that LM, and let
+the curation pipeline keep the low-perplexity (fluent) tail. The
+KenLM-over-Wikipedia stage of CCNet / RedPajama, re-expressed as two
+aggregations and two hash joins.
+
+Engine-exact arithmetic (the same playbook as llm/dsir.py): all log2
+values are PIECEWISE-LINEAR QUANTIZED to 1/256-bit resolution in pure
+integer arithmetic —
+
+    qlog2(x) = 256*e + ((x * 256) >> e) - 256,   e = length(bin(x)) - 1
+
+for positive integer x (exact at powers of two, linear interpolation of
+the mantissa between them, max error < 0.09 bits). No transcendental
+ever runs in either engine, so Spark and the DuckDB oracle agree bit
+for bit; the single float op is the final bits-per-token division of
+two exact integers.
+
+Model: add-one smoothing over the reference vocabulary,
+
+    cost(w1 w2) = qlog2(c(w1) + V) - qlog2(c(w1 w2) + 1)   [q256 bits]
+
+with c(w1) the count of w1 AS A BIGRAM CONTEXT in the reference and V
+the reference vocabulary size. Unseen contexts cost qlog2(V) exactly
+(uniform over the vocab) — the model is proper for OOV by construction.
+
+100 TB posture: the LM is two count aggregations with map-side combine
+(one shuffle each, keys = bigram / context token). Scoring is one hash
+join per table on the same natural keys followed by a per-doc sum.
+The hot keys of the bigram join are exactly the corpus's most frequent
+bigrams — classic AQE-skew-split territory, and the LM side of each hot
+key is a single pre-reduced row, so the skew is probe-volume only
+(never a pair expansion). Nothing vocabulary-shaped touches the driver;
+V travels as a broadcast one-row frame.
+
+Reference analog: per-event config/dim lookup enriching a fact stream
+(dwm/OrderWideApp.java's dim joins) — here the "dim" is the learned
+count table and the enrichment is an additive cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import _toks_or_empty
+
+
+def _qlog2(x: Column) -> Column:
+    """1/256-bit piecewise-linear log2 of a positive integer column,
+    pure integer arithmetic (see module docstring)."""
+    e = (F.length(F.bin(x)) - 1).cast("long")
+    return (
+        256 * e
+        + F.call_function("shiftright", (x * 256).cast("long"), e.cast("int"))
+        - 256
+    )
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) rows — one per adjacent token pair, document order
+    irrelevant (the cost model is position-free)."""
+    toks = _toks_or_empty(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg")).select(
+        "id", "bg.w1", "bg.w2"
+    )
+
+
+def train_bigram_lm(ref: DataFrame, id_col: str, text_col: str) -> tuple[
+    DataFrame, DataFrame, DataFrame
+]:
+    """Learn the count tables from the reference corpus: returns
+    (bigram_counts(w1, w2, c12), context_counts(w1, c1), vocab_v) where
+    vocab_v is a one-row frame (v: long) counting DISTINCT tokens in the
+    reference (all positions, so every context is inside the smoothing
+    universe). All three are pre-reduced aggregates — the whole model is
+    O(unique bigrams), never O(corpus)."""
+    bg = _bigrams(ref, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    toks = ref.select(F.explode(_toks_or_empty(text_col)).alias("t"))
+    v = toks.agg(F.countDistinct("t").alias("v"))
+    return c12, c1, v
+
+
+def lm_perplexity(
+    score: DataFrame, ref: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Bits-per-token of every document in ``score`` under the bigram LM
+    trained on ``ref``: (id, n_bigrams, cost_q256, bits_per_token).
+    ``cost_q256`` is the exact integer total (1/256-bit units);
+    ``bits_per_token`` is the single-division double both engines
+    compute identically. Documents with fewer than two tokens have no
+    bigrams and are absent (they carry no LM evidence either way)."""
+    c12, c1, v = train_bigram_lm(ref, id_col, text_col)
+    bg = _bigrams(score, id_col, text_col)
+    joined = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "id",
+            (
+                _qlog2(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                - _qlog2(F.coalesce(F.col("c12"), F.lit(0)) + 1)
+            ).alias("cost"),
+        )
+    )
+    agg = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("cost").alias("cost_q256"),
+    )
+    return agg.select(
+        "id",
+        "n_bigrams",
+        "cost_q256",
+        (
+            F.col("cost_q256").cast("double")
+            / (256 * F.col("n_bigrams")).cast("double")
+        ).alias("bits_per_token"),
+    )

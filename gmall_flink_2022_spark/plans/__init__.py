@@ -99,6 +99,14 @@ _DRIVER_WINDOW_FIRST = [
     # same planted corpus), mm_media_features + mm_frame_sample
     # (multimodal.py untouched since r5; fronted stream_mm_features
     # rides the same feature UDF path).
+    # llm_lm_perplexity + stream_llm_lm_perplexity (late-r8 births)
+    # displace llm_gopher_filter + llm_lang_id: both were fronted as
+    # text.py NULL-coalesce riders, and the new LM entries exercise the
+    # same _toks_or_empty coalesce path directly (NULL text in the
+    # scored half flows through it), so the churned line keeps two
+    # fronted riders either way.
+    "llm_lm_perplexity",
+    "stream_llm_lm_perplexity",
     "llm_dedup_prefix_jaccard",
     "llm_dup_graph_triangles",
     "llm_pii_redact",
@@ -150,19 +158,17 @@ _DRIVER_WINDOW_FIRST = [
     "stream_db_route",
     "llm_substring_dedup",
     "llm_dedup_simhash64",
-    "llm_gopher_filter",
-    "llm_lang_id",
 ]
 
 # (the round-6 window list lives in git history: d6f96dc;
 #  the round-7 list in 359bae4)
 
-# r9 window candidates, in priority order: the 44 named r8 slips above
-# (the 38 original slips PLUS the 6 late-r8 displacements:
+# r9 window candidates, in priority order: the 46 named r8 slips above
+# (the 38 original slips PLUS the 8 late-r8 displacements:
 # llm_sequence_pack_bpe, llm_knn_ivf_contract, llm_curation_pipeline_full,
-# llm_dedup_paragraph, mm_media_features, mm_frame_sample) — they go
-# FIRST, then anything born or churned in r9, then the r6-green cohort
-# (3 rounds stale at r9).
+# llm_dedup_paragraph, mm_media_features, mm_frame_sample,
+# llm_gopher_filter, llm_lang_id) — they go FIRST, then anything born
+# or churned in r9, then the r6-green cohort (3 rounds stale at r9).
 
 
 def _prioritize() -> None:

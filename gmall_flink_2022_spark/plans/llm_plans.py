@@ -1851,6 +1851,70 @@ def llm_ngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_familiarity(_docs(spark, sf_dir), "doc_id", "text")
 
 
+# ------------------------------------------------ bigram LM perplexity
+def _qlog2_sql(x: str) -> str:
+    """The SQL rendering of llm/lm.py's 1/256-bit piecewise-linear log2
+    (identical integer arithmetic in both engines)."""
+    e = f"(length(bin({x})) - 1)"
+    return f"(256 * {e} + ((({x}) * 256) >> {e}) - 256)"
+
+
+_LM_C1 = "COALESCE(c1.c1, 0) + v"
+_LM_C12 = "COALESCE(c12.c12, 0) + 1"
+
+
+@register(
+    "llm_lm_perplexity",
+    # reference half = doc_id%5==0 (the CCNet wiki-LM stand-in), scored
+    # half = the rest — OOV contexts and unseen bigrams both exercised.
+    oracle=f"""
+    WITH dtk AS (SELECT doc_id, COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+                 FROM documents),
+    rbg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM dtk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE doc_id % 5 = 0 AND len(toks) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM rbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM rbg GROUP BY w1),
+    vv AS (SELECT COUNT(DISTINCT t) AS v
+           FROM (SELECT UNNEST(toks) AS t FROM dtk WHERE doc_id % 5 = 0)),
+    sbg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+            FROM dtk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE doc_id % 5 <> 0 AND len(toks) >= 2),
+    cost AS (
+        SELECT doc_id,
+               {_qlog2_sql(_LM_C1)} - {_qlog2_sql(_LM_C12)} AS cost
+        FROM sbg
+        LEFT JOIN c12 ON sbg.w1 = c12.w1 AND sbg.w2 = c12.w2
+        LEFT JOIN c1 ON sbg.w1 = c1.w1
+        CROSS JOIN vv)
+    SELECT doc_id AS id, COUNT(*) AS n_bigrams,
+           CAST(SUM(cost) AS BIGINT) AS cost_q256,
+           CAST(SUM(cost) AS DOUBLE) / CAST(256 * COUNT(*) AS DOUBLE)
+               AS bits_per_token
+    FROM cost GROUP BY doc_id
+    """,
+    survey_ref="extension: bigram-LM perplexity quality scoring (the "
+    "CCNet / RedPajama KenLM stage, Wenzek et al. 2020) — add-one-"
+    "smoothed bits-per-token under a reference-trained LM, with every "
+    "log2 piecewise-linear quantized to 1/256 bit in pure integer "
+    "arithmetic so both engines agree exactly (llm/lm.py); LM = two "
+    "map-side-combining count aggregates, scoring = hash joins on "
+    "natural keys + per-doc sum",
+    tags=("llm", "text", "quality"),
+    bench=True,
+)
+def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import lm
+
+    d = _docs(spark, sf_dir)
+    return lm.lm_perplexity(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+    )
+
+
 # ------------------------------------------------- rolling-hash fingerprint
 @register(
     "llm_fingerprint_rolling",

@@ -2197,3 +2197,62 @@ def _register_stream_pii_redact() -> None:
 
 
 _register_stream_pii_redact()
+
+
+def _register_stream_lm_perplexity() -> None:
+    from .registry import REGISTRY as _R  # reuse the batch oracle verbatim
+
+    @register(
+        "stream_llm_lm_perplexity",
+        oracle=_R["llm_lm_perplexity"].oracle,
+        survey_ref="streaming rendering of bigram-LM perplexity: the LM "
+        "count tables are STATIC frames trained once from the reference "
+        "corpus and stream-static hash-joined to arriving documents — "
+        "the dim-enrichment shape of dwm/OrderWideApp.java with a "
+        "LEARNED dim; per-doc totals settle in complete mode, and the "
+        "vocab-size scalar travels as a collected literal (one bounded "
+        "row) because a stream-static cross join is not a thing",
+        tags=("streaming", "llm", "text", "quality"),
+    )
+    def stream_llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm.lm import _bigrams, _qlog2, train_bigram_lm
+        from ..sources.io import read_table
+
+        ref = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 0
+        )
+        c12, c1, v = train_bigram_lm(ref, "doc_id", "text")
+        v_lit = int(v.collect()[0]["v"])  # one bounded row, never corpus-shaped
+
+        d = read_stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 != 0
+        )
+        bg = _bigrams(d, "doc_id", "text")
+        joined = (
+            bg.join(F.broadcast(c12), ["w1", "w2"], "left")
+            .join(F.broadcast(c1), ["w1"], "left")
+            .select(
+                "id",
+                (
+                    _qlog2(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v_lit))
+                    - _qlog2(F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                ).alias("cost"),
+            )
+        )
+        agg = joined.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cost").alias("cost_q256"),
+        )
+        out = agg.select(
+            "id",
+            "n_bigrams",
+            "cost_q256",
+            (
+                F.col("cost_q256").cast("double")
+                / (256 * F.col("n_bigrams")).cast("double")
+            ).alias("bits_per_token"),
+        )
+        return run_stream_to_table(out, _uniq("lm_ppl"), output_mode="complete")
+
+
+_register_stream_lm_perplexity()

@@ -2395,3 +2395,41 @@ def test_cdc_materialize_latest_semantics(spark):
     assert set(out) == {("t1", "k1"), ("t2", "k1")}  # k2 tombstoned away
     assert out[("t1", "k1")]["v"] == "new" and out[("t1", "k1")]["last_seq"] == 2
     assert out[("t2", "k1")]["v"] == "other" and out[("t2", "k1")]["last_seq"] == 7
+
+
+def test_lm_perplexity_quantized_log_and_ranking(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.llm.lm import _qlog2, lm_perplexity
+
+    # qlog2: exact at powers of two, < 0.09-bit error elsewhere
+    q = {
+        r["x"]: r["q"]
+        for r in spark.range(1, 200)
+        .select(F.col("id").alias("x"), _qlog2(F.col("id")).alias("q"))
+        .collect()
+    }
+    for x, v in q.items():
+        exact = math.log2(x) * 256
+        assert abs(v - exact) <= 0.09 * 256 + 1, (x, v, exact)
+        if x & (x - 1) == 0:
+            assert v == round(exact)
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "id long, text string",
+    )
+    sc = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra quantum flux"), (12, "x"), (13, None)],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in lm_perplexity(sc, ref, "id", "text").collect()}
+    # short/NULL docs carry no bigram evidence and are absent
+    assert set(out) == {10, 11}
+    # in-domain text must score fluent-er than OOV gibberish
+    assert out[10]["bits_per_token"] < out[11]["bits_per_token"]
+    # the double is exactly the single division of the two exact ints
+    for r in out.values():
+        assert r["bits_per_token"] == r["cost_q256"] / (256 * r["n_bigrams"])

@@ -582,3 +582,11 @@ def test_cdc_materialize_aggregates_not_window_sorts(spark, sf_dir):
         or p.count("SortAggregate") >= 2
     )
     assert "BatchEvalPython" not in p
+
+
+def test_lm_perplexity_jvm_hash_joins(spark, sf_dir):
+    # LM scoring = hash joins on natural keys + per-doc sum; the only
+    # nested-loop in the plan is the one-row vocab-size broadcast
+    p = _plan(spark, sf_dir, "llm_lm_perplexity")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
