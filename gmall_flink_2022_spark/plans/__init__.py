@@ -167,8 +167,11 @@ _DRIVER_WINDOW_FIRST = [
 # (the 38 original slips PLUS the 8 late-r8 displacements:
 # llm_sequence_pack_bpe, llm_knn_ivf_contract, llm_curation_pipeline_full,
 # llm_dedup_paragraph, mm_media_features, mm_frame_sample,
-# llm_gopher_filter, llm_lang_id) — they go FIRST, then anything born
-# or churned in r9, then the r6-green cohort (3 rounds stale at r9).
+# llm_gopher_filter, llm_lang_id) — they go FIRST, along with
+# stream_cdc_materialize (born after the final r8 freeze; its batch
+# sibling dwd_cdc_materialize over the identical _cdc_materialized +
+# parse_cdc path IS fronted and green), then anything born or churned
+# in r9, then the r6-green cohort (3 rounds stale at r9).
 
 
 def _prioritize() -> None:

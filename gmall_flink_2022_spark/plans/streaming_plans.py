@@ -2256,3 +2256,29 @@ def _register_stream_lm_perplexity() -> None:
 
 
 _register_stream_lm_perplexity()
+
+
+def _register_stream_cdc_materialize() -> None:
+    from .registry import REGISTRY as _R  # reuse the batch oracle verbatim
+
+    @register(
+        "stream_cdc_materialize",
+        oracle=_R["dwd_cdc_materialize"].oracle,
+        survey_ref="§2.1 S1/S2 as an actual STREAM — the shape "
+        "dwd/BaseDBApp.java really is: a live changelog keyed-upserted "
+        "into latest row state. Keyed max(struct) aggregation in "
+        "complete mode = one bounded state row per key (the RocksDB "
+        "value state of the reference's Phoenix upsert path); deletes "
+        "tombstone by losing the post-agg filter. The JSON envelope "
+        "round-trips through the same parse_cdc as batch",
+        tags=("streaming", "dwd", "cdc"),
+    )
+    def stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .warehouse import _cdc_changelog_envelopes, _cdc_materialized
+
+        o = read_stream_table(spark, sf_dir, "orders")
+        out = _cdc_materialized(_cdc_changelog_envelopes(o))
+        return run_stream_to_table(out, _uniq("cdc_mat"), output_mode="complete")
+
+
+_register_stream_cdc_materialize()

@@ -160,42 +160,10 @@ def dwd_db_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (to_json -> parse_cdc) is engine-internal; the oracle builds the same
 # changelog as typed rows and takes the per-key max-seq survivor.
 # --------------------------------------------------------------------------
-@register(
-    "dwd_cdc_materialize",
-    oracle="""
-    WITH ch AS (
-        SELECT o_orderkey AS pk, 1 AS seq, 'insert' AS op,
-               o_orderstatus AS status,
-               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS price
-        FROM orders
-        UNION ALL
-        SELECT o_orderkey, 2, 'update', 'P',
-               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)
-        FROM orders WHERE o_orderkey % 5 = 0
-        UNION ALL
-        SELECT o_orderkey, 3, 'delete', NULL, NULL
-        FROM orders WHERE o_orderkey % 10 = 0
-    ),
-    ranked AS (
-        SELECT pk, seq, op, status, price,
-               row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
-        FROM ch
-    )
-    SELECT pk, seq AS last_seq, status,
-           CAST(CAST(price AS DECIMAL(15,2)) AS DOUBLE) AS price
-    FROM ranked WHERE rn = 1 AND op <> 'delete'
-    """,
-    survey_ref="§2.1 S1/S2 (CDC envelope ingest + create->insert "
-    "normalization, function/CustomerDeserialization.java:19-69) composed "
-    "with latest-image compaction — the declarative analog of the "
-    "reference's replay-into-Phoenix upsert path "
-    "(dwd/BaseDBApp.java sink, utils/DimSinkFunction.java)",
-    tags=("dwd", "cdc"),
-)
-def dwd_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.cdc import materialize_latest, parse_cdc
-
-    o = _t(spark, sf_dir, "orders")
+def _cdc_changelog_envelopes(o: DataFrame) -> DataFrame:
+    """Synthesize the deterministic Debezium-envelope changelog from an
+    orders frame (batch OR streaming — narrow maps and a same-schema
+    union only). Shared by dwd_cdc_materialize and its streaming twin."""
     pk = F.col("o_orderkey").cast("string")
     price = F.col("o_totalprice").cast("decimal(15,2)").cast("string")
     nomap = F.lit(None).cast("map<string,string>")
@@ -238,14 +206,56 @@ def dwd_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delete",
         )
     )
-    parsed = parse_cdc(ins.unionAll(upd).unionAll(dele))
-    mat = materialize_latest(parsed, "pk", "op_seq", ["status", "price"])
+    return ins.unionAll(upd).unionAll(dele)
+
+
+def _cdc_materialized(raw: DataFrame) -> DataFrame:
+    from ..sources.cdc import materialize_latest, parse_cdc
+
+    mat = materialize_latest(parse_cdc(raw), "pk", "op_seq", ["status", "price"])
     return mat.select(
         F.col("pk").cast("long").alias("pk"),
         "last_seq",
         "status",
         F.col("price").cast("decimal(15,2)").cast("double").alias("price"),
     )
+
+
+
+@register(
+    "dwd_cdc_materialize",
+    oracle="""
+    WITH ch AS (
+        SELECT o_orderkey AS pk, 1 AS seq, 'insert' AS op,
+               o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2, 'update', 'P',
+               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'delete', NULL, NULL
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    ranked AS (
+        SELECT pk, seq, op, status, price,
+               row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+        FROM ch
+    )
+    SELECT pk, seq AS last_seq, status,
+           CAST(CAST(price AS DECIMAL(15,2)) AS DOUBLE) AS price
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+    survey_ref="§2.1 S1/S2 (CDC envelope ingest + create->insert "
+    "normalization, function/CustomerDeserialization.java:19-69) composed "
+    "with latest-image compaction — the declarative analog of the "
+    "reference's replay-into-Phoenix upsert path "
+    "(dwd/BaseDBApp.java sink, utils/DimSinkFunction.java)",
+    tags=("dwd", "cdc"),
+)
+def dwd_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdc_materialized(_cdc_changelog_envelopes(_t(spark, sf_dir, "orders")))
 
 
 # --------------------------------------------------------------------------
