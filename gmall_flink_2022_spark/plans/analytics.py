@@ -1039,3 +1039,58 @@ def dws_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"), "k")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ------------------------------------------------- time-decayed user score
+@register(
+    "ads_user_decay_score",
+    # Exponentially time-decayed activity score per user: weight 1 for a
+    # user's most recent event, 1/2 for the one before, ... over the last
+    # K=16 events. ENGINE-EXACT EWMA: the decay base is a POWER OF TWO,
+    # so every weighted term cents * 2^(16-rn) is exact bigint arithmetic
+    # and the only float op is the final division of two exact integers
+    # (num < 2^53, so the double rendering is itself exact). cents =
+    # floor(value * 100) — floor of the identical IEEE product, never
+    # round() (engines disagree on ties-away vs half-even).
+    oracle="""
+    WITH r AS (
+        SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_scored,
+           CAST(SUM(cents * (1::BIGINT << (16 - rn))) AS BIGINT) AS num_q,
+           CAST(SUM(cents * (1::BIGINT << (16 - rn))) AS DOUBLE)
+               / CAST(100 * (1::BIGINT << 15) AS DOUBLE) AS decay_score
+    FROM r WHERE rn <= 16 GROUP BY user_id
+    """,
+    survey_ref="§2.4 A-family extension: per-key exponentially decayed "
+    "activity score (recency-weighted EWMA, the feature-store staple) — "
+    "one shuffle on user_id; the rank<=16 filter is pushed into the "
+    "window sort as a per-key group limit, so no key's full history "
+    "sorts through the exchange",
+    tags=("ads", "agg", "window"),
+)
+def ads_user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 16)
+    num = F.sum(
+        F.col("cents") * F.call_function("shiftleft", F.lit(1).cast("long"),
+                                         (16 - F.col("rn")).cast("int"))
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        num.cast("long").alias("num_q"),
+        (num.cast("double") / F.lit(float(100 * (1 << 15)))).alias("decay_score"),
+    )

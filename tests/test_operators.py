@@ -2433,3 +2433,50 @@ def test_lm_perplexity_quantized_log_and_ranking(spark):
     # the double is exactly the single division of the two exact ints
     for r in out.values():
         assert r["bits_per_token"] == r["cost_q256"] / (256 * r["n_bigrams"])
+
+
+def test_decay_score_power_of_two_exact(spark):
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.plans.registry import REGISTRY
+
+    # engine-exact contract on a hand-built frame: 3 events for one user,
+    # values 1.00 / 2.00 / 4.00 oldest->newest => cents 100/200/400,
+    # weights 2^13? no — rn counts from newest: 400*2^15 + 200*2^14 +
+    # 100*2^13 over 100*2^15
+    rows = [
+        (1, "2024-01-01 00:00:01", 7, 1.0),
+        (2, "2024-01-01 00:00:02", 7, 2.0),
+        (3, "2024-01-01 00:00:03", 7, 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.createOrReplaceTempView("_decay_ev")
+    # drive the same arithmetic the registry entry uses
+    import gmall_flink_2022_spark.plans.analytics as A
+
+    r = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number()
+        .over(
+            A.W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn"),
+    )
+    got = (
+        r.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("cents")
+                * F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (16 - F.col("rn")).cast("int")
+                )
+            ).alias("num")
+        )
+        .collect()[0]["num"]
+    )
+    assert got == 400 * 2**15 + 200 * 2**14 + 100 * 2**13

@@ -590,3 +590,12 @@ def test_lm_perplexity_jvm_hash_joins(spark, sf_dir):
     p = _plan(spark, sf_dir, "llm_lm_perplexity")
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_decay_score_group_limit_pushed_before_shuffle(spark, sf_dir):
+    # the rank<=16 filter must become WindowGroupLimit on BOTH sides of
+    # the exchange — each key ships at most 16 rows through the shuffle,
+    # not its full history
+    p = _plan(spark, sf_dir, "ads_user_decay_score")
+    assert p.count("WindowGroupLimit") >= 2
+    assert "BatchEvalPython" not in p
