@@ -1094,3 +1094,81 @@ def ads_user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("long").alias("num_q"),
         (num.cast("double") / F.lit(float(100 * (1 << 15)))).alias("decay_score"),
     )
+
+
+# ------------------------------------------------ multi-touch attribution
+@register(
+    "ads_attribution_linear",
+    # Linear (equal-credit) multi-touch attribution: each purchase's
+    # revenue splits evenly across the user's view/click touchpoints in
+    # the 24 h before it. Output grain = (conversion, channel), so the
+    # attributed amount is ONE division of two exact integers per row
+    # (cents * k_channel / (100 * n_touches)) — no float accumulation
+    # anywhere, engine-exact by construction. Purchases with no prior
+    # touch have nothing to attribute and are absent (inner join).
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    tp AS (
+        SELECT p.purchase_id, p.user_id, p.cents, t.channel
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 24 HOUR
+    ),
+    per_chan AS (
+        SELECT purchase_id, user_id, cents, channel,
+               COUNT(*) AS channel_touches
+        FROM tp GROUP BY purchase_id, user_id, cents, channel
+    )
+    SELECT purchase_id, user_id, channel,
+           CAST(SUM(channel_touches) OVER (PARTITION BY purchase_id)
+                AS BIGINT) AS n_touches,
+           channel_touches,
+           CAST(cents * channel_touches AS DOUBLE)
+             / CAST(100 * SUM(channel_touches) OVER (PARTITION BY purchase_id)
+                    AS DOUBLE) AS attributed_revenue
+    FROM per_chan
+    """,
+    survey_ref="§2.3 J2 application: marketing attribution over the "
+    "interval join (equi-join on user_id + residual time band, so "
+    "per-key fan-out is the user's own touch count — never a time-"
+    "bucket cross product); the analytics-serving shape of the "
+    "reference's OrderWide enrichment chain",
+    tags=("ads", "join", "window"),
+)
+def ads_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("channel")
+    )
+    tp = p.join(t, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    per_chan = tp.groupBy("purchase_id", "user_id", "cents", "channel").agg(
+        F.count(F.lit(1)).alias("channel_touches")
+    )
+    n = F.sum("channel_touches").over(W.partitionBy("purchase_id"))
+    return per_chan.select(
+        "purchase_id",
+        "user_id",
+        "channel",
+        n.cast("long").alias("n_touches"),
+        "channel_touches",
+        (
+            (F.col("cents") * F.col("channel_touches")).cast("double")
+            / (100 * n).cast("double")
+        ).alias("attributed_revenue"),
+    )

@@ -2480,3 +2480,38 @@ def test_decay_score_power_of_two_exact(spark):
         .collect()[0]["num"]
     )
     assert got == 400 * 2**15 + 200 * 2**14 + 100 * 2**13
+
+
+def test_attribution_linear_splits_evenly(spark):
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.plans.registry import REGISTRY  # noqa: F401
+    import gmall_flink_2022_spark.plans.analytics  # noqa: F401
+
+    # 1 purchase of $10.00 with 3 touches in-window (2 view, 1 click),
+    # plus 1 touch outside the 24h window and 1 after the purchase
+    rows = [
+        (1, "2024-01-02 12:00:00", 7, "purchase", 10.0),
+        (2, "2024-01-02 11:00:00", 7, "view", 0.0),
+        (3, "2024-01-02 10:00:00", 7, "view", 0.0),
+        (4, "2024-01-02 09:00:00", 7, "click", 0.0),
+        (5, "2024-01-01 11:59:00", 7, "view", 0.0),   # > 24h before
+        (6, "2024-01-02 13:00:00", 7, "click", 0.0),  # after purchase
+        (7, "2024-01-02 12:00:00", 8, "purchase", 5.0),  # no touches
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "props", F.lit("{}")
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from gmall_flink_2022_spark.plans.registry import REGISTRY
+    out = REGISTRY["ads_attribution_linear"].fn(spark, d).collect()
+    got = {(r["purchase_id"], r["channel"]): r for r in out}
+    assert set(got) == {(1, "view"), (1, "click")}
+    assert got[(1, "view")]["n_touches"] == 3
+    assert got[(1, "view")]["channel_touches"] == 2
+    assert got[(1, "view")]["attributed_revenue"] == 1000 * 2 / 300
+    assert got[(1, "click")]["attributed_revenue"] == 1000 * 1 / 300
