@@ -170,8 +170,10 @@ _DRIVER_WINDOW_FIRST = [
 # llm_gopher_filter, llm_lang_id) — they go FIRST, along with
 # stream_cdc_materialize (born after the final r8 freeze; its batch
 # sibling dwd_cdc_materialize over the identical _cdc_materialized +
-# parse_cdc path IS fronted and green), then anything born or churned
-# in r9, then the r6-green cohort (3 rounds stale at r9).
+# parse_cdc path IS fronted and green), ads_user_decay_score and
+# ads_attribution_linear (also born post-freeze; engine-exact integer
+# arithmetic, locally oracle-verified at sf0.01), then anything born
+# or churned in r9, then the r6-green cohort (3 rounds stale at r9).
 
 
 def _prioritize() -> None:
