@@ -1172,3 +1172,137 @@ def ads_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (100 * n).cast("double")
         ).alias("attributed_revenue"),
     )
+
+
+# --------------------------------------------------- data-quality audits
+@register(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_custkey)
+    FROM orders
+    """,
+    survey_ref="extension: column profiling (completeness + cardinality "
+    "— the Deequ/Great-Expectations analyzer surface) as map-side-"
+    "combined aggregates; the dirty-data accounting of "
+    "dwd/BaseLogApp.java generalized to a declarative audit",
+    tags=("dq", "agg"),
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import profile_columns
+
+    return profile_columns(
+        read_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_custkey"],
+    )
+
+
+@register(
+    "dq_referential_orphans",
+    # planted orphans: check against a DELIBERATELY restricted dim (even
+    # custkeys only / first half of orders), so both branches are
+    # non-vacuous on clean TPC-H-ish data.
+    oracle="""
+    SELECT 'orders_missing_even_customer' AS check_name,
+           COUNT(*) AS orphan_ct
+    FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_custkey % 2 = 0)
+    UNION ALL
+    SELECT 'lineitem_missing_first_half_order', COUNT(*)
+    FROM lineitem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT o_orderkey FROM orders
+                       WHERE o_orderkey <= (SELECT MAX(o_orderkey) / 2
+                                            FROM orders)) o
+        WHERE o.o_orderkey = l_orderkey)
+    """,
+    survey_ref="extension: referential-integrity audit (orphaned fact "
+    "keys) via LEFT ANTI hash joins — the dim side ships one key column "
+    "into the build; the J3 dim-lookup chain's miss path made a "
+    "first-class count",
+    tags=("dq", "join"),
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import referential_orphans
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    li = read_table(spark, sf_dir, "lineitem")
+    # the half-way cut travels as a broadcast one-row frame (lazy plan,
+    # nothing collects on the driver)
+    half = o.agg((F.max("o_orderkey") / 2).alias("h"))
+    o_half = (
+        o.select("o_orderkey")
+        .crossJoin(F.broadcast(half))
+        .filter(F.col("o_orderkey") <= F.col("h"))
+    )
+    return referential_orphans(
+        [
+            ("orders_missing_even_customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem_missing_first_half_order", li, "l_orderkey",
+             o_half, "o_orderkey"),
+        ]
+    )
+
+
+@register(
+    "dq_check_rules_lineitem",
+    oracle="""
+    SELECT 'quantity_in_1_50' AS rule_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL
+                          OR l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_0_0q1', COUNT(*),
+           CAST(SUM(CASE WHEN l_discount IS NULL
+                          OR l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'tax_in_0_0q08', COUNT(*),
+           CAST(SUM(CASE WHEN l_tax IS NULL
+                          OR l_tax < 0 OR l_tax > 0.08
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+    survey_ref="extension: rule-based constraint verification (the "
+    "Deequ check suite shape) — every rule folds into ONE map-side-"
+    "combined aggregate pass; adding a rule adds a column, not a scan; "
+    "NULLs fail closed",
+    tags=("dq", "agg"),
+)
+def dq_check_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import check_rules
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return check_rules(
+        li,
+        [
+            (
+                "quantity_in_1_50",
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            ),
+            (
+                "discount_in_0_0q1",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+            ),
+            (
+                "tax_in_0_0q08",
+                (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08),
+            ),
+        ],
+    )

@@ -2515,3 +2515,33 @@ def test_attribution_linear_splits_evenly(spark):
     assert got[(1, "view")]["channel_touches"] == 2
     assert got[(1, "view")]["attributed_revenue"] == 1000 * 2 / 300
     assert got[(1, "click")]["attributed_revenue"] == 1000 * 1 / 300
+
+
+def test_dq_check_rules_single_pass_fail_closed(spark):
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.operators.quality import check_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    out = {
+        r["rule_name"]: r
+        for r in check_rules(
+            df, [("v_positive", F.col("v") <= 0), ("id_small", F.col("id") > 2)]
+        ).collect()
+    }
+    # NULL predicate result counts as a violation (fail closed): id=3 has
+    # v NULL -> v<=0 evaluates NULL -> violation
+    assert out["v_positive"]["n_violations"] == 2
+    assert out["id_small"]["n_violations"] == 1
+    assert all(r["n_rows"] == 3 for r in out.values())
+
+
+def test_dq_referential_orphans_counts(spark):
+    from gmall_flink_2022_spark.operators.quality import referential_orphans
+
+    fact = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    dim = spark.createDataFrame([(1,), (2,)], "d long")
+    out = referential_orphans([("fk", fact, "k", dim, "d")]).collect()
+    assert out[0]["check_name"] == "fk" and out[0]["orphan_ct"] == 1

@@ -599,3 +599,16 @@ def test_decay_score_group_limit_pushed_before_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "ads_user_decay_score")
     assert p.count("WindowGroupLimit") >= 2
     assert "BatchEvalPython" not in p
+
+
+def test_dq_rules_one_scan_no_shuffle_blowup(spark, sf_dir):
+    # the whole rule suite folds into one aggregate over ONE scan
+    p = _plan(spark, sf_dir, "dq_check_rules_lineitem")
+    assert p.count("Location: InMemoryFileIndex") == 1, "lineitem scanned twice"
+    assert "BatchEvalPython" not in p
+
+
+def test_dq_orphans_anti_join_key_projection(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dq_referential_orphans")
+    assert "LeftAnti" in p
+    assert "BatchEvalPython" not in p
