@@ -87,7 +87,10 @@ def train_bigram_lm(ref: DataFrame, id_col: str, text_col: str) -> tuple[
     O(unique bigrams), never O(corpus)."""
     bg = _bigrams(ref, id_col, text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c(w1) = sum over w2 of c(w1,w2) EXACTLY, so the context counts
+    # re-aggregate the (much smaller) bigram table instead of scanning
+    # the corpus again — Catalyst reuses c12's exchange for both readers
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     toks = ref.select(F.explode(_toks_or_empty(text_col)).alias("t"))
     v = toks.agg(F.countDistinct("t").alias("v"))
     return c12, c1, v
