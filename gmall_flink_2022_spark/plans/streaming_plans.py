@@ -2282,3 +2282,64 @@ def _register_stream_cdc_materialize() -> None:
 
 
 _register_stream_cdc_materialize()
+
+
+def _register_stream_decay_score() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_user_decay_score",
+        oracle=_R["ads_user_decay_score"].oracle,
+        survey_ref="§2.6 W4 application: the time-decayed activity score "
+        "maintained LIVE with bounded per-key state (last K=16 events as "
+        "three long arrays — O(users*K) state regardless of stream "
+        "length); each micro-batch upserts the changed users into a "
+        "keyed store (S9 shape), so the settled table equals the batch "
+        "window rendering exactly, late arrivals included (state orders "
+        "by event time, not arrival)",
+        tags=("streaming", "ads", "state"),
+    )
+    def stream_user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources.dim_store import DimStore
+        from ..streaming.decay_state import decay_score_stateful
+
+        ev = read_stream_table(spark, sf_dir, "events").select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        scored = decay_score_stateful(ev)
+        root = tempfile.mkdtemp(prefix="gmall_decay_store_")
+        store = DimStore(spark, root)
+
+        def upsert(batch: DataFrame, batch_id: int) -> None:
+            store.upsert("decay_scores", batch, pk="user_id")
+
+        ckpt = tempfile.mkdtemp(prefix="gmall_ckpt_")
+        try:
+            with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+                q = (
+                    scored.writeStream.outputMode("update")
+                    .foreachBatch(upsert)
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                q.awaitTermination()
+            out = store.read("decay_scores").select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("n_scored").cast("long").alias("n_scored"),
+                F.col("num_q").cast("long").alias("num_q"),
+                (
+                    F.col("num_q").cast("double")
+                    / F.lit(float(100 * (1 << 15)))
+                ).alias("decay_score"),
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_register_stream_decay_score()

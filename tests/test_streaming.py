@@ -397,3 +397,69 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
         for r in store.read("evagg").select("_k", "n", "total").collect()
     }
     assert got == want
+
+
+def test_decay_score_stateful_multi_batch_late_arrival(spark, tmp_path):
+    """Bounded-state decay score across 3 micro-batches with a LATE
+    arrival: an event in batch 3 that is OLDER than batch 1's events
+    must slot into its time position (state orders by event time, not
+    arrival), so the settled score equals the batch rendering."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.streaming.decay_state import (
+        K,
+        decay_score_stateful,
+    )
+
+    def ev_df(rows):
+        return (
+            spark.createDataFrame(
+                rows, "event_id long, user_id long, ts string, value double"
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    f1 = ev_df([(1, 7, "2024-01-01 10:00:00", 1.0),
+                (2, 7, "2024-01-01 11:00:00", 2.0)])
+    f2 = ev_df([(3, 7, "2024-01-01 12:00:00", 4.0)])
+    f3 = ev_df([(4, 7, "2024-01-01 09:00:00", 8.0)])  # late AND oldest
+
+    in_dir = str(tmp_path / "in")
+    f1.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    time.sleep(1.2)
+    f2.coalesce(1).write.parquet(in_dir, mode="append")
+    time.sleep(1.2)
+    f3.coalesce(1).write.parquet(in_dir, mode="append")
+
+    src = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    scored = decay_score_stateful(
+        src.select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    got = {}
+
+    def sink(batch, batch_id):
+        for r in batch.collect():
+            got[r["user_id"]] = (r["n_scored"], r["num_q"])
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        scored.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    # time order newest->oldest: e3(400), e2(200), e1(100), e4(800)
+    want = (400 << 15) + (200 << 14) + (100 << 13) + (800 << 12)
+    assert got[7] == (4, want)
+    assert K == 16
