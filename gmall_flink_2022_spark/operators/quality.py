@@ -30,23 +30,37 @@ from pyspark.sql import Column, DataFrame, functions as F
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """(column_name, n_rows, n_nulls, n_distinct) per requested column.
     n_distinct excludes NULL (count(distinct col) semantics, identical
-    in Spark and ANSI SQL)."""
-    parts = []
-    for c in cols:
-        parts.append(
-            df.agg(
-                F.lit(c).alias("column_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias("n_nulls"),
-                F.countDistinct(F.col(c)).alias("n_distinct"),
-            )
+    in Spark and ANSI SQL).
+
+    ONE scan for the whole profile: all columns fold into a single wide
+    aggregate (Catalyst plans the multi-distinct via Expand — rows
+    multiply by n_cols inside the pipeline, but the table is read once
+    and each expanded stream partial-aggregates map-side), then the
+    one-row result explodes to the per-column report."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{i}")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{i}"))
+    wide = df.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{i}").alias("n_nulls"),
+                        F.col(f"nd_{i}").alias("n_distinct"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("r")
+    ).select("r.column_name", "r.n_rows", "r.n_nulls", "r.n_distinct")
 
 
 def referential_orphans(

@@ -612,3 +612,12 @@ def test_dq_orphans_anti_join_key_projection(spark, sf_dir):
     p = _plan(spark, sf_dir, "dq_referential_orphans")
     assert "LeftAnti" in p
     assert "BatchEvalPython" not in p
+
+
+def test_dq_profile_single_scan(spark, sf_dir):
+    # the whole multi-column profile (incl. per-column exact distincts
+    # via Expand) reads orders ONCE
+    p = _plan(spark, sf_dir, "dq_profile_orders")
+    assert p.count("Location: InMemoryFileIndex") == 1, "orders scanned twice"
+    assert "Expand" in p
+    assert "BatchEvalPython" not in p
