@@ -243,7 +243,7 @@ def _cdc_materialized(raw: DataFrame) -> DataFrame:
                row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
         FROM ch
     )
-    SELECT pk, seq AS last_seq, status,
+    SELECT pk, CAST(seq AS BIGINT) AS last_seq, status,
            CAST(CAST(price AS DECIMAL(15,2)) AS DOUBLE) AS price
     FROM ranked WHERE rn = 1 AND op <> 'delete'
     """,
