@@ -1306,3 +1306,71 @@ def dq_check_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+@register(
+    "dq_profile_orders_approx",
+    # 100 TB profile posture: exact multi-distinct needs Expand (rows x
+    # n_cols through the pipeline); the scale variant swaps in
+    # approx_count_distinct — one plain aggregate, no Expand — and the
+    # driver-checkable contract is the established tolerance-boolean
+    # shape: exact values + a per-column bound the HLL must hold.
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           TRUE AS distinct_approx_ok
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           TRUE
+    FROM orders
+    """,
+    survey_ref="extension: the DQ profile's scale path — HLL cardinality "
+    "per column (production shape: one plain aggregate, NO Expand; this "
+    "contract entry carries the exact distinct alongside purely to make "
+    "the 5%-relative tolerance boolean driver-checkable, same as the "
+    "dws_*_approx family)",
+    tags=("dq", "agg", "approx"),
+)
+def dq_profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{i}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd=0.02).alias(f"na_{i}")
+        )
+    wide = o.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{i}").alias("n_nulls"),
+                        (
+                            F.abs(F.col(f"na_{i}") - F.col(f"nd_{i}"))
+                            <= F.greatest(
+                                F.lit(2.0), F.col(f"nd_{i}") * F.lit(0.05)
+                            )
+                        ).alias("distinct_approx_ok"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("r")
+    ).select("r.column_name", "r.n_rows", "r.n_nulls", "r.distinct_approx_ok")
