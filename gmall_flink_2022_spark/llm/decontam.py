@@ -176,3 +176,44 @@ def decontaminate(
         docs[id_col] == F.col("__bad_id"),
         "left_anti",
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document contamination accounting — not just WHO overlaps the
+    benchmark but HOW MUCH: (id, n_shingles, n_contaminated,
+    contamination_frac) over DISTINCT shingles per doc, docs with zero
+    overlap included (frac 0.0), zero-shingle docs absent. The report
+    the GPT-3 appendix actually publishes (overlap percentages), where
+    contaminated_ids is only its thresholded form.
+
+    Scale shape: identical to contaminated_ids — benchmark shingles
+    broadcast into a semi-probe; here the probe is an aggregate join
+    (per-doc counts) instead of a distinct. frac is one division of two
+    exact integers, engine-exact."""
+    doc_sh = shingles(docs, id_col, text_col, n)  # distinct per (id, shingle)
+    bench_sh = shingles(bench, id_col, text_col, n).select("shingle").distinct()
+    hit = F.when(
+        F.col("__hit").isNotNull(), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = doc_sh.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left"
+    )
+    agg = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(hit).cast("long").alias("n_contaminated"),
+    )
+    return agg.select(
+        "id",
+        "n_shingles",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination_frac"),
+    )

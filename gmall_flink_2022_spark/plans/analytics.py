@@ -1374,3 +1374,36 @@ def dq_profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.column_name", "r.n_rows", "r.n_nulls", "r.distinct_approx_ok")
+
+
+@register(
+    "ads_grouping_sets_revenue",
+    # arbitrary (non-hierarchical) grouping sets — ROLLUP and CUBE's
+    # general form: per-returnflag totals and per-linestatus totals in
+    # one pass, neither a superset of the other.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    survey_ref="engine completeness: arbitrary GROUPING SETS (the "
+    "general form behind the rollup/cube entries) — one scan, Expand "
+    "fans each row into its member sets with map-side partials",
+    tags=("ads", "rollup"),
+)
+def ads_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )

@@ -4276,3 +4276,36 @@ def ads_brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_mod.histogram_quantiles(
         hist, width=_PHIST_W, qs=_PHIST_QS, group_cols=["p_brand"]
     )
+
+
+@register(
+    "llm_contamination_report",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+    agg AS (
+        SELECT tr.doc_id AS id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
+        FROM tr LEFT JOIN b ON tr.shingle = b.shingle
+        GROUP BY tr.doc_id
+    )
+    SELECT id, n_shingles, n_contaminated,
+           CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+               AS contamination_frac
+    FROM agg
+    """,
+    survey_ref="extension: per-document contamination accounting (the "
+    "overlap-percentage report of the GPT-3 appendix; contaminated_ids "
+    "is its thresholded form) — benchmark shingles broadcast into an "
+    "aggregate probe, frac = one exact-integer division",
+    tags=("llm", "decontam"),
+)
+def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import decontam
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontam.contamination_report(train, bench, "doc_id", "text", n=3)
