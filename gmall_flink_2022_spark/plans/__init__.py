@@ -107,6 +107,32 @@ _DRIVER_WINDOW_FIRST = [
     # fronted riders either way.
     "llm_lm_perplexity",
     "stream_llm_lm_perplexity",
+    # Final late-r8 births with NO fronted same-path sibling — novel
+    # code (operators/quality.py, streaming/decay_state.py,
+    # decontam.contamination_report, the decay/attribution arithmetic)
+    # goes first per standing policy. They displace SIX entries, each
+    # with fronted coverage of its churned path: stats_store_idempotent_upsert
+    # + stream_db_route (the r8 journaled-swap DimStore path keeps FOUR
+    # fronted riders: llm_bpe_apply, stream_llm_dsir_score,
+    # stream_llm_rare_token_score, stream_user_decay_score) and the four
+    # r7-slip _scale knob twins stream_order_enrich_scale /
+    # stream_session_window_scale / stream_two_hop_scale /
+    # stream_keyword_stats_cjk_scale (their originals are r7-green and
+    # the _scale knob surface keeps stream_visitor_stats_scale's
+    # registry-wide collect_set plan gate; they lead the r9 list below).
+    # Births WITH a fronted same-path sibling slip to r9 instead:
+    # stream_cdc_materialize (dwd_cdc_materialize fronted),
+    # ads_grouping_sets_revenue (ads_rollup_revenue fronted),
+    # dq_referential_orphans (anti-join surface: dwd_anti_idle_customers
+    # fronted), dq_profile_orders_approx (tolerance-contract shape:
+    # llm_knn_lsh_contract + llm_dedup_embed_lsh_contract fronted;
+    # exact twin dq_profile_orders fronted).
+    "ads_user_decay_score",
+    "stream_user_decay_score",
+    "ads_attribution_linear",
+    "dq_profile_orders",
+    "dq_check_rules_lineitem",
+    "llm_contamination_report",
     "llm_dedup_prefix_jaccard",
     "llm_dup_graph_triangles",
     "llm_pii_redact",
@@ -130,11 +156,8 @@ _DRIVER_WINDOW_FIRST = [
     "stream_llm_rare_token_score",
     # --- (b) never driver-checked ---
     "llm_dsir_weights",
-    # --- (c) the 22 named r7 slips (r4-green, stalest first) ---
-    "stream_order_enrich_scale",
-    "stream_session_window_scale",
-    "stream_two_hop_scale",
-    "stream_keyword_stats_cjk_scale",
+    # --- (c) the named r7 slips (r4-green, stalest first; the four
+    # _scale knob twins displaced late, see above) ---
     "llm_knn_lsh_contract",
     "llm_dedup_embed_lsh_contract",
     "llm_semdedup_contract",
@@ -153,9 +176,7 @@ _DRIVER_WINDOW_FIRST = [
     "dws_session_window_native",
     "dwd_db_route",
     "stream_mm_features",
-    # --- (d) r5-green rotation: churned-code riders first ---
-    "stats_store_idempotent_upsert",
-    "stream_db_route",
+    # --- (d) r5-green rotation: the dedup-memo churn riders ---
     "llm_substring_dedup",
     "llm_dedup_simhash64",
 ]
@@ -167,13 +188,15 @@ _DRIVER_WINDOW_FIRST = [
 # (the 38 original slips PLUS the 8 late-r8 displacements:
 # llm_sequence_pack_bpe, llm_knn_ivf_contract, llm_curation_pipeline_full,
 # llm_dedup_paragraph, mm_media_features, mm_frame_sample,
-# llm_gopher_filter, llm_lang_id) — they go FIRST, along with
-# stream_cdc_materialize (born after the final r8 freeze; its batch
-# sibling dwd_cdc_materialize over the identical _cdc_materialized +
-# parse_cdc path IS fronted and green), ads_user_decay_score and
-# ads_attribution_linear (also born post-freeze; engine-exact integer
-# arithmetic, locally oracle-verified at sf0.01), then anything born
-# or churned in r9, then the r6-green cohort (3 rounds stale at r9).
+# llm_gopher_filter, llm_lang_id, stats_store_idempotent_upsert,
+# stream_db_route, and the four _scale knob twins
+# stream_order_enrich_scale / stream_session_window_scale /
+# stream_two_hop_scale / stream_keyword_stats_cjk_scale) — they go
+# FIRST, along with the four slipped late-r8 births
+# stream_cdc_materialize, ads_grouping_sets_revenue,
+# dq_referential_orphans, dq_profile_orders_approx (each locally
+# oracle-verified at sf0.01 with a fronted same-path sibling), then
+# anything born or churned in r9, then the r6-green cohort.
 
 
 def _prioritize() -> None:
