@@ -543,7 +543,12 @@ def prefix_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingles(df, id_col, text_col, n)
+    # materialize the shingle table once: it feeds six plan subtrees
+    # (sizes, document frequencies, the ranked prefix, the probe side,
+    # and both verify sides), each of which would otherwise replay the
+    # full tokenize+explode scan of the corpus — same lineage-truncation
+    # move as graph.triangle_counts
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("k"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     ranked = (
