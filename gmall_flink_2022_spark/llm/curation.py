@@ -135,3 +135,56 @@ def curate_full(
         d.join(bad.withColumnRenamed("id", "__bad"), d["id"] == F.col("__bad"), "left_anti")
         .select("id", F.col("ctext").alias("clean_text"))
     )
+
+
+def curate_ccnet(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    max_bits_q256: int = 1280,
+) -> DataFrame:
+    """The CCNet pipeline (Wenzek et al. 2020) in its published stage
+    order, one lazy plan:
+
+        paragraph-hash dedup (keep-first, reassemble)
+        -> bigram-LM perplexity gate against a reference corpus
+           (the wiki-KenLM stage; keep fluent docs)
+        -> exact dedup (min-id representative per content digest)
+
+    The LM gate is the engine-exact integer form: keep iff
+    ``cost_q256 <= max_bits_q256 * n_bigrams`` — the quantized
+    bits-per-token threshold compared in pure integer arithmetic
+    (max_bits_q256 = bits * 256; 1280 = 5.0 bits/token). Documents whose
+    cleaned text has fewer than two tokens carry no LM evidence and are
+    dropped (fail closed), matching CCNet's behavior on empty lines.
+
+    Returns surviving (id, clean_text). Scale shape: the cleaned
+    survivors feed the LM probe and the digest dedup; the LM count
+    tables are pre-reduced aggregates of the reference; nothing
+    re-reads the source."""
+    from .dedup import paragraph_dedup
+    from .lm import lm_perplexity
+
+    cleaned = (
+        paragraph_dedup(docs, id_col, text_col, window=window)
+        .filter(F.col("clean_text") != "")
+        .select("id", F.col("clean_text").alias("ctext"))
+    )
+    refn = ref.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("ctext")
+    )
+    ppl = lm_perplexity(cleaned, refn, "id", "ctext")
+    fluent_ids = ppl.filter(
+        F.col("cost_q256") <= max_bits_q256 * F.col("n_bigrams")
+    ).select("id")
+    fluent = cleaned.join(fluent_ids, "id", "left_semi")
+    keep_exact = (
+        fluent.groupBy(F.md5("ctext").alias("digest"))
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    return fluent.join(keep_exact, "id", "left_semi").select(
+        "id", F.col("ctext").alias("clean_text")
+    )

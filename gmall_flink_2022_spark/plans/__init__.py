@@ -192,10 +192,13 @@ _DRIVER_WINDOW_FIRST = [
 # stream_db_route, and the four _scale knob twins
 # stream_order_enrich_scale / stream_session_window_scale /
 # stream_two_hop_scale / stream_keyword_stats_cjk_scale) — they go
-# FIRST, along with the four slipped late-r8 births
+# FIRST, along with the five slipped late-r8 births
 # stream_cdc_materialize, ads_grouping_sets_revenue,
-# dq_referential_orphans, dq_profile_orders_approx (each locally
-# oracle-verified at sf0.01 with a fronted same-path sibling), then
+# dq_referential_orphans, dq_profile_orders_approx, and
+# llm_curation_ccnet (every stage's machinery fronted: paragraph
+# segmentation via llm_boilerplate_strip, the LM gate via
+# llm_lm_perplexity, exact dedup everywhere; each locally
+# oracle-verified at sf0.01), then
 # anything born or churned in r9, then the r6-green cohort.
 
 

@@ -4309,3 +4309,90 @@ def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 50 == 0)
     train = d.filter(F.col("doc_id") % 50 != 0)
     return decontam.contamination_report(train, bench, "doc_id", "text", n=3)
+
+
+# -------------------------------------------------- CCNet pipeline composed
+def _toks_sql(col: str) -> str:
+    return TOKS.replace("lower(text)", f"lower({col})")
+
+
+_CCNET_T = 1280  # 5.0 bits/token in q256 units — splits the corpus ~60/40
+
+
+@register(
+    "llm_curation_ccnet",
+    oracle=f"""
+    WITH {_PARA_CORPUS_SQL},
+    tk AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(
+                   list_slice(toks, i*{_PARA_W}+1, i*{_PARA_W}+{_PARA_W}),
+                   ' ') AS seg
+        FROM tk, UNNEST(generate_series(
+                 0, CAST(ceil(len(toks)/{_PARA_W}.0) AS INT) - 1)) AS t(i)
+        WHERE len(toks) > 0
+    ),
+    hs AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM seg),
+    st AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs,
+                  MIN(struct_pack(d := doc_id, p := pos)) AS first
+           FROM hs GROUP BY h),
+    mk AS (SELECT hs.doc_id, hs.pos, hs.seg,
+                  (st.n_docs <= 1 OR (hs.doc_id = (st.first).d
+                                      AND hs.pos = (st.first).p)) AS keep
+           FROM hs JOIN st USING (h)),
+    cleaned AS (
+        SELECT doc_id AS id,
+               COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                                   ORDER BY pos), '') AS ctext
+        FROM mk GROUP BY doc_id
+        HAVING COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                                   ORDER BY pos), '') <> ''
+    ),
+    rtk AS (SELECT {TOKS} AS toks FROM documents WHERE doc_id % 5 = 0),
+    rbg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM rtk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE len(toks) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM rbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    vv AS (SELECT COUNT(DISTINCT t) AS v
+           FROM (SELECT UNNEST(toks) AS t FROM rtk)),
+    stk AS (SELECT id, {_toks_sql("ctext")} AS toks FROM cleaned),
+    sbg AS (SELECT id, toks[i] AS w1, toks[i+1] AS w2
+            FROM stk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE len(toks) >= 2),
+    cost AS (
+        SELECT id,
+               {_qlog2_sql(_LM_C1)} - {_qlog2_sql(_LM_C12)} AS cost
+        FROM sbg
+        LEFT JOIN c12 ON sbg.w1 = c12.w1 AND sbg.w2 = c12.w2
+        LEFT JOIN c1 ON sbg.w1 = c1.w1
+        CROSS JOIN vv),
+    fluent AS (
+        SELECT id FROM cost GROUP BY id
+        HAVING SUM(cost) <= {_CCNET_T} * COUNT(*)
+    ),
+    fl AS (SELECT cleaned.id, cleaned.ctext FROM cleaned
+           JOIN fluent ON cleaned.id = fluent.id),
+    ke AS (SELECT MIN(id) AS id FROM fl GROUP BY md5(ctext))
+    SELECT fl.id, fl.ctext AS clean_text
+    FROM fl JOIN ke ON fl.id = ke.id
+    """,
+    survey_ref="extension: the CCNet pipeline (Wenzek et al. 2020) in "
+    "its published stage order — paragraph-hash dedup -> bigram-LM "
+    "perplexity gate (integer-quantized bits-per-token threshold, "
+    "engine-exact) -> exact dedup — composed as ONE lazy plan with the "
+    "end-to-end oracle replaying every stage on the rewritten text",
+    tags=("llm", "curation", "quality", "dedup"),
+    bench=True,
+)
+def llm_curation_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import curation
+
+    ref = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    )
+    return curation.curate_ccnet(
+        _para_corpus(spark, sf_dir), ref, "doc_id", "text",
+        window=_PARA_W, max_bits_q256=_CCNET_T,
+    )

@@ -2545,3 +2545,30 @@ def test_dq_referential_orphans_counts(spark):
     dim = spark.createDataFrame([(1,), (2,)], "d long")
     out = referential_orphans([("fk", fact, "k", dim, "d")]).collect()
     assert out[0]["check_name"] == "fk" and out[0]["orphan_ct"] == 1
+
+
+def test_curate_ccnet_stage_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.llm.curation import curate_ccnet
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog ran") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # fluent, unique -> kept
+            (2, "the cat sat on the mat"),          # exact dup: its only
+            #   segment is killed by the paragraph keep-first pass
+            (3, "zq xv qqj zzk wpt vvx bbq nnj"),   # OOV gibberish (3.0
+            #   bits/token on this tiny vocab) -> LM gate drops at 2.0
+            (4, "x"),                               # <2 tokens -> fail closed
+        ],
+        "doc_id long, text string",
+    )
+    # threshold 2.0 bits/token (512 q256): fluent ~1.55, gibberish ~3.0
+    out = curate_ccnet(docs, ref, "doc_id", "text", window=20,
+                       max_bits_q256=512)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1]
