@@ -154,3 +154,51 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("w").alias("id")))
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(pairs: DataFrame, k: int = 2, max_rounds: int = 12) -> DataFrame:
+    """The k-core of the undirected near-dup graph: iteratively peel
+    nodes of degree < k until fixpoint; return (id, deg) for survivors
+    with deg = degree WITHIN the core. The third cluster-cohesion
+    diagnostic next to triangle counts and PageRank — a dup cluster
+    whose members survive the 2-core is held together by cycles, not a
+    fragile transitive chain.
+
+    Each round is one degree aggregation + one semi-join pair (all on
+    node keys, map-side combining); lineage is truncated per round with
+    localCheckpoint exactly like pagerank above, so the plan does not
+    grow with rounds. Peeling converges in <= the graph's degeneracy
+    ordering depth; raises if ``max_rounds`` is exceeded (same
+    non-convergence contract as dedup.dup_clusters).
+    """
+    edges = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            edges.select(F.col("a").alias("id"))
+            .unionAll(edges.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id").localCheckpoint(eager=True)
+        nxt = (
+            edges.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == edges.count():
+            core_deg = (
+                nxt.select(F.col("a").alias("id"))
+                .unionAll(nxt.select(F.col("b").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            return core_deg
+        edges = nxt
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")

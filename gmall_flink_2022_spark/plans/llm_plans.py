@@ -4396,3 +4396,69 @@ def llm_curation_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         _para_corpus(spark, sf_dir), ref, "doc_id", "text",
         window=_PARA_W, max_bits_q256=_CCNET_T,
     )
+
+
+def _kcore_unroll_sql(rounds: int, k: int) -> str:
+    """Unrolled peel rounds over e0 (the pagerank-oracle move: a fixed
+    number of CTE iterations; extra rounds past the fixpoint are
+    no-ops, and the Spark side raises if it needs more than its
+    max_rounds, so equality cannot silently truncate)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+             SELECT a AS id FROM e{i-1} UNION ALL SELECT b FROM e{i-1})
+             GROUP BY id),
+    k{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i-1} e
+             JOIN k{i} ka ON e.a = ka.id
+             JOIN k{i} kb ON e.b = kb.id)""")
+    return ",".join(parts)
+
+
+@register(
+    "llm_dup_graph_kcore",
+    oracle=f"""
+    WITH {_TRI_CORPUS_SQL},
+    {shingle_cte("corpus")},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a
+        JOIN keep kp ON a.shingle = kp.shingle
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    e0 AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE)
+              / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+    ),
+    {_kcore_unroll_sql(4, 2)}
+    SELECT id, COUNT(*) AS deg FROM (
+        SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
+    GROUP BY id
+    """,
+    survey_ref="extension: k-core decomposition of the near-dup graph "
+    "(iterative peel, one degree aggregate + semi-join pair per round, "
+    "lineage-checkpointed like pagerank) — the cohesion diagnostic "
+    "separating cycle-held dup clusters from fragile transitive chains; "
+    "oracle = 4 unrolled peel rounds (idempotent past the fixpoint)",
+    tags=("llm", "dedup", "graph"),
+)
+def llm_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import graph
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    c1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    c2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(c1).unionByName(c2)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return graph.k_core(pairs.select("id_a", "id_b"), k=2, max_rounds=4)

@@ -2572,3 +2572,24 @@ def test_curate_ccnet_stage_semantics(spark):
                        max_bits_q256=512)
     ids = sorted(r["id"] for r in out.collect())
     assert ids == [1]
+
+
+def test_k_core_peels_chains_keeps_cliques(spark):
+    import pytest
+
+    from gmall_flink_2022_spark.llm.graph import k_core
+
+    # 4-clique + a pendant chain off node 4 + an isolated edge
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["id"]: r["deg"] for r in k_core(df, k=2).collect()}
+    # the chain and the isolated edge peel away; the clique's degrees
+    # are WITHIN-core (node 4 loses its pendant edge: 4, not 5... it had
+    # clique-internal degree 3 plus the pendant -> core deg 3)
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 4-core of a 4-clique is empty (max degree 3): converges to nothing
+    assert k_core(df, k=4).count() == 0
+    # non-convergence contract
+    with pytest.raises(RuntimeError):
+        k_core(df, k=2, max_rounds=0)
