@@ -2343,3 +2343,48 @@ def _register_stream_decay_score() -> None:
 
 
 _register_stream_decay_score()
+
+
+def _register_stream_brand_price_quantiles() -> None:
+    """The GROUPED quantile sketch live: stream-static broadcast dim
+    join feeds per-(brand, bucket) update-mode SUM counts — state is the
+    grid (brands x 256 bins), never the fact rows; quantile extraction
+    runs over the settled grid and equals the batch rendering."""
+    from ..llm import sketch as sketch_mod
+    from .llm_plans import _PHIST_BINS, _PHIST_QS, _PHIST_W
+    from .registry import REGISTRY as _R
+
+    @register(
+        "stream_brand_price_quantiles",
+        oracle=_R["ads_brand_price_quantiles"].oracle,
+        survey_ref="extension, streaming: per-brand price quantiles as "
+        "an update-mode grid SUM behind a stream-static broadcast dim "
+        "join — bounded per-group state (the histogram rows), settled "
+        "== the batch grouped-quantile entry",
+        tags=("streaming", "llm", "sketch", "serving"),
+    )
+    def stream_brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = read_stream_table(spark, sf_dir, "lineitem")
+        pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+            "p_brand", "l_extendedprice"
+        )
+        hist = sketch_mod.value_histogram(
+            j, "l_extendedprice", width=_PHIST_W, n_bins=_PHIST_BINS,
+            group_cols=["p_brand"],
+        )
+        keyed = hist.withColumn(
+            "_k", F.concat_ws("|", "p_brand", F.col("bucket").cast("string"))
+        )
+        settled = _run_update_upsert(keyed, _uniq("brand_hist"))
+        grid = settled.select(
+            "p_brand",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        return sketch_mod.histogram_quantiles(
+            grid, width=_PHIST_W, qs=_PHIST_QS, group_cols=["p_brand"]
+        )
+
+
+_register_stream_brand_price_quantiles()
