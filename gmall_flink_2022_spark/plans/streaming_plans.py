@@ -2388,3 +2388,100 @@ def _register_stream_brand_price_quantiles() -> None:
 
 
 _register_stream_brand_price_quantiles()
+
+
+def _register_stream_attribution() -> None:
+    """Linear attribution live, TWO-HOP topology (stream-stream joins
+    cannot share a job with update-mode aggregation): job 1 = the
+    watermarked interval self-join (purchases x prior-24h touches on
+    user_id) appended to a parquet hop — the reference's Kafka-hop
+    shape; job 2 = update-mode per-(conversion, channel) counts through
+    the keyed upsert store. The cross-channel normalizer and the
+    exact-integer division run over the settled grain."""
+    from .registry import REGISTRY as _R
+
+    @register(
+        "stream_attribution_linear",
+        oracle=_R["ads_attribution_linear"].oracle,
+        survey_ref="§2.3 J2 + §2.1 S9, streaming: revenue attribution "
+        "as a two-hop topology — append-mode stream-stream interval "
+        "join into a hop, then update-mode keyed-upsert counts; "
+        "settled == the batch entry, one exact-integer division per "
+        "output row",
+        tags=("streaming", "ads", "join"),
+    )
+    def stream_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        stage = tempfile.mkdtemp(prefix="gmall_attrib_hop_")
+        try:
+            ev = read_stream_table(spark, sf_dir, "events")
+            p = (
+                ev.filter(F.col("event_type") == "purchase")
+                .select(
+                    F.col("event_id").alias("purchase_id"),
+                    "user_id",
+                    F.col("ts").alias("p_ts"),
+                    F.floor(F.col("value") * 100).cast("long").alias("cents"),
+                )
+                .withWatermark("p_ts", "1 seconds")
+            )
+            t = (
+                ev.filter(F.col("event_type").isin("view", "click"))
+                .select(
+                    F.col("user_id").alias("t_user_id"),
+                    F.col("ts").alias("t_ts"),
+                    F.col("event_type").alias("channel"),
+                )
+                .withWatermark("t_ts", "1 seconds")
+            )
+            tp = p.join(
+                t,
+                (p["user_id"] == t["t_user_id"])
+                & (t["t_ts"] < p["p_ts"])
+                & (t["t_ts"] >= p["p_ts"] - F.expr("INTERVAL 24 HOURS")),
+            ).select("purchase_id", "user_id", "cents", "channel")
+            hop = os.path.join(stage, "hop")
+            with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+                q1 = (
+                    tp.writeStream.format("parquet")
+                    .option("path", hop)
+                    .option("checkpointLocation", os.path.join(stage, "ck1"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q1.awaitTermination()
+            hop_stream = spark.readStream.schema(
+                spark.read.parquet(hop).schema
+            ).parquet(hop)
+            per_chan = hop_stream.groupBy(
+                "purchase_id", "user_id", "cents", "channel"
+            ).agg(F.count(F.lit(1)).alias("channel_touches"))
+            keyed = per_chan.withColumn(
+                "_k", F.concat_ws("|", "purchase_id", "channel")
+            )
+            settled = _run_update_upsert(keyed, _uniq("attrib"))
+            typed = settled.select(
+                F.col("purchase_id").cast("long").alias("purchase_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                "channel",
+                F.col("cents").cast("long").alias("cents"),
+                F.col("channel_touches").cast("long").alias("channel_touches"),
+            )
+            n = F.sum("channel_touches").over(W.partitionBy("purchase_id"))
+            return typed.select(
+                "purchase_id",
+                "user_id",
+                "channel",
+                n.cast("long").alias("n_touches"),
+                "channel_touches",
+                (
+                    (F.col("cents") * F.col("channel_touches")).cast("double")
+                    / (100 * n).cast("double")
+                ).alias("attributed_revenue"),
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+_register_stream_attribution()
