@@ -195,13 +195,16 @@ _DRIVER_WINDOW_FIRST = [
 # FIRST, along with the five slipped late-r8 births
 # stream_cdc_materialize, ads_grouping_sets_revenue,
 # dq_referential_orphans, dq_profile_orders_approx, and
-# llm_curation_ccnet, llm_dup_graph_kcore, and stream_brand_price_quantiles (every stage's machinery fronted: paragraph
+# llm_curation_ccnet, llm_dup_graph_kcore, stream_brand_price_quantiles,
+# and stream_attribution_linear (every stage's machinery fronted: paragraph
 # segmentation via llm_boilerplate_strip, the LM gate via
 # llm_lm_perplexity, exact dedup everywhere; the k-core peel rides
 # the fronted triangle entry's pair corpus and pagerank's checkpoint
 # loop idiom, the grouped-quantile stream twin rides the fronted
-# ads_brand_price_quantiles + stream_value_histogram machinery; each
-# locally oracle-verified at sf0.01), then
+# ads_brand_price_quantiles + stream_value_histogram machinery, the
+# streaming attribution rides fronted ads_attribution_linear plus the
+# proven two-hop topology; each locally oracle-verified at sf0.01 and
+# swept by test_oracle_parity), then
 # anything born or churned in r9, then the r6-green cohort.
 
 

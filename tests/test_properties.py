@@ -400,3 +400,109 @@ def test_bpe_merge_step_equals_python_greedy(spark, words, left, right):
     }
     for w in dict.fromkeys(words):
         assert got[w] == _py_greedy_merge(list(w), left, right), (w, left, right)
+
+
+# --------------------------------------------------------- prefix filtering
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta",
+                         "eta", "theta"])
+_doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=10))
+def test_prefix_jaccard_equals_bruteforce(spark, texts):
+    """The zero-recall-loss theorem, property-checked: prefix filtering
+    must return EXACTLY the brute-force all-pairs answer at the same
+    threshold, on arbitrary small corpora (unigram shingles so tiny docs
+    still have a shingle set)."""
+    from gmall_flink_2022_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    brute = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, threshold=0.6, max_shingle_df=None,
+        pre_dedup=False,
+    )
+    fast = prefix_jaccard_pairs(df, "doc_id", "text", n=1, threshold_pct=60)
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert {key(r): r["common"] for r in brute.collect()} == {
+        key(r): r["common"] for r in fast.collect()
+    }
+
+
+# ------------------------------------------------------------------ k-core
+def _py_kcore(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        nxt = {e for e in es if e[0] not in bad and e[1] not in bad}
+        if nxt == es:
+            return deg
+        es = nxt
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40))
+def test_k_core_matches_reference_peel(spark, pairs):
+    from gmall_flink_2022_spark.llm.graph import k_core
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["deg"] for r in k_core(df, k=2, max_rounds=20).collect()}
+    want = _py_kcore(pairs, 2)
+    assert got == want
+
+
+# -------------------------------------------------------- decay score state
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.floats(0, 1000)),
+                min_size=1, max_size=60))
+def test_decay_batch_formula_reference(spark, rows):
+    """The batch window rendering equals a direct python fold of the
+    same integer arithmetic (floor cents, power-of-two weights, K=16)."""
+    from pyspark.sql import Window as W
+    import math
+
+    data = [(i, f"2024-01-01 00:00:{i % 60:02d}", u, v)
+            for i, (u, v) in enumerate(rows)]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ).alias("rn"),
+    ).filter(F.col("rn") <= 16)
+    got = {
+        row["user_id"]: row["num"]
+        for row in r.groupBy("user_id").agg(
+            F.sum(
+                F.col("cents") * F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    (16 - F.col("rn")).cast("int"))
+            ).alias("num")
+        ).collect()
+    }
+    want = {}
+    per_user = {}
+    for i, (u, v) in enumerate(data := [(u, v) for (u, v) in rows]):
+        per_user.setdefault(u, []).append((i, v))
+    for u, evs in per_user.items():
+        newest_first = sorted(evs, key=lambda t: (t[0] % 60, t[0]), reverse=True)[:16]
+        want[u] = sum(
+            math.floor(v * 100) * (1 << (15 - j))
+            for j, (_, v) in enumerate(newest_first)
+        )
+    assert got == want
