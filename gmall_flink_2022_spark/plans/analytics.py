@@ -1407,3 +1407,46 @@ def ads_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+# ----------------------------------------------- trailing RANGE-frame window
+@register(
+    "events_trailing_24h",
+    # RANGE frame over event time: per event, the user's activity count
+    # and cents-sum over the trailing 24 h INCLUDING the current row —
+    # the value-based frame (rowsBetween everywhere else in the repo is
+    # the row-based one). Engine-exact: integer cents, integer counts.
+    # Frame bounds are on epoch seconds (micros div 1_000_000) so both
+    # engines cut the window at identical integers.
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="§2.5 window-function breadth: the RANGE (value-based) "
+    "frame — trailing 24 h per-user activity; one shuffle on user_id, "
+    "one ordered pass per key (no self-join rendering of the trailing "
+    "window)",
+    tags=("ads", "window_fn", "events"),
+)
+def events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    sec = (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-86399, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(w)
+        .cast("long")
+        .alias("cents_24h"),
+    )
