@@ -196,7 +196,9 @@ _DRIVER_WINDOW_FIRST = [
 # stream_cdc_materialize, ads_grouping_sets_revenue,
 # dq_referential_orphans, dq_profile_orders_approx, and
 # llm_curation_ccnet, llm_dup_graph_kcore, stream_brand_price_quantiles,
-# and stream_attribution_linear (every stage's machinery fronted: paragraph
+# stream_attribution_linear, events_trailing_24h,
+# stream_llm_contamination_report, and llm_lm_ppl_buckets (every
+# stage's machinery fronted: paragraph
 # segmentation via llm_boilerplate_strip, the LM gate via
 # llm_lm_perplexity, exact dedup everywhere; the k-core peel rides
 # the fronted triangle entry's pair corpus and pagerank's checkpoint

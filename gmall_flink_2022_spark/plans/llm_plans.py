@@ -4462,3 +4462,67 @@ def llm_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(c1).unionByName(c2)
     pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
     return graph.k_core(pairs.select("id_a", "id_b"), k=2, max_rounds=4)
+
+
+_PPL_HEAD, _PPL_TAIL = 1250, 1285  # q256 bits/token cuts (~p25 / ~p75)
+
+
+@register(
+    "llm_lm_ppl_buckets",
+    # CCNet's head/middle/tail split: documents bucketed by LM
+    # bits-per-token (head = most fluent). The cut is the integer
+    # comparison cost_q256 <=> T * n_bigrams — no float ever decides a
+    # bucket, so the split is engine-exact and usable directly as a
+    # mixture knob for sampling.
+    oracle=f"""
+    WITH dtk AS (SELECT doc_id, COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+                 FROM documents),
+    rbg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM dtk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE doc_id % 5 = 0 AND len(toks) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM rbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    vv AS (SELECT COUNT(DISTINCT t) AS v
+           FROM (SELECT UNNEST(toks) AS t FROM dtk WHERE doc_id % 5 = 0)),
+    sbg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+            FROM dtk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE doc_id % 5 <> 0 AND len(toks) >= 2),
+    cost AS (
+        SELECT doc_id,
+               {_qlog2_sql(_LM_C1)} - {_qlog2_sql(_LM_C12)} AS cost
+        FROM sbg
+        LEFT JOIN c12 ON sbg.w1 = c12.w1 AND sbg.w2 = c12.w2
+        LEFT JOIN c1 ON sbg.w1 = c1.w1
+        CROSS JOIN vv),
+    agg AS (SELECT doc_id AS id, COUNT(*) AS n, CAST(SUM(cost) AS BIGINT) AS c
+            FROM cost GROUP BY doc_id)
+    SELECT id,
+           CASE WHEN c <= {_PPL_HEAD} * n THEN 'head'
+                WHEN c <= {_PPL_TAIL} * n THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM agg
+    """,
+    survey_ref="extension: CCNet head/middle/tail perplexity buckets — "
+    "the integer-exact form of the paper's tertile split, the mixture "
+    "knob its pipeline feeds to sampling",
+    tags=("llm", "text", "quality", "sampling"),
+)
+def llm_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import lm
+
+    d = _docs(spark, sf_dir)
+    ppl = lm.lm_perplexity(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+    )
+    return ppl.select(
+        "id",
+        F.when(
+            F.col("cost_q256") <= _PPL_HEAD * F.col("n_bigrams"), "head"
+        )
+        .when(F.col("cost_q256") <= _PPL_TAIL * F.col("n_bigrams"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

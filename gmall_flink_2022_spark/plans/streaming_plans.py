@@ -2485,3 +2485,43 @@ def _register_stream_attribution() -> None:
 
 
 _register_stream_attribution()
+
+
+def _register_stream_contamination_report() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_llm_contamination_report",
+        oracle=_R["llm_contamination_report"].oracle,
+        survey_ref="streaming rendering of the contamination report: "
+        "benchmark shingles broadcast into every micro-batch's probe "
+        "(a doc's shingles all live in its own row, so the per-doc "
+        "aggregate is batch-local); update-mode keyed upsert settles "
+        "to the batch report",
+        tags=("streaming", "llm", "decontam"),
+    )
+    def stream_llm_contamination_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..llm.decontam import contamination_report
+
+        d_static = read_table(spark, sf_dir, "documents")
+        bench = d_static.filter(F.col("doc_id") % 50 == 0)
+        train = read_stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 50 != 0
+        )
+        rep = contamination_report(train, bench, "doc_id", "text", n=3)
+        keyed = rep.withColumn("_k", F.col("id").cast("string"))
+        settled = _run_update_upsert(keyed, _uniq("contam_rep"))
+        return settled.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_frac"),
+        )
+
+
+_register_stream_contamination_report()
