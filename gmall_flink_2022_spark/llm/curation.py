@@ -167,10 +167,14 @@ def curate_ccnet(
     from .dedup import paragraph_dedup
     from .lm import lm_perplexity
 
+    # three consumers read the cleaned survivors (the LM probe, the
+    # fluent semi-join, the digest dedup) — persist once, same move as
+    # curate()/curate_full() above
     cleaned = (
         paragraph_dedup(docs, id_col, text_col, window=window)
         .filter(F.col("clean_text") != "")
         .select("id", F.col("clean_text").alias("ctext"))
+        .persist()
     )
     refn = ref.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("ctext")
