@@ -4526,3 +4526,96 @@ def llm_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+@register(
+    "llm_dup_cluster_audit",
+    # The cluster-quality serving view: per node, triangle participation
+    # and k-core membership JOINED over ONE shared candidate-pair
+    # materialization (the pair table is the expensive part; both
+    # diagnostics read the same localCheckpoint). A dup cluster whose
+    # members carry triangles and survive the 2-core is structurally
+    # solid; chain-only members are template drift.
+    oracle=f"""
+    WITH {_TRI_CORPUS_SQL},
+    {shingle_cte("corpus")},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a
+        JOIN keep kp ON a.shingle = kp.shingle
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    e0 AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE)
+              / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+    ),
+    tr AS MATERIALIZED (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM e0 e1
+        JOIN e0 e2 ON e2.a = e1.b
+        JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (SELECT id, COUNT(*) AS n_triangles FROM (
+             SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+             UNION ALL SELECT w FROM tr) GROUP BY id),
+    {_kcore_unroll_sql(4, 2)},
+    core AS (SELECT id, COUNT(*) AS core_deg FROM (
+             SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
+             GROUP BY id),
+    nodes AS (SELECT a AS id FROM e0 UNION SELECT b FROM e0)
+    SELECT n.id,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(COALESCE(c.core_deg, 0) AS BIGINT) AS core_deg,
+           c.id IS NOT NULL AS in_2core
+    FROM nodes n
+    LEFT JOIN tcnt t ON n.id = t.id
+    LEFT JOIN core c ON n.id = c.id
+    """,
+    survey_ref="extension: cluster-quality audit — triangle counts and "
+    "2-core membership per dup-graph node, both diagnostics reading ONE "
+    "shared pair materialization (candidate generation is the dominant "
+    "cost; the audit adds two cheap graph passes, not a second corpus "
+    "scan)",
+    tags=("llm", "dedup", "graph", "serving"),
+)
+def llm_dup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import graph
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    c1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    c2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(c1).unionByName(c2)
+    pairs = (
+        dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # ONE candidate generation, two readers
+    )
+    tri = graph.triangle_counts(pairs)
+    core = graph.k_core(pairs, k=2, max_rounds=4).withColumnRenamed(
+        "deg", "core_deg"
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    return (
+        nodes.join(tri, "id", "left")
+        .join(core, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.coalesce("core_deg", F.lit(0)).cast("long").alias("core_deg"),
+            F.col("core_deg").isNotNull().alias("in_2core"),
+        )
+    )
