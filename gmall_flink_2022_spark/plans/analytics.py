@@ -1450,3 +1450,108 @@ def events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents_24h"),
     )
+
+
+# ------------------------------------------------- per-group OLS trend
+@register(
+    "ads_brand_price_trend",
+    # Least-squares slope of price vs ship-day per brand, CLOSED FORM
+    # from four exact integer sums: slope = (n*Sxy - Sx*Sy) /
+    # (n*Sxx - Sx^2). x = days since 1992-01-01 (integer), y = cents
+    # (floor, integer) — every sum is exact bigint, the slope is one
+    # division of two exact integers. No UDF, no window, one shuffle:
+    # the regression everyone reaches for a grouped-map pandas UDF to
+    # write is four map-side-combining aggregates.
+    oracle="""
+    WITH p AS (
+        SELECT p_brand,
+               CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00',
+                              l_shipdate) AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    s AS (SELECT p_brand, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx
+          FROM p GROUP BY p_brand)
+    SELECT p_brand, n,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               AS slope_cents_per_day
+    FROM s WHERE n*sxx - sx*sx <> 0
+    """,
+    survey_ref="§2.4 extension: grouped least-squares trend as four "
+    "exact-integer aggregates (closed-form OLS) — the per-group "
+    "regression without a grouped-map UDF; one shuffle, map-side "
+    "partials",
+    tags=("ads", "agg"),
+)
+def ads_brand_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.datediff(
+        F.col("l_shipdate"), F.lit("1992-01-01").cast("date")
+    ).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    p = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand", x.alias("x"), y.alias("y")
+    )
+    s = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(den != 0).select(
+        "p_brand",
+        "n",
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_day"),
+    )
+
+
+# --------------------------------------------- per-user 3-sigma outliers
+@register(
+    "events_value_outliers",
+    # Flag events more than 3 population-sigma from their user's mean —
+    # WITHOUT sqrt or float variance: (y - Sy/n)^2 > 9*var cross-
+    # multiplies to the pure-integer test (n*y - Sy)^2 > 9*(n*Syy - Sy^2),
+    # so the flag can never straddle a float rounding boundary. One
+    # aggregate per user + one equi-join back on user_id.
+    oracle="""
+    WITH y AS (SELECT event_id, user_id,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    s AS (SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS sy,
+                 CAST(SUM(cents*cents) AS BIGINT) AS syy
+          FROM y GROUP BY user_id)
+    SELECT y.event_id, y.user_id, y.cents, s.n
+    FROM y JOIN s ON y.user_id = s.user_id
+    WHERE (s.n*y.cents - s.sy)*(s.n*y.cents - s.sy)
+          > 9*(s.n*s.syy - s.sy*s.sy)
+    """,
+    survey_ref="§2.4 extension: per-key 3-sigma outlier flags in pure "
+    "integer arithmetic (cross-multiplied variance test, no sqrt) — "
+    "the anomaly gate of a data-quality pipeline; one map-side-combined "
+    "aggregate + one natural-key join back",
+    tags=("dq", "events", "agg"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    y = ev.select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = y.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("syy"),
+    )
+    j = y.join(s, "user_id")
+    dev = F.col("n") * F.col("cents") - F.col("sy")
+    return j.filter(
+        dev * dev > 9 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    ).select("event_id", "user_id", "cents", "n")
