@@ -2525,3 +2525,51 @@ def _register_stream_contamination_report() -> None:
 
 
 _register_stream_contamination_report()
+
+
+def _register_stream_outliers() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_events_value_outliers",
+        oracle=_R["events_value_outliers"].oracle,
+        survey_ref="streaming rendering of the 3-sigma gate: per-user "
+        "(n, sum, sum-of-squares) are COMMUTATIVE integer sums, so they "
+        "accumulate as update-mode state and upsert per micro-batch; "
+        "the flags are scored post-settle against the static fact table "
+        "with the same cross-multiplied integer test — settled == batch "
+        "because the final state is the full-history sums",
+        tags=("streaming", "dq", "events"),
+    )
+    def stream_events_value_outliers(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        ev = read_stream_table(spark, sf_dir, "events").select(
+            "user_id", F.floor(F.col("value") * 100).cast("long").alias("cents")
+        )
+        s = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sy"),
+            F.sum(F.col("cents") * F.col("cents")).alias("syy"),
+        )
+        keyed = s.withColumn("_k", F.col("user_id").cast("string"))
+        settled = _run_update_upsert(keyed, _uniq("user_stats")).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n").cast("long").alias("n"),
+            F.col("sy").cast("long").alias("sy"),
+            F.col("syy").cast("long").alias("syy"),
+        )
+        y = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        j = y.join(settled, "user_id")
+        dev = F.col("n") * F.col("cents") - F.col("sy")
+        return j.filter(
+            dev * dev
+            > 9 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ).select("event_id", "user_id", "cents", "n")
+
+
+_register_stream_outliers()
