@@ -1555,3 +1555,74 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(
         dev * dev > 9 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     ).select("event_id", "user_id", "cents", "n")
+
+
+# --------------------------------------------- grouped correlation (r^2)
+@register(
+    "ads_qty_discount_corr",
+    # Pearson correlation between quantity and discount per return flag
+    # WITHOUT sqrt: r^2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) *
+    # (n*Syy - Sy^2)) — numerator and denominator are exact integers
+    # (discount scaled to integer basis points), so r^2 is ONE division
+    # and the sign is the integer sign of the covariance. The five-sum
+    # closed form that usually gets a grouped-map UDF.
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(y*y) AS BIGINT) AS syy
+          FROM p GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                     WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+               AS corr_sign,
+           CAST(CAST(n*sxy - sx*sy AS HUGEINT)
+                * CAST(n*sxy - sx*sy AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(n*sxx - sx*sx AS HUGEINT)
+                    * CAST(n*syy - sy*sy AS HUGEINT) AS DOUBLE) AS r2
+    FROM s
+    WHERE (n*sxx - sx*sx) <> 0 AND (n*syy - sy*sy) <> 0
+    """,
+    survey_ref="§2.4 extension: grouped Pearson correlation as five "
+    "exact-integer sums — r^2 is one exact division and the sign is an "
+    "integer, so no sqrt or float accumulation decides anything; "
+    "completes the no-UDF statistics family with the OLS trend",
+    tags=("ads", "agg"),
+)
+def ads_qty_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    s = p.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # the squares exceed bigint at scale — widen to decimal(38,0)
+    # (DuckDB: HUGEINT) before multiplying; both engines' int->double
+    # conversions are correctly rounded, so the single division stays
+    # engine-exact
+    covd = cov.cast("decimal(19,0)")
+    vxd, vyd = vx.cast("decimal(19,0)"), vy.cast("decimal(19,0)")
+    return s.filter((vx != 0) & (vy != 0)).select(
+        "l_returnflag",
+        "n",
+        F.signum(cov).cast("long").alias("corr_sign"),
+        ((covd * covd).cast("double") / (vxd * vyd).cast("double")).alias("r2"),
+    )
