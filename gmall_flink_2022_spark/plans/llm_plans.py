@@ -4619,3 +4619,68 @@ def llm_dup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("core_deg").isNotNull().alias("in_2core"),
         )
     )
+
+
+@register(
+    "ads_price_winsorized",
+    # Sketch-driven transform: the 256-bin histogram's p01/p99 bucket
+    # upper edges clamp every price (winsorization — the robust-stats
+    # outlier treatment), then per-flag exact totals of the clamped
+    # cents. The clamp bounds are exact doubles ((bucket+1)*512), the
+    # comparisons and totals pure integers after floor(x*100) — the
+    # whole pipeline hash-checks including the clamped sums.
+    oracle=f"""
+    WITH h AS (SELECT LEAST(GREATEST(CAST(floor(l_extendedprice
+                                           / {_PHIST_W}.0) AS BIGINT), 0),
+                            {_PHIST_BINS - 1}) AS bucket
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    hist AS (SELECT bucket, COUNT(*) AS cnt FROM h GROUP BY bucket),
+    cum AS (SELECT bucket,
+                   SUM(cnt) OVER (ORDER BY bucket) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM hist),
+    qs AS (SELECT UNNEST([0.01, 0.99]) AS q),
+    pick AS (SELECT q, MIN(bucket) AS bucket
+             FROM qs, cum WHERE cum >= ceil(q * n) GROUP BY q),
+    bounds AS (SELECT
+        MIN(CASE WHEN q = 0.01 THEN (bucket + 1) * {_PHIST_W} END) AS lo,
+        MIN(CASE WHEN q = 0.99 THEN (bucket + 1) * {_PHIST_W} END) AS hi
+      FROM pick),
+    w AS (SELECT l_returnflag,
+                 CAST(floor(LEAST(GREATEST(l_extendedprice, lo), hi) * 100)
+                      AS BIGINT) AS wcents
+          FROM lineitem CROSS JOIN bounds)
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(wcents) AS BIGINT) AS winsorized_cents
+    FROM w GROUP BY l_returnflag
+    """,
+    survey_ref="extension: histogram-sketch-driven winsorization — the "
+    "p01/p99 clamp bounds come from the bounded-state grid (broadcast "
+    "as a two-value frame), prices clamp in a narrow map, and the "
+    "per-flag totals are exact integers; the sketch-artifact-drives-a-"
+    "transform pattern at fact-table scale",
+    tags=("llm", "sketch", "ads"),
+)
+def ads_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    hist = sketch_mod.value_histogram(
+        li, "l_extendedprice", width=_PHIST_W, n_bins=_PHIST_BINS
+    )
+    qt = sketch_mod.histogram_quantiles(
+        hist, width=_PHIST_W, qs=(0.01, 0.99)
+    )
+    bounds = qt.agg(
+        F.min(F.when(F.col("q") == 0.01, F.col("est_hi"))).alias("lo"),
+        F.min(F.when(F.col("q") == 0.99, F.col("est_hi"))).alias("hi"),
+    )
+    w = li.crossJoin(F.broadcast(bounds)).select(
+        "l_returnflag",
+        F.floor(
+            F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")),
+                    F.col("hi")) * 100
+        ).cast("long").alias("wcents"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("wcents").cast("long").alias("winsorized_cents"),
+    )
