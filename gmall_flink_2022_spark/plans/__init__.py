@@ -199,8 +199,8 @@ _DRIVER_WINDOW_FIRST = [
 # stream_attribution_linear, events_trailing_24h,
 # stream_llm_contamination_report, llm_lm_ppl_buckets,
 # llm_dup_cluster_audit, ads_brand_price_trend, events_value_outliers,
-# stream_events_value_outliers, ads_qty_discount_corr, and
-# ads_price_winsorized (every
+# stream_events_value_outliers, ads_qty_discount_corr,
+# ads_price_winsorized, and ads_revenue_gini (every
 # stage's machinery fronted: paragraph
 # segmentation via llm_boilerplate_strip, the LM gate via
 # llm_lm_perplexity, exact dedup everywhere; the k-core peel rides

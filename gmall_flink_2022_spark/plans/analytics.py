@@ -1626,3 +1626,64 @@ def ads_qty_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(cov).cast("long").alias("corr_sign"),
         ((covd * covd).cast("double") / (vxd * vyd).cast("double")).alias("r2"),
     )
+
+
+# --------------------------------------------------- revenue concentration
+@register(
+    "ads_revenue_gini",
+    # Gini coefficient of order revenue per priority class — the
+    # concentration diagnostic, rank-form: G = (2*S_ranked - (n+1)*S)
+    # / (n*S) with S_ranked = sum(rank_i * x_i) over cents ranked
+    # ascending (total order via the orderkey tiebreak, so both engines
+    # rank identically). All sums exact bigint; ONE final division.
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(floor(o_totalprice * 100)
+                                                AS BIGINT), o_orderkey)
+                   AS rnk
+        FROM orders
+    ),
+    s AS (SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS tot,
+                 CAST(SUM(rnk * cents) AS BIGINT) AS rtot
+          FROM x GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           CAST(2*rtot - (n+1)*tot AS DOUBLE) / CAST(n*tot AS DOUBLE)
+               AS gini
+    FROM s WHERE tot <> 0
+    """,
+    survey_ref="§2.4 extension: per-group Gini concentration in the "
+    "rank form — one ranking window (per-key ordered pass), exact "
+    "integer sums, one division; the inequality diagnostic without a "
+    "single float accumulation",
+    tags=("ads", "agg", "window_fn"),
+)
+def ads_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    x = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.row_number()
+        .over(
+            W.partitionBy("o_orderpriority").orderBy(
+                cents.asc(), F.col("o_orderkey").asc()
+            )
+        )
+        .alias("rnk"),
+    )
+    s = x.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("rnk") * F.col("cents")).alias("rtot"),
+    )
+    num = 2 * F.col("rtot") - (F.col("n") + 1) * F.col("tot")
+    den = F.col("n") * F.col("tot")
+    return s.filter(F.col("tot") != 0).select(
+        "o_orderpriority",
+        "n",
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
