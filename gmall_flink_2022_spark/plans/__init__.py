@@ -200,7 +200,7 @@ _DRIVER_WINDOW_FIRST = [
 # stream_llm_contamination_report, llm_lm_ppl_buckets,
 # llm_dup_cluster_audit, ads_brand_price_trend, events_value_outliers,
 # stream_events_value_outliers, ads_qty_discount_corr,
-# ads_price_winsorized, and ads_revenue_gini (every
+# ads_price_winsorized, ads_revenue_gini, and dws_top_daily_paths (every
 # stage's machinery fronted: paragraph
 # segmentation via llm_boilerplate_strip, the LM gate via
 # llm_lm_perplexity, exact dedup everywhere; the k-core peel rides

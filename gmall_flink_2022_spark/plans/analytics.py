@@ -1687,3 +1687,52 @@ def ads_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (num.cast("double") / den.cast("double")).alias("gini"),
     )
+
+
+# ------------------------------------------------------- path analysis
+@register(
+    "dws_top_daily_paths",
+    # Clickstream path mining lite: each (user, day)'s ordered
+    # event-type sequence becomes a path string; output the 10 most
+    # common paths (count desc, path asc — fully deterministic: the
+    # per-day ordering is (ts, event_id), a total order). The funnel
+    # entry asks "did steps happen in order"; this asks "WHAT orders
+    # actually happen".
+    oracle="""
+    WITH p AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    ),
+    c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path)
+    SELECT path, n_sessions FROM c
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    survey_ref="§2.4/§2.5 extension: ordered path extraction per "
+    "(user, day) + top-N path frequencies — sort_array over the "
+    "per-key collected (ts, event_id, type) structs (bounded by the "
+    "key's own event count), then TakeOrderedAndProject for the top-10",
+    tags=("dws", "events", "window_fn"),
+)
+def dws_top_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return c.orderBy(F.desc("n_sessions"), F.asc("path")).limit(10)
