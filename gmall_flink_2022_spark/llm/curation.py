@@ -21,6 +21,29 @@ from ..functions.tokenize import tokenize_col
 from .dedup import minhash_lsh_pairs_from_shingles, shingles
 from .text import STOPWORDS
 
+# The pipelines below return LAZY plans over persisted intermediates, so
+# they cannot unpersist in-function (the cache must outlive the return).
+# Callers own the cache lifecycle: after materializing a pipeline's
+# result, call release_caches() to drop every intermediate the module
+# persisted since the last release (bench.py's between-query
+# spark.catalog.clearCache() subsumes it for the bench loop; composing
+# callers in a long-lived session use this targeted form).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by the curation pipelines
+    since the last call. Safe to call at any time — a consumer that
+    re-reads a released plan just recomputes it."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def curate(
     docs: DataFrame,
@@ -65,8 +88,8 @@ def curate(
         .agg(F.min("id").alias("id"))
         .select("id")
     )
-    edocs = qdocs.join(keep_exact, "id", "left_semi").persist()
-    sh = shingles(edocs, "id", "_text", tokens_col="_toks").persist()
+    edocs = _persist(qdocs.join(keep_exact, "id", "left_semi"))
+    sh = _persist(shingles(edocs, "id", "_text", tokens_col="_toks"))
     pairs = minhash_lsh_pairs_from_shingles(sh, threshold=jaccard_threshold)
     drop_near = pairs.select(F.col("id_b").alias("id")).distinct()
     return edocs.join(drop_near, "id", "left_anti").select("id")
@@ -121,10 +144,10 @@ def curate_full(
         .agg(F.min("id").alias("id"))
         .select("id")
     )
-    e = q.join(keep_exact, "id", "left_semi").persist()
+    e = _persist(q.join(keep_exact, "id", "left_semi"))
     pairs = minhash_lsh_pairs(e, "id", "ctext", threshold=jaccard_threshold)
     drop_near = pairs.select(F.col("id_b").alias("id")).distinct()
-    d = e.join(drop_near, "id", "left_anti").persist()
+    d = _persist(e.join(drop_near, "id", "left_anti"))
     # 6-gram contamination test (the GPT-3 13-gram filter's spirit; 3-grams
     # over this synthetic 64-word vocabulary collide on unrelated docs)
     bad = contaminated_ids(
@@ -170,11 +193,10 @@ def curate_ccnet(
     # three consumers read the cleaned survivors (the LM probe, the
     # fluent semi-join, the digest dedup) — persist once, same move as
     # curate()/curate_full() above
-    cleaned = (
+    cleaned = _persist(
         paragraph_dedup(docs, id_col, text_col, window=window)
         .filter(F.col("clean_text") != "")
         .select("id", F.col("clean_text").alias("ctext"))
-        .persist()
     )
     refn = ref.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("ctext")

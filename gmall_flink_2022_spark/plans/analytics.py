@@ -1614,10 +1614,13 @@ def ads_qty_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    # the squares exceed bigint at scale — widen to decimal(38,0)
-    # (DuckDB: HUGEINT) before multiplying; both engines' int->double
+    # the squares exceed bigint at scale — cast each OPERAND to
+    # decimal(19,0) (lossless from bigint) so Spark types the product
+    # decimal(19,0)*decimal(19,0) as decimal(38,0) (DuckDB: HUGEINT).
+    # Do NOT cast the operands to decimal(38,0): 38*38 multiplies cap at
+    # precision 38 and overflow to NULL. Both engines' int->double
     # conversions are correctly rounded, so the single division stays
-    # engine-exact
+    # engine-exact.
     covd = cov.cast("decimal(19,0)")
     vxd, vyd = vx.cast("decimal(19,0)"), vy.cast("decimal(19,0)")
     return s.filter((vx != 0) & (vy != 0)).select(

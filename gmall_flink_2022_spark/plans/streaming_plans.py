@@ -2451,9 +2451,12 @@ def _register_stream_attribution() -> None:
                     .start()
                 )
                 q1.awaitTermination()
-            hop_stream = spark.readStream.schema(
-                spark.read.parquet(hop).schema
-            ).parquet(hop)
+            # hop schema is known at plan time from the tp projection —
+            # never re-infer it from the written files (r8 ADVICE: an
+            # empty events input writes zero data files and
+            # spark.read.parquet would throw 'unable to infer schema'
+            # instead of settling to an empty result)
+            hop_stream = spark.readStream.schema(tp.schema).parquet(hop)
             per_chan = hop_stream.groupBy(
                 "purchase_id", "user_id", "cents", "channel"
             ).agg(F.count(F.lit(1)).alias("channel_touches"))

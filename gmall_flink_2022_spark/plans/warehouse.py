@@ -199,9 +199,13 @@ def _cdc_changelog_envelopes(o: DataFrame) -> DataFrame:
             "update",
         )
     )
+    # Realistic Debezium delete: only the BEFORE image, whose op_seq is
+    # the last upsert's seq (2 — every %10 key also got the %5 update).
+    # materialize_latest must tombstone these via the delete-wins
+    # op_rank tiebreak, not rely on a higher seq.
     dele = o.filter(F.col("o_orderkey") % 10 == 0).select(
         env(
-            F.create_map(F.lit("pk"), pk, F.lit("op_seq"), F.lit("3")),
+            F.create_map(F.lit("pk"), pk, F.lit("op_seq"), F.lit("2")),
             nomap,
             "delete",
         )
@@ -235,12 +239,15 @@ def _cdc_materialized(raw: DataFrame) -> DataFrame:
                CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)
         FROM orders WHERE o_orderkey % 5 = 0
         UNION ALL
-        SELECT o_orderkey, 3, 'delete', NULL, NULL
+        SELECT o_orderkey, 2, 'delete', NULL, NULL
         FROM orders WHERE o_orderkey % 10 = 0
     ),
     ranked AS (
         SELECT pk, seq, op, status, price,
-               row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+               row_number() OVER (
+                   PARTITION BY pk
+                   ORDER BY seq DESC, (op = 'delete') DESC
+               ) AS rn
         FROM ch
     )
     SELECT pk, CAST(seq AS BIGINT) AS last_seq, status,

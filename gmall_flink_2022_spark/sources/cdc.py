@@ -54,17 +54,21 @@ def materialize_latest(
 
     ``key_field``/``seq_field`` name entries of the envelope's row-image
     map (``after`` for upserts, ``before`` for deletes — a Debezium
-    delete carries only the old image); ``seq`` stands in for binlog
-    position and must be unique per key. ``payload_fields`` are the image
-    columns to surface.
+    delete carries only the old image, so its seq EQUALS the last
+    upsert's seq). ``payload_fields`` are the image columns to surface.
 
-    Spark-first shape: max(struct(seq, op, payload...)) per key — an
+    Spark-first shape: max(struct(seq, op_rank, ...)) per key — an
     order-independent argmax that map-side PARTIAL-aggregates, so the
     single shuffle moves one pre-reduced row per key per input partition
     (a window row_number() would sort every version of every key through
-    the exchange instead). Keys whose winning op is a delete drop out
-    after the aggregate. This is exactly the log-structured compaction
-    merge (Delta/Hudi snapshot read), expressed as a groupBy.
+    the exchange instead). ``op_rank`` (delete=1, upsert=0) is the
+    second struct field so a delete beats the upsert it tombstones when
+    their seqs tie — the realistic Debezium shape above; a plain
+    lexicographic op comparison would rank 'delete' < 'insert'/'update'
+    and silently resurrect the deleted row. Keys whose winning op is a
+    delete drop out after the aggregate. This is exactly the
+    log-structured compaction merge (Delta/Hudi snapshot read),
+    expressed as a groupBy.
     """
     img = F.coalesce(F.col("after"), F.col("before"))
     keyed = cdc.select(
@@ -72,6 +76,9 @@ def materialize_latest(
         img[key_field].alias("pk"),
         F.struct(
             img[seq_field].cast("long").alias("seq"),
+            F.when(F.col("type") == "delete", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("op_rank"),
             F.col("type").alias("op"),
             *[F.col("after")[f].alias(f) for f in payload_fields],
         ).alias("ver"),

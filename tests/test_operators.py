@@ -2382,6 +2382,14 @@ def test_cdc_materialize_latest_semantics(spark):
         # k2: inserted then deleted (delete carries only the before image)
         env("t1", "insert", None, {"pk": "k2", "op_seq": "1", "v": "x"}),
         env("t1", "delete", {"pk": "k2", "op_seq": "3", "v": "x"}, None),
+        # k3: the realistic Debezium shape — the delete's before image
+        # carries the LAST UPSERT'S seq, so it TIES on seq with the
+        # update it tombstones; the delete-wins op_rank tiebreak must
+        # prevail (r8 ADVICE: a lexicographic op comparison ranks
+        # 'delete' < 'update' and resurrects the row).
+        env("t1", "insert", None, {"pk": "k3", "op_seq": "1", "v": "a"}),
+        env("t1", "update", None, {"pk": "k3", "op_seq": "2", "v": "b"}),
+        env("t1", "delete", {"pk": "k3", "op_seq": "2", "v": "b"}, None),
         # same pk under ANOTHER table must not collide
         env("t2", "insert", None, {"pk": "k1", "op_seq": "7", "v": "other"}),
     ]

@@ -463,3 +463,39 @@ def test_decay_score_stateful_multi_batch_late_arrival(spark, tmp_path):
     want = (400 << 15) + (200 << 14) + (100 << 13) + (800 << 12)
     assert got[7] == (4, want)
     assert K == 16
+
+
+def test_stream_attribution_empty_events_settles_empty(spark, tmp_path):
+    """r8 ADVICE regression: an events input whose stream writes ZERO hop
+    data files must settle to an empty result, not raise 'unable to infer
+    schema' — the hop schema is built statically from the tp projection."""
+    from gmall_flink_2022_spark.plans.registry import REGISTRY
+
+    sf = tmp_path / "sf_empty"
+    sf.mkdir()
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    empty.write.parquet(str(sf / "events.parquet"))
+    out = REGISTRY["stream_attribution_linear"].fn(spark, str(sf))
+    assert out.count() == 0
+
+
+def test_curation_release_caches(spark):
+    from gmall_flink_2022_spark.llm import curation
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              f"word{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    curation.release_caches()  # start from a clean slate
+    out = curation.curate(docs)
+    assert out.count() > 0
+    cached = list(curation._LIVE_CACHES)
+    assert cached and all(d.storageLevel.useMemory for d in cached)
+    curation.release_caches()
+    assert not curation._LIVE_CACHES
+    assert all(not d.storageLevel.useMemory for d in cached)
