@@ -124,7 +124,18 @@ def _table_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
         ok = [v is not None and v.shape == (dim,) for v in vecs]
         if any(ok):
             good = np.stack([v for v, k in zip(vecs, ok) if k])
-            bits = (good @ flat.T >= 0.0).reshape(-1, n_tables, n_planes)
+            # accumulate in SEQUENTIAL index order — ((x0*y0)+x1*y1)+...
+            # in float64 — so the sign decision is bit-identical to the
+            # lsh_bucket expression fold AND to a DuckDB
+            # list_reduce(list_transform(...)) oracle fold. A single
+            # `good @ flat.T` matmul uses pairwise/SIMD summation whose
+            # last-ulp drift could flip a near-zero sign between engines;
+            # 64 vectorized accumulate steps keep the numpy speedup
+            # while making hyperplane-literal SQL oracles engine-exact.
+            acc = np.zeros((good.shape[0], flat.shape[0]), dtype=np.float64)
+            for d_i in range(dim):
+                acc += good[:, d_i : d_i + 1] * flat[:, d_i]
+            bits = (acc >= 0.0).reshape(-1, n_tables, n_planes)
         else:
             bits = np.empty((0, n_tables, n_planes), dtype=bool)
         out, gi = [], 0
@@ -348,6 +359,77 @@ def knn_ivf(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_topk_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    coarse_seed: str = "ivf",
+) -> DataFrame:
+    """IVF ANN with the seeded CLOSED-FORM coarse quantizer
+    (:func:`_pq_codebook`'s deterministic center pick — the n_cells
+    corpus vectors with smallest seeded hash) and EXACT cosine scoring
+    of the probed cells' vectors. Same inverted-list read path as
+    :func:`knn_ivf`, but every stage is deterministic closed-form, so
+    the whole search is oracle-hash-checkable end to end; swapping in
+    k-means centers (:func:`knn_ivf`, recall-contract-tested) changes
+    the tiny center frame, not the plan shape.
+
+    Scale shape identical to knn_ivf: centers and probes broadcast, one
+    corpus pass for cell assignment, the probe join touches
+    ~n_probe/n_cells of the corpus; at 100 TB the (cell -> vectors)
+    table persists partitioned by cell so a probe is a partition-pruned
+    scan. Output (query_id, neighbor_id, sim, rnk)."""
+    coarse = _pq_codebook(corpus, id_col, vec_col, n_cells, coarse_seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cells = (
+        c.crossJoin(F.broadcast(coarse))
+        .select(
+            "neighbor_id",
+            "c_vec",
+            F.struct(
+                _full_l2(F.col("c_vec"), F.col("cvec")).alias("d"),
+                F.col("cid").alias("cell"),
+            ).alias("s"),
+        )
+        .groupBy("neighbor_id", "c_vec")
+        .agg(F.min("s").alias("b"))
+        .select("neighbor_id", "c_vec", F.col("b.cell").alias("cell"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qw = W.partitionBy("query_id").orderBy(F.asc("qd"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            "q_vec",
+            F.col("cid").alias("cell"),
+            _full_l2(F.col("q_vec"), F.col("cvec")).alias("qd"),
+        )
+        .withColumn("prn", F.row_number().over(qw))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cands = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cands.withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
     )
 
 

@@ -764,13 +764,19 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EINC_PLANES, _EINC_TABLES, _EINC_SEED, _EINC_THRESH = 8, 2, 42, 0.9
 
 
-def _einc_bucket_exprs(vec: str) -> str:
-    """UNNEST-able list of per-table bucket keys for ``vec``."""
+def _lsh_bucket_exprs(
+    vec: str, n_planes: int, n_tables: int, seed: int
+) -> str:
+    """UNNEST-able list of per-table LSH bucket keys for ``vec`` with the
+    seeded hyperplanes embedded as SQL literals — generated from the SAME
+    seeded source as the Spark side (similarity._hyperplanes), folded in
+    the same sequential index order (similarity._table_buckets
+    accumulates per-index for exactly this reason), so the sign decision
+    and hence the bucket key are bit-identical across engines."""
     from ..llm.similarity import _hyperplanes
 
     tables = [
-        _hyperplanes(64, _EINC_PLANES, _EINC_SEED + 1000 * t)
-        for t in range(_EINC_TABLES)
+        _hyperplanes(64, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
     keys = []
     for t, planes in enumerate(tables):
@@ -784,6 +790,11 @@ def _einc_bucket_exprs(vec: str) -> str:
             bits.append(f"(CASE WHEN {fold} >= 0 THEN '1' ELSE '0' END)")
         keys.append(f"'{t}:' || " + " || ".join(bits))
     return ", ".join(keys)
+
+
+def _einc_bucket_exprs(vec: str) -> str:
+    """UNNEST-able list of per-table bucket keys for ``vec``."""
+    return _lsh_bucket_exprs(vec, _EINC_PLANES, _EINC_TABLES, _EINC_SEED)
 
 
 _EINC_SPLIT_SQL = """
@@ -1138,34 +1149,118 @@ def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- LSH-bucketed kNN
+# r9 promotion (VERDICT r8 ask #4): the LSH/IVF ANN entries were rows-only
+# ("approximate by construction") since r2. Approximation is a RECALL
+# property, not a determinism property — every stage is a deterministic
+# function of the seeded hyperplanes / seeded centers, so the oracle can
+# replay the exact search: hyperplanes as SQL literals (the
+# llm_embed_dedup_incremental trick), the coarse quantizer closed-form
+# (the llm_pq_codes/llm_knn_ivf_pq trick). Recall vs brute force remains
+# separately contract-tested (llm_knn_*_contract).
+_KNN_LSH_PLANES, _KNN_LSH_TABLES, _KNN_LSH_SEED = 4, 16, 42
+
+
+def _knn_lsh_oracle() -> str:
+    keys = _lsh_bucket_exprs(
+        "embedding", _KNN_LSH_PLANES, _KNN_LSH_TABLES, _KNN_LSH_SEED
+    )
+    return f"""
+    WITH cbk AS (SELECT vec_id AS neighbor_id,
+                        UNNEST([{keys}]) AS bucket
+                 FROM embeddings),
+    qbk AS (SELECT vec_id AS query_id, UNNEST([{keys}]) AS bucket
+            FROM embeddings WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT query_id, neighbor_id
+             FROM cbk JOIN qbk USING (bucket)
+             WHERE neighbor_id <> query_id),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      {_dot("qe.embedding", "ce.embedding")}
+                        / ({_norm("qe.embedding")} * {_norm("ce.embedding")}) AS sim
+               FROM cand
+               JOIN embeddings qe ON qe.vec_id = cand.query_id
+               JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+               FROM scored)
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
 @register(
     "llm_knn_lsh",
-    oracle=None,  # approximate by construction; driver rows-only check
-    survey_ref="extension: ANN scale path (random-hyperplane LSH buckets)",
+    oracle=_knn_lsh_oracle(),
+    survey_ref="extension: ANN scale path (random-hyperplane LSH buckets); "
+    "oracle replays the exact multi-table search with the seeded "
+    "hyperplanes embedded as SQL literals — candidates = any-table "
+    "collision, then exact cosine top-k",
     tags=("llm", "similarity"),
     bench=True,
 )
 def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    return similarity.knn_lsh(embs, queries, "vec_id", "embedding", k=5)
+    out = similarity.knn_lsh(embs, queries, "vec_id", "embedding", k=5)
+    return out.withColumnRenamed("rank", "rnk")
 
 
-# -------------------------------------------------- IVF (k-means) bucketed kNN
+# ------------------------------------------------------- IVF bucketed kNN
+_KNN_IVF_CELLS, _KNN_IVF_PROBE = 16, 4
+
+
 @register(
     "llm_knn_ivf",
-    oracle=None,  # approximate by construction (centroid placement); recall
-    # vs brute force asserted in tests/test_operators.py
-    survey_ref="extension: ANN scale path #2 — IVF inverted lists from a "
-    "k-means coarse quantizer (Spark ML), n_probe cell scan",
+    # the llm_knn_ivf_pq coarse-quantizer CTEs (seeded closed-form
+    # centers, full-vector argmin cells, n_probe nearest cells per
+    # query) with EXACT cosine scoring of the probed cells' vectors
+    oracle=f"""
+    WITH cseed AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS cid
+        FROM embeddings
+    ),
+    coarse AS (SELECT cid, embedding AS cvec FROM cseed WHERE cid <= {_KNN_IVF_CELLS}),
+    cellasg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_l2_sql("e.embedding", "c.cvec")}, c.cid) AS rn
+        FROM embeddings e, coarse c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (SELECT query_id, cid AS cell FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {_l2_sql("q.qvec", "c.cvec")}, c.cid) AS prn
+        FROM q, coarse c) WHERE prn <= {_KNN_IVF_PROBE}),
+    scored AS (SELECT pr.query_id, ca.neighbor_id,
+                      {_dot("q.qvec", "ce.embedding")}
+                        / ({_norm("q.qvec")} * {_norm("ce.embedding")}) AS sim
+               FROM probes pr
+               JOIN cellasg ca ON ca.cell = pr.cell
+               JOIN q ON q.query_id = pr.query_id
+               JOIN embeddings ce ON ce.vec_id = ca.neighbor_id
+               WHERE ca.neighbor_id <> pr.query_id),
+    ranked AS (SELECT query_id, neighbor_id, sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+               FROM scored)
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    survey_ref="extension: ANN scale path #2 — IVF inverted lists with the "
+    "seeded closed-form coarse quantizer (llm_knn_ivf_pq's coarse stage) "
+    "and exact cosine over probed cells; the k-means-trained quantizer "
+    "variant stays available as similarity.knn_ivf, recall-contracted by "
+    "llm_knn_ivf_contract",
     tags=("llm", "similarity"),
     bench=True,
 )
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    return similarity.knn_ivf(
-        embs, queries, "vec_id", "embedding", k=5, n_cells=10, n_probe=3
+    return similarity.ivf_topk_seeded(
+        embs, queries, "vec_id", "embedding", k=5,
+        n_cells=_KNN_IVF_CELLS, n_probe=_KNN_IVF_PROBE,
     )
 
 
@@ -1239,20 +1334,48 @@ def llm_dedup_embed_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDL_PLANES, _EDL_TABLES, _EDL_SEED = 8, 8, 42
+
+
+def _dedup_embed_lsh_oracle() -> str:
+    keys = _lsh_bucket_exprs("embedding", _EDL_PLANES, _EDL_TABLES, _EDL_SEED)
+    return f"""
+    WITH {_AUG_CTE},
+    bk AS (SELECT vec_id, UNNEST([{keys}]) AS bucket FROM aug),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (SELECT cand.id_a, cand.id_b,
+                      {_dot("ea.embedding", "eb.embedding")}
+                        / ({_norm("ea.embedding")} * {_norm("eb.embedding")}) AS sim
+               FROM cand
+               JOIN aug ea ON ea.vec_id = cand.id_a
+               JOIN aug eb ON eb.vec_id = cand.id_b)
+    SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.9
+    """
+
+
 @register(
     "llm_dedup_embed_lsh",
-    oracle=None,  # LSH blocking is approximate; pair recall vs the exact
-    # all-pairs threshold scan asserted in tests/test_operators.py
+    # oracle replays the exact blocked scan: candidates = pairs colliding
+    # in ANY of the 8 seeded hyperplane tables (plane literals, same
+    # sequential fold), verified with exact cosine >= 0.9. The Spark
+    # side's pre_dedup fast path is pair-set-equivalent by construction
+    # (identical vectors collide in every table; see
+    # similarity.embedding_near_dups_lsh), so one oracle covers both
+    # plan shapes.
+    oracle=_dedup_embed_lsh_oracle(),
     survey_ref="extension: embedding near-dup with LSH blocking (no "
     "ground-truth bucket column; linear candidate generation) over the "
-    "planted corpus — ~500 true pairs exist, so the rows-only driver "
-    "check and the pytest recall bound are non-vacuous",
+    "planted corpus — ~500 true pairs exist, so the exact-replay oracle "
+    "and the pytest recall bound are non-vacuous",
     tags=("llm", "dedup", "embedding"),
     bench=True,
 )
 def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups_lsh(
-        _embs_planted(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+        _embs_planted(spark, sf_dir), "vec_id", "embedding", threshold=0.9,
+        n_planes=_EDL_PLANES, n_tables=_EDL_TABLES, seed=_EDL_SEED,
     )
 
 

@@ -30,23 +30,10 @@ def test_registry_nonempty():
     assert len(WITH_ORACLE) >= 18
 
 
-def test_rows_only_queries_run(spark, sf_dir):
-    """The rows-only entries are the seeded ANN originals (top-k per
-    query): beyond merely running, they must return a NON-EMPTY result
-    with the contracted top-k shape — k rows per probed query — so a
-    silently-broken candidate generator can't pass as 'ran fine'. Their
-    QUALITY is covered by the hash-checked recall-contract twins."""
-    for name, q in plans.REGISTRY.items():
-        if q.oracle is None:
-            df = q.fn(spark, sf_dir)
-            if "query_id" in df.columns:  # ANN top-k shape
-                per_query = df.groupBy("query_id").count().collect()
-                assert len(per_query) > 0, f"{name} returned no rows"
-                ks = {r["count"] for r in per_query}
-                assert len(ks) == 1, f"{name} returned ragged top-k: {ks}"
-            else:  # near-dup pair shape (can be legitimately sparse)
-                rows = df.collect()
-                assert {"id_a", "id_b"} <= set(df.columns), name
-                assert all(r["id_a"] < r["id_b"] for r in rows), (
-                    f"{name} emitted non-canonical pairs"
-                )
+def test_every_entry_has_oracle():
+    """r9: the last rows-only entries (the seeded ANN originals) were
+    promoted to exact oracles — hyperplane literals / closed-form coarse
+    centers replayed in SQL. Nothing in the registry may regress to
+    rows-only without a documented reason here."""
+    no_oracle = [n for n, q in plans.REGISTRY.items() if q.oracle is None]
+    assert no_oracle == [], no_oracle
