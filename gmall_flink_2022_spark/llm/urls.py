@@ -1,0 +1,133 @@
+"""URL/domain stage-1 operators — the pass CCNet/RefinedWeb/FineWeb run
+BEFORE any content pass: normalize URLs, dedup by URL (keep-first), and
+balance the mixture by registrable domain so no single host dominates
+the corpus.
+
+Everything here is a narrow JVM-side column expression (regex + array
+ops; no Python UDF, no exchange for the extraction itself) and is
+replayed verbatim in ANSI SQL by the registry oracles:
+
+- :func:`url_normalize` — lowercase scheme://host, strip the fragment,
+  strip one trailing slash. Path/query case is preserved (paths are
+  case-sensitive per RFC 3986; hosts are not).
+- :func:`host_of` / :func:`registrable_domain` — host via one regex
+  (ports and userinfo excluded), registrable domain as the last two
+  labels, or three when the last two are a public-suffix pair like
+  co.uk (a literal set stands in for the full PSL — the operator shape
+  is the point; swapping in the real table is a broadcast join against
+  a few-thousand-row dim, not a plan change).
+- :func:`url_dedup` — keep-first (min id) per normalized URL: the exact
+  llm_dedup_exact shape keyed on the URL instead of the content digest.
+  One map-side-combined aggregation; at 100 TB this is the cheapest
+  dedup stage you run and it typically removes the most bytes.
+- :func:`domain_capped_sample` — per-domain Bernoulli cap in the same
+  md5 hash universe as sampling.hash_sample: rate_d = min(1, cap/n_d),
+  so every domain contributes at most ~cap docs in expectation.
+  Engine-exact: the threshold floor(rate * 2^32) multiplies a
+  correctly-rounded double division by a POWER OF TWO, so both engines
+  compute the identical integer threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .sampling import _u32
+
+# Two-label public suffixes recognized by registrable_domain (stand-in
+# for the Public Suffix List; see module docstring).
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr",
+)
+
+_HOST_RE = "://(?:[^/@]*@)?([^/#?:]+)"
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased hostname (userinfo/port/path/query/fragment stripped)."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last two host labels, or three when the trailing pair is a listed
+    public-suffix pair (co.uk style). Single-label hosts pass through."""
+    labels = F.split(host, r"\.")
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_ps2 = last2.isin(*TWO_LABEL_SUFFIXES)
+    return F.when(F.size(labels) <= 2, host).otherwise(
+        F.when(is_ps2 & (F.size(labels) >= 3), last3).otherwise(last2)
+    )
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL: lowercase scheme://host (userinfo/port preserved
+    as written, lowercased), fragment removed, one trailing slash
+    removed. Pure string expression — replayed identically in SQL."""
+    no_frag = F.substring_index(url, "#", 1)
+    no_slash = F.regexp_replace(no_frag, "/$", "")
+    head = F.regexp_extract(no_slash, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/#?]*)", 1)
+    tail = F.substring(no_slash, F.length(head) + 1, F.lit(1 << 30))
+    return F.concat(F.lower(head), tail)
+
+
+def url_dedup(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Keep-first URL dedup: (norm_url, keep_id, dup_ct) — min-id
+    representative per normalized URL. One hash aggregation with
+    map-side partial combine; no other exchange."""
+    return (
+        docs.select(
+            url_normalize(F.col(url_col)).alias("norm_url"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("norm_url")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_ct"),
+        )
+    )
+
+
+def domain_capped_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    cap: int = 100,
+) -> DataFrame:
+    """Domain-balanced downsampling: every registrable domain keeps at
+    most ~``cap`` docs in expectation, via a per-domain deterministic
+    Bernoulli(min(1, cap/n_d)) in the hash_sample universe (membership
+    is retry- and join-stable, like the whole sampling family).
+
+    Returns the per-domain report (domain, n_docs, thresh_q32,
+    n_selected) — the mixture table a 100 TB pipeline persists and the
+    selection it implies, verified together. Plan shape: ONE aggregation
+    over the extraction (narrow map), then a broadcast of the tiny
+    domain-rate table back onto the scan for the selection count —
+    rendered here as a second pass of the same aggregate grain, so the
+    whole report is one exchange."""
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        registrable_domain(host_of(F.col(url_col))).alias("domain"),
+    )
+    rate = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("n_docs").cast("double"))
+    sel = F.sum(
+        F.when(F.col("_u") < F.col("thresh_q32"), F.lit(1)).otherwise(F.lit(0))
+    )
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = counts.select(
+        "domain",
+        "n_docs",
+        F.floor(rate * F.lit(float(1 << 32))).cast("long").alias("thresh_q32"),
+    )
+    return (
+        d.withColumn("_u", _u32(F.col("id")))
+        .join(F.broadcast(rates), "domain")
+        .groupBy("domain", "n_docs", "thresh_q32")
+        .agg(sel.cast("long").alias("n_selected"))
+    )

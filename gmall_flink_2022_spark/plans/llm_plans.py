@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..llm import dedup, similarity, text
+from ..llm import dedup, similarity, text, urls as urls_mod
 from ..sources.io import read_table
 from .registry import register
 
@@ -4806,4 +4806,163 @@ def ads_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("wcents").cast("long").alias("winsorized_cents"),
+    )
+
+
+# ------------------------------------------------- URL/domain stage-1 ops
+# (r9, VERDICT r8 ask #2.) Real pipelines (CCNet, RefinedWeb/FineWeb)
+# dedup by URL and balance by registrable domain BEFORE any content
+# pass. The documents table has no URL column, so both engines derive
+# the SAME deterministic URL per doc (the _embs_planted pattern): host
+# case, trailing slash, and fragments vary by doc_id residue classes so
+# normalization has real work to do, and .co.uk hosts exercise the
+# public-suffix branch of registrable_domain.
+_URL_SQL = """
+    'https://'
+    || (CASE WHEN doc_id % 11 = 0
+             THEN upper((CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                  || 'site' || CAST(doc_id % 5 AS VARCHAR)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '.com'
+                           WHEN doc_id % 3 = 1 THEN '.org'
+                           ELSE '.co.uk' END))
+             ELSE (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                  || 'site' || CAST(doc_id % 5 AS VARCHAR)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '.com'
+                           WHEN doc_id % 3 = 1 THEN '.org'
+                           ELSE '.co.uk' END)
+        END)
+    || '/p/' || CAST(doc_id % 20 AS VARCHAR)
+    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END)
+"""
+
+_URL_DOCS_CTE = f"udocs AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)"
+
+# oracle renderings of the urls.py expressions (same regex, same ops)
+_HOST_SQL = "lower(regexp_extract(url, '://(?:[^/@]*@)?([^/#?:]+)', 1))"
+_PS2_SQL = ", ".join(f"'{s}'" for s in urls_mod.TWO_LABEL_SUFFIXES)
+_DOMAIN_SQL = f"""(
+    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+         WHEN array_to_string(string_split(host, '.')[-2:], '.')
+                  IN ({_PS2_SQL})
+              AND len(string_split(host, '.')) >= 3
+         THEN array_to_string(string_split(host, '.')[-3:], '.')
+         ELSE array_to_string(string_split(host, '.')[-2:], '.')
+    END)"""
+_NORM_SQL = """(
+    lower(regexp_extract(regexp_replace(split_part(url, '#', 1), '/$', ''),
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/#?]*)', 1))
+    || substring(regexp_replace(split_part(url, '#', 1), '/$', ''),
+                 length(regexp_extract(
+                     regexp_replace(split_part(url, '#', 1), '/$', ''),
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/#?]*)', 1)) + 1))"""
+
+
+def _with_url(d: DataFrame) -> DataFrame:
+    """Spark rendering of _URL_SQL (identical string arithmetic) over any
+    frame with a doc_id column — batch OR streaming (narrow map only)."""
+    rid = F.col("doc_id")
+    sub = F.when(rid % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    tld = (
+        F.when(rid % 3 == 0, F.lit(".com"))
+        .when(rid % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".co.uk"))
+    )
+    host = F.concat(sub, F.lit("site"), (rid % 5).cast("string"), tld)
+    host = F.when(rid % 11 == 0, F.upper(host)).otherwise(host)
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        (rid % 20).cast("string"),
+        F.when(rid % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(rid % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_url(_docs(spark, sf_dir))
+
+
+@register(
+    "llm_host_extract",
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    h AS (SELECT doc_id, url, {_HOST_SQL} AS host FROM udocs)
+    SELECT doc_id, url, host, {_DOMAIN_SQL} AS domain FROM h
+    """,
+    survey_ref="extension: URL stage-1 — host + registrable-domain "
+    "extraction as pure JVM column expressions (regex + array slicing; "
+    "no Python UDF, zero exchanges — plan-gated)",
+    tags=("llm", "url", "text"),
+)
+def llm_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import urls
+
+    d = _docs_with_urls(spark, sf_dir)
+    h = urls.host_of(F.col("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        h.alias("host"),
+        urls.registrable_domain(h).alias("domain"),
+    )
+
+
+@register(
+    "llm_url_dedup",
+    oracle=f"""
+    WITH {_URL_DOCS_CTE}
+    SELECT {_NORM_SQL} AS norm_url,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_ct
+    FROM udocs GROUP BY 1
+    """,
+    survey_ref="extension: URL-exact dedup, keep-first by normalized "
+    "URL (lowercased scheme://host, fragment and trailing slash "
+    "stripped) — the CCNet/RefinedWeb stage-1 pass; llm_dedup_exact's "
+    "one-aggregation shape keyed on the URL",
+    tags=("llm", "url", "dedup"),
+    bench=True,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import urls
+
+    return urls.url_dedup(_docs_with_urls(spark, sf_dir), "doc_id", "url")
+
+
+_DOMAIN_CAP = 20
+
+
+@register(
+    "llm_domain_mix",
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    h AS (SELECT doc_id, {_HOST_SQL} AS host FROM udocs),
+    dom AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM h),
+    counts AS (SELECT domain, COUNT(*) AS n_docs FROM dom GROUP BY domain),
+    rates AS (SELECT domain, n_docs,
+                     CAST(floor(LEAST(1.0,
+                          {_DOMAIN_CAP} / CAST(n_docs AS DOUBLE))
+                          * 4294967296.0) AS BIGINT) AS thresh_q32
+              FROM counts)
+    SELECT r.domain, r.n_docs, r.thresh_q32,
+           SUM(CASE WHEN {_u32_sql("d.doc_id")}
+                    < r.thresh_q32 THEN 1 ELSE 0 END) AS n_selected
+    FROM dom d JOIN rates r USING (domain)
+    GROUP BY r.domain, r.n_docs, r.thresh_q32
+    """,
+    survey_ref="extension: per-domain mixture balancing — every "
+    "registrable domain keeps at most ~cap docs in expectation via a "
+    "deterministic Bernoulli in the hash_sample universe (the "
+    "RefinedWeb/FineWeb domain-cap step); report = the mixture table a "
+    "100 TB pipeline persists plus the selection it implies",
+    tags=("llm", "url", "sampling"),
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import urls
+
+    return urls.domain_capped_sample(
+        _docs_with_urls(spark, sf_dir), "doc_id", "url", cap=_DOMAIN_CAP
     )

@@ -2576,3 +2576,45 @@ def _register_stream_outliers() -> None:
 
 
 _register_stream_outliers()
+
+
+def _register_stream_url_dedup() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "llm_url_dedup_stream",
+        oracle=_R["llm_url_dedup"].oracle,
+        survey_ref="streaming twin of llm_url_dedup: stage-1 keep-first "
+        "URL dedup live — the normalization is a narrow map on the "
+        "stream, the (min id, count) per normalized URL runs in update "
+        "mode, and only per-trigger changed keys leave the job through "
+        "the keyed-upsert store (the 100 TB posture: URL-dedup state is "
+        "an idempotent external KV, not a re-emitted table)",
+        tags=("streaming", "llm", "url", "dedup"),
+    )
+    def llm_url_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm import urls
+        from .llm_plans import _with_url
+
+        d = read_stream_table(spark, sf_dir, "documents")
+        agg = (
+            _with_url(d)
+            .select(
+                urls.url_normalize(F.col("url")).alias("norm_url"),
+                F.col("doc_id").alias("id"),
+            )
+            .groupBy("norm_url")
+            .agg(
+                F.min("id").alias("keep_id"),
+                F.count(F.lit(1)).alias("dup_ct"),
+            )
+        )
+        keyed = agg.withColumn("_k", F.col("norm_url"))
+        return _run_update_upsert(keyed, _uniq("urldedup")).select(
+            "norm_url",
+            F.col("keep_id").cast("long").alias("keep_id"),
+            F.col("dup_ct").cast("long").alias("dup_ct"),
+        )
+
+
+_register_stream_url_dedup()

@@ -2601,3 +2601,65 @@ def test_k_core_peels_chains_keeps_cliques(spark):
     # non-convergence contract
     with pytest.raises(RuntimeError):
         k_core(df, k=2, max_rounds=0)
+
+
+def test_url_normalize_and_domain(spark):
+    from gmall_flink_2022_spark.llm import urls
+
+    rows = [
+        (1, "https://WWW.Example.COM/Path/To/X/#frag"),
+        (2, "https://www.example.com/Path/To/X"),
+        (3, "http://sub.a.shop.co.uk/p?q=1#x"),
+        (4, "https://example.com"),
+        (5, "https://user@host.org:8080/y/"),
+        (6, "ftp://Mixed.Case.Net/Z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            urls.url_normalize(F.col("url")).alias("norm"),
+            urls.host_of(F.col("url")).alias("host"),
+            urls.registrable_domain(urls.host_of(F.col("url"))).alias("dom"),
+        ).collect()
+    }
+    # case-folded host, fragment + trailing slash stripped: 1 == 2
+    assert out[1]["norm"] == out[2]["norm"] == "https://www.example.com/Path/To/X"
+    assert out[1]["host"] == "www.example.com"
+    assert out[1]["dom"] == "example.com"
+    # public-suffix pair: registrable domain keeps three labels
+    assert out[3]["host"] == "sub.a.shop.co.uk"
+    assert out[3]["dom"] == "shop.co.uk"
+    # bare domain passes through; port and userinfo excluded from host
+    assert out[4]["dom"] == "example.com"
+    assert out[5]["host"] == "host.org"
+    assert out[5]["norm"] == "https://user@host.org:8080/y"
+    assert out[6]["host"] == "mixed.case.net"
+    assert out[6]["dom"] == "case.net"
+
+
+def test_domain_capped_sample_semantics(spark):
+    from gmall_flink_2022_spark.llm import urls
+    from gmall_flink_2022_spark.llm.sampling import _u32
+
+    docs = spark.createDataFrame(
+        [(i, f"https://big.com/p/{i}" if i < 80 else f"https://small.org/p/{i}")
+         for i in range(100)],
+        "doc_id long, url string",
+    )
+    rep = {r["domain"]: r for r in
+           urls.domain_capped_sample(docs, cap=30).collect()}
+    assert rep["big.com"]["n_docs"] == 80
+    assert rep["small.org"]["n_docs"] == 20
+    # small domain under the cap keeps everything (rate clamps at 1)
+    assert rep["small.org"]["thresh_q32"] == 1 << 32
+    assert rep["small.org"]["n_selected"] == 20
+    # big domain downsampled: selection is the deterministic Bernoulli
+    got = rep["big.com"]["n_selected"]
+    thresh = rep["big.com"]["thresh_q32"]
+    assert thresh == int((30 / 80) * (1 << 32))
+    want = docs.filter(
+        (F.col("doc_id") < 80) & (_u32(F.col("doc_id")) < thresh)
+    ).count()
+    assert got == want

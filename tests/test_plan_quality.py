@@ -621,3 +621,24 @@ def test_dq_profile_single_scan(spark, sf_dir):
     assert p.count("Location: InMemoryFileIndex") == 1, "orders scanned twice"
     assert "Expand" in p
     assert "BatchEvalPython" not in p
+
+
+def test_url_stage1_plans(spark, sf_dir):
+    """r9 URL stage-1 family: extraction is a pure narrow map (regex +
+    array slicing, zero exchanges, no Python); URL dedup is exactly the
+    one aggregation exchange it asks for; the domain-cap report is the
+    two-pass stats-then-apply shape with the rate table broadcast."""
+    p = _plan(spark, sf_dir, "llm_host_extract")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(spark, sf_dir, "llm_url_dedup")
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(norm_url" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(spark, sf_dir, "llm_domain_mix")
+    assert "BroadcastHashJoin" in p  # rate table broadcasts back
+    assert "SortMergeJoin" not in p
+    assert p.count(") Exchange") - p.count("ReusedExchange") <= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
