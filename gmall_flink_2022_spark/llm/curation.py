@@ -160,6 +160,58 @@ def curate_full(
     )
 
 
+def training_shards(
+    docs: DataFrame,
+    bench: DataFrame,
+    lang_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    rates: dict[str, float] | None = None,
+    default: float = 0.2,
+    seq_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The composed training-shard export — the artifact a training run
+    actually consumes, as ONE lazy plan over a single corpus scan:
+
+        curate_full (paragraph dedup -> Gopher -> exact dedup ->
+                     MinHash near-dup -> decontamination)
+        -> language-mixture downsample (deterministic Bernoulli per
+           lang; docs with no metadata row fall to the default rate)
+        -> sequence packing on the CHAINED clean text (shard-local
+           running token offsets, seq_len cuts)
+        -> deterministic global shuffle order (TeraSort-style ranking)
+
+    Returns (id, shard, seq_id, tok_offset, n_tokens, lang,
+    shuffle_rank) — the shard manifest; the registry entry writes it
+    shard-partitioned and reads it back (the consumer layout). Every
+    stage operates on the text the previous stage produced, which is
+    exactly what the end-to-end oracle replays. The survivors persist
+    once inside curate_full; the mixture/pack/shuffle stages add one
+    window shuffle (pack) + two id-grain joins over the (small)
+    surviving set — at 100 TB the corpus-sized work all happens before
+    the sample gate."""
+    from .packing import sequence_pack
+    from .sampling import mixture_sample, shuffle_order
+
+    surv = curate_full(docs, bench, id_col, text_col, window=window)
+    lng = (
+        surv.join(lang_df, surv["id"] == lang_df[id_col], "left")
+        .select(
+            surv["id"],
+            "clean_text",
+            F.coalesce(lang_df["lang"], F.lit("unknown")).alias("lang"),
+        )
+    )
+    samp = _persist(
+        mixture_sample(lng, "lang", "id", rates or {"en": 0.5, "zh": 1.0}, default)
+    )
+    packed = sequence_pack(samp, "id", "clean_text", seq_len=seq_len, n_shards=n_shards)
+    ordered = shuffle_order(packed.select("id"), "id")
+    return packed.join(samp.select("id", "lang"), "id").join(ordered, "id")
+
+
 def curate_ccnet(
     docs: DataFrame,
     ref: DataFrame,

@@ -3714,8 +3714,7 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------- full curation pipeline (v2)
 _TOKS_CT = TOKS.replace("lower(text)", "lower(ctext)")
-_CURATE_FULL_ORACLE = f"""
-    WITH {_PARA_CORPUS_SQL},
+_CURATE_FULL_CTES = f"""{_PARA_CORPUS_SQL},
     tk AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
     seg AS (
         SELECT doc_id, i AS pos,
@@ -3812,9 +3811,14 @@ _CURATE_FULL_ORACLE = f"""
         WHERE len(toks) >= 6
     ),
     contam AS (SELECT DISTINCT ds.id FROM dsh ds
-               JOIN bsh ON ds.shingle = bsh.shingle)
-    SELECT d.id, d.ctext AS clean_text FROM d
-    WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.id = d.id)
+               JOIN bsh ON ds.shingle = bsh.shingle),
+    surv AS (SELECT d.id, d.ctext FROM d
+             WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.id = d.id))
+"""
+
+_CURATE_FULL_ORACLE = f"""
+    WITH {_CURATE_FULL_CTES}
+    SELECT id, ctext AS clean_text FROM surv
 """
 
 
@@ -3837,6 +3841,84 @@ def llm_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return curate_full(docs, bench, "doc_id", "text", window=_PARA_W)
+
+
+_SHARD_RATES_SQL = (
+    f"CASE lang WHEN 'en' THEN {int(0.5 * (1 << 32))} "
+    f"WHEN 'zh' THEN {1 << 32} ELSE {int(0.2 * (1 << 32))} END"
+)
+
+
+@register(
+    "llm_training_shards",
+    # end-to-end replay, every stage on the chained text (the
+    # llm_curation_ccnet discipline extended to the training artifact):
+    # curate_full CTEs -> lang join (missing metadata -> default rate)
+    # -> mixture Bernoulli -> shard-local packing windows -> TeraSort
+    # shuffle rank over the packed rows.
+    oracle=f"""
+    WITH {_CURATE_FULL_CTES},
+    lng AS (SELECT surv.id, surv.ctext,
+                   COALESCE(doc.lang, 'unknown') AS lang
+            FROM surv LEFT JOIN documents doc ON doc.doc_id = surv.id),
+    samp AS (SELECT id, ctext, lang FROM lng
+             WHERE {_u32_sql("id")} < {_SHARD_RATES_SQL}),
+    ptk AS (SELECT id, lang, id % 8 AS shard,
+                   len({_TOKS_CT}) AS n_tokens
+            FROM samp),
+    pnz AS (SELECT * FROM ptk WHERE n_tokens > 0),
+    pack AS (SELECT id, lang, CAST(shard AS BIGINT) AS shard,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+             AS BIGINT) AS seq_id,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tok_offset,
+        CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM pnz)
+    SELECT id, shard, seq_id, tok_offset, n_tokens, lang,
+           ROW_NUMBER() OVER (
+               ORDER BY {_u32_sql("'shuffle|' || CAST(id AS VARCHAR)")},
+                        id) AS shuffle_rank
+    FROM pack
+    """,
+    survey_ref="extension FLAGSHIP #2: the composed training-shard "
+    "export — curate_full -> decontaminate -> language-mixture sample "
+    "-> sequence_pack -> shuffle_order -> shard-partitioned write, one "
+    "lazy plan, corpus scanned once; the entry round-trips the manifest "
+    "through a shard-partitioned parquet layout (the artifact a "
+    "training run consumes). Stage attrition at sf0.01 on the planted "
+    "corpus: 600 raw -> 336 curated+decontaminated -> 161 after the "
+    "mixture gate; packed rows = the non-empty 161",
+    tags=("llm", "pipeline", "layout"),
+    bench=True,
+)
+def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..llm.curation import training_shards
+
+    docs = _para_corpus(spark, sf_dir)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "text"
+    )
+    lang_df = _docs(spark, sf_dir).select("doc_id", "lang")
+    manifest = training_shards(docs, bench, lang_df, "doc_id", "text",
+                               window=_PARA_W)
+    stage = tempfile.mkdtemp(prefix="gmall_shards_")
+    try:
+        # the consumer layout: one directory per shard, so a trainer
+        # reading shard k is a partition-pruned scan
+        manifest.write.mode("overwrite").partitionBy("shard").parquet(stage)
+        back = spark.read.parquet(stage).select(
+            "id",
+            F.col("shard").cast("long").alias("shard"),
+            "seq_id", "tok_offset", "n_tokens", "lang", "shuffle_rank",
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @register(
