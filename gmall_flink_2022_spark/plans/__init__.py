@@ -40,7 +40,11 @@ _DRIVER_WINDOW_FIRST = [
     "llm_host_extract",
     "llm_training_shards",
     "llm_lm_perplexity_sampled",
-    "llm_dup_graph_triangles_lsh",
+    # graph demos re-fed from the cap-free prefix-filter pair family
+    # (ask #5) — semantically changed in r9, so they front (kcore and
+    # cluster_audit are also in the never-checked block below; the
+    # triangles entry was r8-green but its pair source changed):
+    "llm_dup_graph_triangles",
     "llm_knn_lsh",
     "llm_knn_ivf",
     "llm_dedup_embed_lsh",

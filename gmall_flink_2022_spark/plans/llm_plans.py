@@ -1612,8 +1612,12 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clique structure both engines derive identically: every 10th doc gets
 # one full copy (+100000) and every 20th a second (+300000) — %20 docs
 # form guaranteed 3-cliques, %10-but-not-%20 docs form single edges that
-# must NOT count. Edges = the df-capped n-gram Jaccard pairs at 0.5 over
-# that corpus; the oracle recomputes them exhaustively and counts
+# must NOT count. Edges = the EXACT prefix-filtered Jaccard pairs at 0.5
+# over that corpus (r9, VERDICT r8 ask #5: the df<=64-capped family went
+# vacuous at sf1 because replica families push planted shingles past the
+# cap — prefix filtering is cap-free and exact, so the 10x spot-check
+# exercises real triangles); the oracle recomputes the pair set
+# exhaustively (prefix filtering = zero recall loss) and counts
 # triangles with the canonical a<b<c triple join.
 _TRI_CORPUS_SQL = """
 corpus AS (
@@ -1631,11 +1635,9 @@ corpus AS (
     oracle=f"""
     WITH {_TRI_CORPUS_SQL},
     {shingle_cte("corpus")},
-    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         FROM sh a
-        JOIN keep k ON a.shingle = k.shingle
         JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
@@ -1644,8 +1646,7 @@ corpus AS (
         FROM pairs
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
-        WHERE CAST(common AS DOUBLE)
-              / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+        WHERE 100 * common >= 50 * (sa.n + sb.n - common)
     ),
     tr AS (
         SELECT e1.a AS u, e1.b AS v, e2.b AS w
@@ -1677,7 +1678,9 @@ def llm_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 300000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(c1).unionByName(c2)
-    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dedup.prefix_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold_pct=50
+    )
     return graph.triangle_counts(pairs.select("id_a", "id_b"))
 
 
@@ -4626,11 +4629,9 @@ def _kcore_unroll_sql(rounds: int, k: int) -> str:
     oracle=f"""
     WITH {_TRI_CORPUS_SQL},
     {shingle_cte("corpus")},
-    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         FROM sh a
-        JOIN keep kp ON a.shingle = kp.shingle
         JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
@@ -4639,8 +4640,7 @@ def _kcore_unroll_sql(rounds: int, k: int) -> str:
         FROM pairs
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
-        WHERE CAST(common AS DOUBLE)
-              / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+        WHERE 100 * common >= 50 * (sa.n + sb.n - common)
     ),
     {_kcore_unroll_sql(4, 2)}
     SELECT id, COUNT(*) AS deg FROM (
@@ -4665,7 +4665,9 @@ def llm_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 300000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(c1).unionByName(c2)
-    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dedup.prefix_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold_pct=50
+    )
     return graph.k_core(pairs.select("id_a", "id_b"), k=2, max_rounds=4)
 
 
@@ -4744,11 +4746,9 @@ def llm_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TRI_CORPUS_SQL},
     {shingle_cte("corpus")},
-    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         FROM sh a
-        JOIN keep kp ON a.shingle = kp.shingle
         JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
@@ -4757,8 +4757,7 @@ def llm_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
-        WHERE CAST(common AS DOUBLE)
-              / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+        WHERE 100 * common >= 50 * (sa.n + sb.n - common)
     ),
     tr AS MATERIALIZED (
         SELECT e1.a AS u, e1.b AS v, e2.b AS w
@@ -4801,7 +4800,8 @@ def llm_dup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(c1).unionByName(c2)
     pairs = (
-        dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+        dedup.prefix_jaccard_pairs(corpus, "doc_id", "text", n=3,
+                                   threshold_pct=50)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)  # ONE candidate generation, two readers
     )
