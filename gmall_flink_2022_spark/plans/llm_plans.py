@@ -51,6 +51,17 @@ def _norm(a: str) -> str:
     )
 
 
+# The sampling family's deterministic u32: first 8 hex chars of md5(id)
+# as an integer, rendered in SQL with the strpos fold (DuckDB's from_hex
+# yields BLOB, not castable to BIGINT).
+def _u32_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_transform(generate_series(1, 8), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5(CAST({expr} AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+        "(a, d) -> a * 16 + d)"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
@@ -2041,6 +2052,62 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_lm_perplexity_sampled",
+    # the 100 TB tokenizer/LM posture (same as llm_bpe_train_sampled):
+    # train the count tables on a deterministic hash HALF of the
+    # reference, score the FULL candidate corpus — training cost follows
+    # the sample, scoring stays one hash join per table. The sample
+    # membership is the md5-u32 Bernoulli, so both engines pick the
+    # identical reference subset.
+    oracle=f"""
+    WITH dtk AS (SELECT doc_id, COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+                 FROM documents),
+    rbg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM dtk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE doc_id % 5 = 0 AND {_u32_sql("doc_id")} < {1 << 31}
+              AND len(toks) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM rbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM rbg GROUP BY w1),
+    vv AS (SELECT COUNT(DISTINCT t) AS v
+           FROM (SELECT UNNEST(toks) AS t FROM dtk
+                 WHERE doc_id % 5 = 0 AND {_u32_sql("doc_id")} < {1 << 31})),
+    sbg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+            FROM dtk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE doc_id % 5 <> 0 AND len(toks) >= 2),
+    cost AS (
+        SELECT doc_id,
+               {_qlog2_sql(_LM_C1)} - {_qlog2_sql(_LM_C12)} AS cost
+        FROM sbg
+        LEFT JOIN c12 ON sbg.w1 = c12.w1 AND sbg.w2 = c12.w2
+        LEFT JOIN c1 ON sbg.w1 = c1.w1
+        CROSS JOIN vv)
+    SELECT doc_id AS id, COUNT(*) AS n_bigrams,
+           CAST(SUM(cost) AS BIGINT) AS cost_q256,
+           CAST(SUM(cost) AS DOUBLE) / CAST(256 * COUNT(*) AS DOUBLE)
+               AS bits_per_token
+    FROM cost GROUP BY doc_id
+    """,
+    survey_ref="extension: SAMPLED-train bigram-LM perplexity — the "
+    "r8 VERDICT's scale note on llm_lm_perplexity resolved the way the "
+    "repo already trains BPE at scale (llm_bpe_train_sampled): count "
+    "tables from a hash-deterministic reference sample, full-corpus "
+    "scoring unchanged; smoothing stays proper because V comes from the "
+    "same sample",
+    tags=("llm", "text", "quality"),
+    bench=True,
+)
+def llm_lm_perplexity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import lm
+    from ..llm.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    ref = hash_sample(d.filter(F.col("doc_id") % 5 == 0), "doc_id", 0.5)
+    return lm.lm_perplexity(
+        d.filter(F.col("doc_id") % 5 != 0), ref, "doc_id", "text"
+    )
+
+
 # ------------------------------------------------- rolling-hash fingerprint
 @register(
     "llm_fingerprint_rolling",
@@ -2154,17 +2221,7 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- deterministic sampling
 # (llm/sampling.py) — hash-keyed Bernoulli sample, per-group fixed-n, and
 # train/val/test split; all pure functions of the id, so the driver
-# hash-checks sampling like any exact operator. u32(id) = first 8 hex
-# chars of md5(id) as an integer, rendered in SQL with the strpos fold
-# (DuckDB's from_hex yields BLOB, not castable to BIGINT).
-def _u32_sql(expr: str) -> str:
-    return (
-        "list_reduce(list_transform(generate_series(1, 8), i -> "
-        f"CAST(strpos('0123456789abcdef', substr(md5(CAST({expr} AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
-        "(a, d) -> a * 16 + d)"
-    )
-
-
+# hash-checks sampling like any exact operator. u32(id) = _u32_sql above.
 _SAMPLE_THRESH = int(0.1 * (1 << 32))
 
 

@@ -149,3 +149,42 @@ def test_ngram_cap_bounds_hot_shingle_and_keeps_recall(spark):
     }
     planted = {(i, 1000 + i) for i in range(10)}
     assert planted <= got  # 100% recall on true near-dups despite the cap
+
+
+def test_lm_hot_bigram_skew_probe_only(spark):
+    """The llm/lm.py docstring's skew argument, now tested (r8 VERDICT):
+    a corpus whose score side is dominated by ONE bigram key probes the
+    LM tables with massive per-key volume, but the LM side of every hot
+    key is a single pre-reduced row — so the join is probe-volume only
+    (row counts in == rows out, never a pair expansion) and the result
+    equals the closed-form hand computation."""
+    from gmall_flink_2022_spark.llm.lm import lm_perplexity
+
+    # reference: 'a a' x20 + one 'a b' => c12(a,a)=19+..., built exactly
+    ref = spark.createDataFrame(
+        [(1, " ".join(["a"] * 21)), (2, "a b")], "doc_id long, text string"
+    )
+    # score side: 400 docs, every bigram = (a, a) — one hot key
+    hot = spark.createDataFrame(
+        [(100 + i, "a a a a a a a a a a a") for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = lm_perplexity(hot, ref, "doc_id", "text").collect()
+    assert len(out) == 400
+    # model: c12(a,a)=20, c1(a)=c12(a,a)+c12(a,b)=21, V=2
+    # cost per bigram = qlog2(21+2) - qlog2(20+1), 10 bigrams per doc
+    def qlog2(x: int) -> int:
+        e = x.bit_length() - 1
+        return 256 * e + ((x * 256) >> e) - 256
+
+    want = 10 * (qlog2(23) - qlog2(21))
+    assert all(r["n_bigrams"] == 10 and r["cost_q256"] == want for r in out)
+    # structural half: rows in == rows out through both LM joins (the
+    # count of scored bigrams equals exactly 10 * n_docs — a pair
+    # expansion on the hot key would multiply it)
+    from gmall_flink_2022_spark.llm.lm import _bigrams, train_bigram_lm
+
+    c12, c1, v = train_bigram_lm(ref, "doc_id", "text")
+    bg = _bigrams(hot, "doc_id", "text")
+    joined = bg.join(c12, ["w1", "w2"], "left").join(c1, ["w1"], "left")
+    assert joined.count() == bg.count() == 4000
