@@ -95,6 +95,14 @@ _DRIVER_WINDOW_FIRST = [
     "events_zorder_key",
     "llm_curation_pipeline_full",
     "llm_sequence_pack_bpe",
+    # four more r5-green fills: llm_sample_hash + llm_mixture_temperature
+    # ride the _u32_sql helper relocated this round and the hash universe
+    # the new domain-mix/sampled-LM entries share; the cluster/bpe thin
+    # surfaces are 4 rounds stale over r7-green machinery:
+    "llm_sample_hash",
+    "llm_mixture_temperature",
+    "llm_dup_cluster_keep_best",
+    "llm_bpe_pair_counts",
     # R9 SLIPS (named; each with a fronted same-code-path sibling and no
     # r9 churn of its own): the 13 TPC-H batch-2/3 thin SQL renderings
     # (tpch_q2/q6/q7/q8/q9/q11/q12/q14/q16/q18/q19/q20/q21 — single-shape
@@ -106,13 +114,12 @@ _DRIVER_WINDOW_FIRST = [
     # untouched since r5; mm_media_features + mm_frame_sample fronted
     # here), llm_ngram_familiarity / llm_fingerprint_rolling /
     # llm_fingerprint_winnow (fingerprint/text gram machinery rides the
-    # fronted CMS/LM entries), llm_sample_hash / llm_sample_stratified /
-    # llm_train_val_split / llm_mixture_temperature (sampling.py
-    # untouched since r5; hash_sample path fronted via
-    # llm_lm_perplexity_sampled + llm_bpe_train_sampled r8-green;
-    # mixture path fronted via llm_domain_mix), llm_dup_cluster_keep_best
-    # / llm_bpe_pair_counts / stream_uv_dropdup and the r5 _scale
-    # streaming twins (machinery r7/r8-green via fronted originals).
+    # fronted CMS/LM entries), llm_sample_stratified / llm_train_val_split
+    # (sampling.py untouched since r5; the hash/mixture/u32 paths are
+    # fronted via llm_sample_hash + llm_mixture_temperature above plus
+    # llm_lm_perplexity_sampled + llm_domain_mix), stream_uv_dropdup and
+    # the r5 _scale streaming twins (machinery r7/r8-green via fronted
+    # originals).
     # =====================================================================
     # ROUND-8 WINDOW follows (kept for reference until the r9 freeze;
     # entries below slot 50 are ignored by the driver).
