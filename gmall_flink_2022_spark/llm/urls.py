@@ -93,6 +93,37 @@ def url_dedup(
     )
 
 
+def domain_capped_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    cap: int = 100,
+) -> DataFrame:
+    """The selection :func:`domain_capped_sample` reports on, as rows:
+    (id, domain) for every doc surviving the per-domain Bernoulli cap —
+    the actual domain-balanced corpus handed to the content stages.
+    Same engine-exact thresholds; the rate table broadcasts back onto
+    the scan, so the corpus-sized side is one narrow filter."""
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        registrable_domain(host_of(F.col(url_col))).alias("domain"),
+    )
+    rate = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("n_docs").cast("double"))
+    rates = (
+        d.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "domain",
+            F.floor(rate * F.lit(float(1 << 32))).cast("long").alias("_thresh"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "domain")
+        .filter(_u32(F.col("id")) < F.col("_thresh"))
+        .select("id", "domain")
+    )
+
+
 def domain_capped_sample(
     docs: DataFrame,
     id_col: str = "doc_id",

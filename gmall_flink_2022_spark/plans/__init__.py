@@ -38,6 +38,8 @@ _DRIVER_WINDOW_FIRST = [
     "llm_url_dedup_stream",
     "llm_domain_mix",
     "llm_host_extract",
+    "llm_domain_balanced_sample",
+    "llm_stage1_pipeline",
     "llm_training_shards",
     "llm_lm_perplexity_sampled",
     # graph demos re-fed from the cap-free prefix-filter pair family
@@ -95,14 +97,15 @@ _DRIVER_WINDOW_FIRST = [
     "events_zorder_key",
     "llm_curation_pipeline_full",
     "llm_sequence_pack_bpe",
-    # four more r5-green fills: llm_sample_hash + llm_mixture_temperature
+    # two more r5-green fills: llm_sample_hash + llm_mixture_temperature
     # ride the _u32_sql helper relocated this round and the hash universe
-    # the new domain-mix/sampled-LM entries share; the cluster/bpe thin
-    # surfaces are 4 rounds stale over r7-green machinery:
+    # the new domain-mix/sampled-LM entries share (the also-stale
+    # llm_dup_cluster_keep_best / llm_bpe_pair_counts were displaced by
+    # the late r9 births llm_domain_balanced_sample + llm_stage1_pipeline;
+    # their machinery is r7-green via llm_dup_clusters_incremental and
+    # the fronted BPE chain):
     "llm_sample_hash",
     "llm_mixture_temperature",
-    "llm_dup_cluster_keep_best",
-    "llm_bpe_pair_counts",
     # R9 SLIPS (named; each with a fronted same-code-path sibling and no
     # r9 churn of its own): the 13 TPC-H batch-2/3 thin SQL renderings
     # (tpch_q2/q6/q7/q8/q9/q11/q12/q14/q16/q18/q19/q20/q21 — single-shape

@@ -5105,3 +5105,77 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_capped_sample(
         _docs_with_urls(spark, sf_dir), "doc_id", "url", cap=_DOMAIN_CAP
     )
+
+
+@register(
+    "llm_domain_balanced_sample",
+    # the selection llm_domain_mix reports on, as the actual rows the
+    # content stages consume — per-domain Bernoulli cap membership
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    h AS (SELECT doc_id, {_HOST_SQL} AS host FROM udocs),
+    dom AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM h),
+    rates AS (SELECT domain,
+                     CAST(floor(LEAST(1.0,
+                          {_DOMAIN_CAP} / CAST(COUNT(*) AS DOUBLE))
+                          * 4294967296.0) AS BIGINT) AS thresh
+              FROM dom GROUP BY domain)
+    SELECT d.doc_id AS id, d.domain
+    FROM dom d JOIN rates r USING (domain)
+    WHERE {_u32_sql("d.doc_id")} < r.thresh
+    """,
+    survey_ref="extension: the domain-balanced corpus itself — "
+    "per-domain capped Bernoulli membership feeding the content stages "
+    "(llm_domain_mix is its persisted mixture table); rate frame "
+    "broadcasts, corpus side stays one narrow filter",
+    tags=("llm", "url", "sampling"),
+)
+def llm_domain_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return urls_mod.domain_capped_select(
+        _docs_with_urls(spark, sf_dir), "doc_id", "url", cap=_DOMAIN_CAP
+    )
+
+
+_STAGE1_CAP = 3  # the URL-dedup survivors hold 4 docs/domain at the
+# test SFs — cap 3 makes the balancing stage do real work (rate 0.75)
+
+
+@register(
+    "llm_stage1_pipeline",
+    # CCNet/RefinedWeb stage 1 COMPOSED in its published order, before
+    # any content pass: URL-exact dedup (keep-first by normalized URL)
+    # -> per-domain cap over the URL-surviving docs. The domain counts
+    # feeding the cap are computed AFTER URL dedup — balancing raw URLs
+    # would double-count mirrored pages.
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    kept AS (SELECT MIN(doc_id) AS doc_id
+             FROM (SELECT doc_id, {_NORM_SQL} AS norm_url FROM udocs)
+             GROUP BY norm_url),
+    kdocs AS (SELECT u.doc_id, u.url FROM udocs u
+              JOIN kept k ON k.doc_id = u.doc_id),
+    h AS (SELECT doc_id, {_HOST_SQL} AS host FROM kdocs),
+    dom AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM h),
+    rates AS (SELECT domain,
+                     CAST(floor(LEAST(1.0,
+                          {_STAGE1_CAP} / CAST(COUNT(*) AS DOUBLE))
+                          * 4294967296.0) AS BIGINT) AS thresh
+              FROM dom GROUP BY domain)
+    SELECT d.doc_id AS id, d.domain
+    FROM dom d JOIN rates r USING (domain)
+    WHERE {_u32_sql("d.doc_id")} < r.thresh
+    """,
+    survey_ref="extension: stage 1 composed — URL-exact dedup then "
+    "per-domain cap over the SURVIVORS (balancing raw URLs would "
+    "double-count mirrors); the pass CCNet/RefinedWeb run before any "
+    "content stage, and the natural front of llm_training_shards",
+    tags=("llm", "url", "pipeline"),
+)
+def llm_stage1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_urls(spark, sf_dir)
+    kept = urls_mod.url_dedup(d, "doc_id", "url").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = d.join(kept, "doc_id", "left_semi")
+    return urls_mod.domain_capped_select(survivors, "doc_id", "url",
+                                         cap=_STAGE1_CAP)
