@@ -5087,8 +5087,8 @@ _DOMAIN_CAP = 20
                           * 4294967296.0) AS BIGINT) AS thresh_q32
               FROM counts)
     SELECT r.domain, r.n_docs, r.thresh_q32,
-           SUM(CASE WHEN {_u32_sql("d.doc_id")}
-                    < r.thresh_q32 THEN 1 ELSE 0 END) AS n_selected
+           CAST(SUM(CASE WHEN {_u32_sql("d.doc_id")}
+                    < r.thresh_q32 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
     FROM dom d JOIN rates r USING (domain)
     GROUP BY r.domain, r.n_docs, r.thresh_q32
     """,
