@@ -2095,7 +2095,13 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scoring unchanged; smoothing stays proper because V comes from the "
     "same sample",
     tags=("llm", "text", "quality"),
-    bench=True,
+    # NOT in the bench set: the full-train form llm_lm_perplexity is
+    # already benched and the two share the dominant scoring join —
+    # benching both double-counts it. The sampled form's value is the
+    # 10x posture, recorded in BENCH_sf1_spotcheck.json (72.6 s vs
+    # 84.1 s at sf1, 9.2x vs 10.4x — training cost follows the sample;
+    # scoring dominates this fixture).
+    bench=False,
 )
 def llm_lm_perplexity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import lm
@@ -3951,7 +3957,11 @@ _SHARD_RATES_SQL = (
     "corpus: 600 raw -> 336 curated+decontaminated -> 161 after the "
     "mixture gate; packed rows = the non-empty 161",
     tags=("llm", "pipeline", "layout"),
-    bench=True,
+    # NOT in the bench set: ~90%% of its cost is curate_full, which the
+    # bench already times as llm_curation_pipeline_full — benching both
+    # would double-count the heaviest pipeline. 10x behavior recorded in
+    # BENCH_sf1_spotcheck.json instead (ratio 1.0).
+    bench=False,
 )
 def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
