@@ -510,6 +510,7 @@ def prefix_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold_pct: int = 60,
+    pre_dedup: bool | str = "auto",
 ) -> DataFrame:
     """Similarity join via PREFIX FILTERING (AllPairs/PPJoin family,
     Bayardo et al. 2007 / Xiao et al. 2008) — the third candidate-
@@ -540,15 +541,39 @@ def prefix_jaccard_pairs(
     per-doc rank (id-partitioned window), index join on shingle, verify
     join on id — all on natural keys. Per-doc collected shingle arrays
     are bounded by document length, the tokenizer's own bound.
+
+    ``pre_dedup`` (default "auto": the HLL duplicate-fraction probe, as
+    in ngram_jaccard_pairs): bit-identical texts collapse to one
+    representative BEFORE shingling; rep-level pairs expand back
+    algebraically and within-family pairs emit directly with
+    jaccard = 1.0 (identical shingle sets). Output is IDENTICAL to the
+    uncollapsed run: completeness of prefix filtering holds for ANY
+    consistent global shingle order, so ranking by rep-level df instead
+    of member-level df changes candidate generation cost only, never
+    the verified pair set. On a dup-heavy corpus (e.g. the r9 10x
+    replica fixture: ~30-member exact/near families) this removes the
+    quadratic within-family work from the index join and verify stage.
     """
     from pyspark.sql import Window
 
+    if pre_dedup == "auto":
+        pre_dedup = _should_pre_dedup(df, F.md5(F.col(text_col)))
+    groups = None
+    if pre_dedup:
+        groups = _exact_text_groups(df, id_col, text_col).persist()
+        src, sid, stxt = (
+            groups.select(F.col("rep_id").alias("id"), "_txt"),
+            "id",
+            "_txt",
+        )
+    else:
+        src, sid, stxt = df, id_col, text_col
     # materialize the shingle table once: it feeds six plan subtrees
     # (sizes, document frequencies, the ranked prefix, the probe side,
     # and both verify sides), each of which would otherwise replay the
     # full tokenize+explode scan of the corpus — same lineage-truncation
     # move as graph.triangle_counts
-    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = shingles(src, sid, stxt, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("k"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     ranked = (
@@ -601,10 +626,37 @@ def prefix_jaccard_pairs(
     # integer threshold test (100*c >= t_pct*(na+nb-c)) so the cut cannot
     # straddle a float rounding boundary; the reported jaccard column is
     # the single-division double both engines compute identically
-    return verified.filter(
+    out = verified.filter(
         100 * F.col("common")
         >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("common"))
     )
+    if groups is None:
+        return out
+    payload = ["common", "n_a", "n_b", "jaccard"]
+    cross = _expand_rep_pairs(
+        out, groups.select("rep_id", "members"), payload, swap=(("n_a", "n_b"),)
+    )
+    # within-family pairs: identical texts share the full shingle set, so
+    # common = n_a = n_b = n_sh and jaccard is exactly 1.0 (what the
+    # uncollapsed run reports for such a pair: the verify stage
+    # intersects two identical sorted arrays). Families whose text
+    # yields no shingles (< n tokens) share nothing and are not emitted,
+    # same as the original.
+    wpay = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .select(
+            F.col("id").alias("rep_id"),
+            "common",
+            F.col("common").alias("n_a"),
+            F.col("common").alias("n_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    within = _within_family_pairs(
+        groups.select("rep_id", "members", "fam_n"), wpay, payload
+    )
+    return cross.unionByName(within)
 
 
 def _minhash_cols(num_hashes: int) -> list:

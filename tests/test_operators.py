@@ -2663,3 +2663,41 @@ def test_domain_capped_sample_semantics(spark):
         (F.col("doc_id") < 80) & (_u32(F.col("doc_id")) < thresh)
     ).count()
     assert got == want
+
+
+def test_prefix_pairs_pre_dedup_equivalence(spark):
+    """prefix_jaccard_pairs with the exact-duplicate collapse must be
+    bit-identical to the uncollapsed run — rep expansion, n_a/n_b flip
+    on reordered pairs, jaccard exactly 1.0 within families, zero-shingle
+    families silent."""
+    from gmall_flink_2022_spark.llm.dedup import prefix_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (7, "alpha beta gamma delta epsilon zeta"),   # and another
+        (3, "alpha beta gamma delta epsilon eta"),    # near-dup of the family
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six eight"),     # near-dup of 4
+        (6, "xx yy"),                                  # < n tokens: no shingles
+        (8, "xx yy"),                                  # zero-shingle family
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(out):
+        return sorted(
+            (r["id_a"], r["id_b"], r["common"], r["n_a"], r["n_b"],
+             round(r["jaccard"], 12))
+            for r in out.collect()
+        )
+
+    a = canon(prefix_jaccard_pairs(df, "doc_id", "text", n=3,
+                                   threshold_pct=50, pre_dedup=False))
+    b = canon(prefix_jaccard_pairs(df, "doc_id", "text", n=3,
+                                   threshold_pct=50, pre_dedup=True))
+    assert a == b
+    # the family (1,2,7) must appear as all three pairs with jaccard 1.0
+    ones = [t for t in b if t[5] == 1.0]
+    assert {(t[0], t[1]) for t in ones} == {(1, 2), (1, 7), (2, 7)}
+    # zero-shingle family (6,8) is silent
+    assert not any(t[0] == 6 or t[1] == 8 for t in b)
