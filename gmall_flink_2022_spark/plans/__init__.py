@@ -40,7 +40,10 @@ _DRIVER_WINDOW_FIRST = [
     "llm_host_extract",
     "llm_domain_balanced_sample",
     "llm_stage1_pipeline",
+    "stream_domain_mix",
+    "llm_domain_quality",
     "llm_training_shards",
+    "llm_training_shards_full",
     "llm_lm_perplexity_sampled",
     # graph demos re-fed from the cap-free prefix-filter pair family
     # (ask #5) — semantically changed in r9, so they front (kcore and

@@ -2993,22 +2993,32 @@ def llm_semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tail) where only the whole 20-token windows shared with the original
 # die — exercising full-removal, partial-removal, and untouched paths.
 _PARA_W = 20
-_PARA_CORPUS_SQL = f"""
+
+
+def _para_corpus_sql(src: str = "documents") -> str:
+    """The planted paragraph-dup corpus CTE over any (doc_id, text)
+    relation ``src`` — parameterized so composed pipelines (the full
+    raw-to-shards chain) can plant over stage-1 survivors."""
+    return f"""
 corpus AS (
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, text FROM {src}
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + 100000 AS doc_id, text FROM {src} WHERE doc_id % 10 = 0
     UNION ALL
     SELECT doc_id + 200000 AS doc_id,
            array_to_string(list_slice({TOKS}, 1, 40), ' ')
              || ' planted tail marker ' || CAST(doc_id AS VARCHAR) AS text
-    FROM documents WHERE doc_id % 10 = 5
+    FROM {src} WHERE doc_id % 10 = 5
 )
 """
 
 
-def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+_PARA_CORPUS_SQL = _para_corpus_sql("documents")
+
+
+def _para_corpus_from(docs: DataFrame) -> DataFrame:
+    """Spark rendering of _para_corpus_sql over any (doc_id, text) frame."""
+    docs = docs.select("doc_id", "text")
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
     )
@@ -3024,6 +3034,11 @@ def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return docs.unionByName(plant_full).unionByName(plant_prefix)
+
+
+def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _para_corpus_from(_docs(spark, sf_dir))
+
 
 
 @register(
@@ -3780,7 +3795,11 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------- full curation pipeline (v2)
 _TOKS_CT = TOKS.replace("lower(text)", "lower(ctext)")
-_CURATE_FULL_CTES = f"""{_PARA_CORPUS_SQL},
+def _curate_full_ctes(corpus_sql: str) -> str:
+    """The curate_full oracle CTE chain over a provided ``corpus`` CTE —
+    parameterized so the full raw-to-shards chain can front stage-1
+    (URL dedup + domain cap) before the content stages."""
+    return f"""{corpus_sql},
     tk AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
     seg AS (
         SELECT doc_id, i AS pos,
@@ -3881,6 +3900,9 @@ _CURATE_FULL_CTES = f"""{_PARA_CORPUS_SQL},
     surv AS (SELECT d.id, d.ctext FROM d
              WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.id = d.id))
 """
+
+
+_CURATE_FULL_CTES = _curate_full_ctes(_PARA_CORPUS_SQL)
 
 _CURATE_FULL_ORACLE = f"""
     WITH {_CURATE_FULL_CTES}
@@ -5189,3 +5211,160 @@ def llm_stage1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = d.join(kept, "doc_id", "left_semi")
     return urls_mod.domain_capped_select(survivors, "doc_id", "url",
                                          cap=_STAGE1_CAP)
+
+
+@register(
+    "llm_domain_quality",
+    # the crawl-quality diagnostic every URL-aware pipeline maintains:
+    # per registrable domain, how many docs the Gopher rules keep — the
+    # signal that drives domain blocklists before any expensive stage.
+    # One corpus scan (extraction + rules are row-local), one aggregate.
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    h AS (SELECT doc_id, {_HOST_SQL} AS host FROM udocs),
+    dom AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM h),
+    tk AS (SELECT doc_id,
+                  COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+           FROM documents),
+    feat AS (
+        SELECT doc_id, len(toks) AS n,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS mean_len,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','is','to','in'], t))) AS n_stop
+        FROM tk
+    ),
+    verdict AS (
+        SELECT doc_id,
+               ((n > 0 AND n BETWEEN 20 AND 100000)
+                AND COALESCE(n > 0 AND mean_len BETWEEN 3.0 AND 10.0, FALSE)
+                AND COALESCE(n > 0 AND alpha_frac >= 0.8, FALSE)
+                AND (n > 0 AND n_stop >= 2)) AS keep
+        FROM feat
+    )
+    SELECT d.domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+    FROM dom d JOIN verdict v USING (doc_id)
+    GROUP BY d.domain
+    """,
+    survey_ref="extension: per-domain quality report — registrable "
+    "domain x Gopher keep-rate, the blocklist-driving crawl diagnostic "
+    "(RefinedWeb/FineWeb maintain exactly this table); one scan, one "
+    "aggregate, single exact division per domain",
+    tags=("llm", "url", "text", "quality"),
+)
+def llm_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import urls, text as text_mod
+
+    d = _docs(spark, sf_dir)
+    dom = _with_url(d.select("doc_id")).select(
+        "doc_id",
+        urls.registrable_domain(urls.host_of(F.col("url"))).alias("domain"),
+    )
+    keep = text_mod.gopher_filter(d, "doc_id", "text").select("id", "keep")
+    j = dom.join(keep, dom["doc_id"] == keep["id"])
+    return j.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        (
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("keep_rate"),
+    )
+
+
+@register(
+    "llm_training_shards_full",
+    # The COMPLETE raw-crawl-to-training-artifact chain, stage 1 fronted
+    # (the order production pipelines actually run): URL-exact dedup ->
+    # per-domain cap -> paragraph dedup -> Gopher -> exact dedup ->
+    # MinHash near-dup -> decontamination -> language mixture ->
+    # sequence packing -> shuffle order. The oracle replays every stage
+    # on the chained text; the paragraph-dup planting happens over the
+    # stage-1 SURVIVORS (mirror pages die before any content pass, which
+    # is stage 1's whole point).
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    kept AS (SELECT MIN(doc_id) AS doc_id
+             FROM (SELECT doc_id, {_NORM_SQL} AS norm_url FROM udocs)
+             GROUP BY norm_url),
+    kdocs AS (SELECT u.doc_id, u.url FROM udocs u
+              JOIN kept k ON k.doc_id = u.doc_id),
+    s1h AS (SELECT doc_id, {_HOST_SQL} AS host FROM kdocs),
+    s1dom AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM s1h),
+    s1rates AS (SELECT domain,
+                     CAST(floor(LEAST(1.0,
+                          {_STAGE1_CAP} / CAST(COUNT(*) AS DOUBLE))
+                          * 4294967296.0) AS BIGINT) AS thresh
+              FROM s1dom GROUP BY domain),
+    s1 AS (SELECT d.doc_id FROM s1dom d JOIN s1rates r USING (domain)
+           WHERE {_u32_sql("d.doc_id")} < r.thresh),
+    src AS (SELECT doc.doc_id, doc.text FROM documents doc
+            JOIN s1 ON s1.doc_id = doc.doc_id),
+    {_curate_full_ctes(_para_corpus_sql("src"))},
+    lng AS (SELECT surv.id, surv.ctext,
+                   COALESCE(doc.lang, 'unknown') AS lang
+            FROM surv LEFT JOIN documents doc ON doc.doc_id = surv.id),
+    samp AS (SELECT id, ctext, lang FROM lng
+             WHERE {_u32_sql("id")} < {_SHARD_RATES_SQL}),
+    ptk AS (SELECT id, lang, id % 8 AS shard,
+                   len({_TOKS_CT}) AS n_tokens
+            FROM samp),
+    pnz AS (SELECT * FROM ptk WHERE n_tokens > 0),
+    pack AS (SELECT id, lang, CAST(shard AS BIGINT) AS shard,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+             AS BIGINT) AS seq_id,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tok_offset,
+        CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM pnz)
+    SELECT id, shard, seq_id, tok_offset, n_tokens, lang,
+           ROW_NUMBER() OVER (
+               ORDER BY {_u32_sql("'shuffle|' || CAST(id AS VARCHAR)")},
+                        id) AS shuffle_rank
+    FROM pack
+    """,
+    survey_ref="extension FLAGSHIP #3: the complete raw-crawl-to-shards "
+    "chain with stage 1 fronted — URL dedup -> domain cap -> "
+    "curate_full -> decontaminate -> mixture -> pack -> shuffle, one "
+    "lazy plan per phase boundary, every stage replayed by the "
+    "end-to-end oracle on the chained text",
+    tags=("llm", "url", "pipeline", "layout"),
+    # not benched: shares its dominant cost (curate_full) with
+    # llm_curation_pipeline_full, same policy as llm_training_shards
+)
+def llm_training_shards_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import training_shards
+
+    d = _docs_with_urls(spark, sf_dir)
+    kept = urls_mod.url_dedup(d, "doc_id", "url").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s1 = urls_mod.domain_capped_select(
+        d.join(kept, "doc_id", "left_semi"), "doc_id", "url",
+        cap=_STAGE1_CAP,
+    ).select(F.col("id").alias("doc_id"))
+    # phase boundary: stage 1's output materializes before the content
+    # stages (production pipelines persist it — at 100 TB this is the
+    # stage-1 table write). Also load-bearing for the plan: the planting
+    # union + curate_full's many consumers would otherwise replicate the
+    # whole stage-1 subtree per reader and blow up plan canonicalization.
+    src = (
+        _docs(spark, sf_dir).select("doc_id", "text")
+        .join(s1, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    corpus = _para_corpus_from(src)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "text"
+    )
+    lang_df = _docs(spark, sf_dir).select("doc_id", "lang")
+    return training_shards(corpus, bench, lang_df, "doc_id", "text",
+                           window=_PARA_W)

@@ -2618,3 +2618,67 @@ def _register_stream_url_dedup() -> None:
 
 
 _register_stream_url_dedup()
+
+
+def _register_stream_domain_mix() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_domain_mix",
+        oracle=_R["llm_domain_mix"].oracle,
+        survey_ref="streaming twin of llm_domain_mix: per-domain doc "
+        "counts accumulate as update-mode state (one long per domain — "
+        "bounded) through the keyed-upsert store; the cap thresholds "
+        "and the selection count are scored post-settle against the "
+        "static corpus (the stream_events_value_outliers pattern: "
+        "commutative sums live, derived decisions after), because the "
+        "threshold depends on the FINAL count",
+        tags=("streaming", "llm", "url", "sampling"),
+    )
+    def stream_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm import urls
+        from ..llm.sampling import _u32
+        from .llm_plans import _DOMAIN_CAP, _with_url
+
+        d = read_stream_table(spark, sf_dir, "documents").select("doc_id")
+        dom = _with_url(d).select(
+            "doc_id",
+            urls.registrable_domain(
+                urls.host_of(F.col("url"))
+            ).alias("domain"),
+        )
+        agg = dom.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+        keyed = agg.withColumn("_k", F.col("domain"))
+        settled = _run_update_upsert(keyed, _uniq("dommix")).select(
+            "domain", F.col("n_docs").cast("long").alias("n_docs")
+        )
+        rate = F.least(
+            F.lit(1.0),
+            F.lit(float(_DOMAIN_CAP)) / F.col("n_docs").cast("double"),
+        )
+        rates = settled.select(
+            "domain",
+            "n_docs",
+            F.floor(rate * F.lit(float(1 << 32))).cast("long").alias("thresh_q32"),
+        )
+        static_dom = _with_url(
+            read_table(spark, sf_dir, "documents").select("doc_id")
+        ).select(
+            "doc_id",
+            urls.registrable_domain(
+                urls.host_of(F.col("url"))
+            ).alias("domain"),
+        )
+        sel = F.sum(
+            F.when(
+                _u32(F.col("doc_id")) < F.col("thresh_q32"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        return (
+            static_dom.join(F.broadcast(rates), "domain")
+            .groupBy("domain", "n_docs", "thresh_q32")
+            .agg(sel.cast("long").alias("n_selected"))
+        )
+
+
+_register_stream_domain_mix()
