@@ -642,3 +642,15 @@ def test_url_stage1_plans(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert p.count(") Exchange") - p.count("ReusedExchange") <= 2
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_stage1_composed_plans(spark, sf_dir):
+    """The composed stage-1 entries keep their pieces' shapes: the
+    domain-balanced selection broadcasts the rate table and never
+    sort-merges; no Python evaluation anywhere in the URL family."""
+    for name in ("llm_domain_balanced_sample", "llm_stage1_pipeline",
+                 "llm_domain_quality"):
+        p = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
