@@ -99,14 +99,19 @@ _DRIVER_WINDOW_FIRST = [
     "llm_pagerank_centrality",
     "events_zorder_key",
     "llm_curation_pipeline_full",
+    # r5-green fills past slot 50 (kept in list order as the next-up
+    # queue; the driver reads the FIRST 50, so entries below the line
+    # formed by the 14 r9 births above are named r9 slips):
+    # llm_sequence_pack_bpe, llm_sample_hash, llm_mixture_temperature
+    # (displaced by the late r9 births stream_domain_mix /
+    # llm_domain_quality / llm_training_shards_full; the u32/hash
+    # universe is fronted via llm_domain_mix + llm_lm_perplexity_sampled
+    # + llm_domain_balanced_sample, the BPE chain's apply/train stages
+    # were r8-green, and sampling.py is untouched since r5), and the
+    # also-stale llm_dup_cluster_keep_best / llm_bpe_pair_counts
+    # (machinery r7-green via llm_dup_clusters_incremental and the BPE
+    # chain).
     "llm_sequence_pack_bpe",
-    # two more r5-green fills: llm_sample_hash + llm_mixture_temperature
-    # ride the _u32_sql helper relocated this round and the hash universe
-    # the new domain-mix/sampled-LM entries share (the also-stale
-    # llm_dup_cluster_keep_best / llm_bpe_pair_counts were displaced by
-    # the late r9 births llm_domain_balanced_sample + llm_stage1_pipeline;
-    # their machinery is r7-green via llm_dup_clusters_incremental and
-    # the fronted BPE chain):
     "llm_sample_hash",
     "llm_mixture_temperature",
     # R9 SLIPS (named; each with a fronted same-code-path sibling and no
