@@ -42,6 +42,8 @@ _DRIVER_WINDOW_FIRST = [
     "llm_stage1_pipeline",
     "stream_domain_mix",
     "llm_domain_quality",
+    "ads_funnel_conversion",
+    "ads_retention_cohorts",
     "llm_training_shards",
     "llm_training_shards_full",
     "llm_lm_perplexity_sampled",

@@ -1739,3 +1739,126 @@ def dws_top_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
     return c.orderBy(F.desc("n_sessions"), F.asc("path")).limit(10)
+
+
+# ------------------------------------------------------ funnel conversion
+@register(
+    "ads_funnel_conversion",
+    # Ordered-step funnel per day: a user converts a step only with an
+    # event STRICTLY AFTER their entry into the previous step
+    # (min-timestamp chaining — the standard strictly-ordered funnel
+    # semantics). Three filtered min-aggregates + two equi-joins on
+    # (user, day), all natural keys with map-side combine; the serving
+    # row is one tiny per-day aggregate. No window function and no
+    # per-user event array ever materializes — at 100 TB each stage is
+    # a pre-reduced one-row-per-user frame.
+    oracle="""
+    WITH v AS (SELECT user_id, CAST(ts AS DATE) AS dt, MIN(ts) AS tv
+               FROM events WHERE event_type = 'view'
+               GROUP BY user_id, CAST(ts AS DATE)),
+    c AS (SELECT e.user_id, v.dt, MIN(e.ts) AS tc
+          FROM events e JOIN v ON e.user_id = v.user_id
+                       AND CAST(e.ts AS DATE) = v.dt AND e.ts > v.tv
+          WHERE e.event_type = 'click'
+          GROUP BY e.user_id, v.dt),
+    p AS (SELECT e.user_id, c.dt
+          FROM events e JOIN c ON e.user_id = c.user_id
+                       AND CAST(e.ts AS DATE) = c.dt AND e.ts > c.tc
+          WHERE e.event_type = 'purchase'
+          GROUP BY e.user_id, c.dt)
+    SELECT CAST(v.dt AS VARCHAR) AS dt,
+           COUNT(*) AS n_view,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_click_after_view,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase_after_click
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id AND c.dt = v.dt
+    LEFT JOIN p ON p.user_id = v.user_id AND p.dt = v.dt
+    GROUP BY v.dt
+    """,
+    survey_ref="extension: strictly-ordered funnel analysis "
+    "(view -> click -> purchase per user-day via min-timestamp "
+    "chaining) — the e-commerce conversion report the reference's ADS "
+    "layer serves dashboards from; three pre-reduced per-user frames, "
+    "joins on natural keys only",
+    tags=("ads", "events", "serving"),
+)
+def ads_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    dt = F.col("ts").cast("date")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", dt.alias("dt"))
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(
+            v.alias("v"),
+            (F.col("e.user_id") == F.col("v.user_id"))
+            & (F.col("e.ts").cast("date") == F.col("v.dt"))
+            & (F.col("e.ts") > F.col("v.tv")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"), F.col("v.dt").alias("dt"))
+        .agg(F.min("e.ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(
+            c.alias("c"),
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("e.ts").cast("date") == F.col("c.dt"))
+            & (F.col("e.ts") > F.col("c.tc")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"), F.col("c.dt").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("user_id", "dt")
+    )
+    joined = (
+        v.select("user_id", "dt")
+        .join(c.select("user_id", F.col("dt").alias("dt"), F.lit(1).alias("_c")),
+              ["user_id", "dt"], "left")
+        .join(p.withColumn("_p", F.lit(1)), ["user_id", "dt"], "left")
+    )
+    return joined.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("_c").cast("long").alias("n_click_after_view"),
+        F.count("_p").cast("long").alias("n_purchase_after_click"),
+    )
+
+
+# ------------------------------------------------------- cohort retention
+@register(
+    "ads_retention_cohorts",
+    # Classic cohort-retention triangle: users grouped by first-seen day
+    # (the cohort), counted on each later activity day with the offset
+    # in days. Two aggregates (first-seen per user; distinct activity
+    # days per user) + one join on user_id — the cohort frame is one row
+    # per user, so the join probe is user-grain, never event-grain.
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_dt
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_dt FROM events)
+    SELECT CAST(f.cohort_dt AS VARCHAR) AS cohort_dt,
+           CAST(a.act_dt - f.cohort_dt AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_dt, a.act_dt - f.cohort_dt
+    """,
+    survey_ref="extension: cohort retention triangle (first-seen day x "
+    "day offset x active users) — the serving-layer engagement report; "
+    "user-grain frames only, event-grain work is the two initial "
+    "aggregates with map-side combine",
+    tags=("ads", "events", "serving"),
+)
+def ads_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    dt = F.col("ts").cast("date")
+    f = ev.groupBy("user_id").agg(F.min(dt).alias("cohort_dt"))
+    a = ev.select("user_id", dt.alias("act_dt")).distinct()
+    j = a.join(f, "user_id")
+    return j.groupBy(
+        F.col("cohort_dt").cast("string").alias("cohort_dt"),
+        F.datediff("act_dt", "cohort_dt").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
