@@ -99,11 +99,17 @@ _DRIVER_WINDOW_FIRST = [
     "mm_frame_sample",
     "llm_dedup_paragraph",
     "llm_pagerank_centrality",
-    "events_zorder_key",
-    "llm_curation_pipeline_full",
     # r5-green fills past slot 50 (kept in list order as the next-up
     # queue; the driver reads the FIRST 50, so entries below the line
-    # formed by the 14 r9 births above are named r9 slips):
+    # formed by the r9 births above are named r9 slips):
+    # events_zorder_key (displaced by the late funnel/retention births;
+    # the z-order layout is plan-gated every pytest run in
+    # test_plan_quality and its code is untouched since r5) and
+    # llm_curation_pipeline_full (its ENTIRE machinery runs inside the
+    # fronted llm_training_shards + llm_training_shards_full, whose
+    # oracles replay curate_full end-to-end — stronger coverage than
+    # the entry itself; also ALL-GREEN in this round's three full
+    # driver-sims before the displacement); then
     # llm_sequence_pack_bpe, llm_sample_hash, llm_mixture_temperature
     # (displaced by the late r9 births stream_domain_mix /
     # llm_domain_quality / llm_training_shards_full; the u32/hash
