@@ -2701,3 +2701,44 @@ def test_prefix_pairs_pre_dedup_equivalence(spark):
     assert {(t[0], t[1]) for t in ones} == {(1, 2), (1, 7), (2, 7)}
     # zero-shingle family (6,8) is silent
     assert not any(t[0] == 6 or t[1] == 8 for t in b)
+
+
+def test_funnel_strict_ordering(spark):
+    """Funnel steps only count STRICTLY AFTER entry into the previous
+    step: a click before the first view, or a purchase before the first
+    qualifying click, must not convert."""
+    import datetime as dt
+
+    from gmall_flink_2022_spark.plans.registry import REGISTRY
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, uid, typ, minute):
+        return (i, base + dt.timedelta(minutes=minute), uid, typ, 1.0, "{}")
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 9),
+        # u2: click BEFORE the first view -> no conversion
+        ev(4, 2, "click", 0), ev(5, 2, "view", 5),
+        # u3: purchase before the qualifying click -> view+click only
+        ev(6, 3, "view", 0), ev(7, 3, "purchase", 2), ev(8, 3, "click", 4),
+        # u4: view only
+        ev(9, 4, "view", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile, shutil, os
+    d = tempfile.mkdtemp(prefix="gmall_funnel_fix_")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = REGISTRY["ads_funnel_conversion"].fn(spark, d).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_view"], r["n_click_after_view"],
+                r["n_purchase_after_click"]) == (4, 2, 1)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
