@@ -44,6 +44,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_domain_quality",
     "ads_funnel_conversion",
     "ads_retention_cohorts",
+    "stream_retention_cohorts",
     "llm_training_shards",
     "llm_training_shards_full",
     "llm_lm_perplexity_sampled",
@@ -98,10 +99,14 @@ _DRIVER_WINDOW_FIRST = [
     "mm_media_features",
     "mm_frame_sample",
     "llm_dedup_paragraph",
-    "llm_pagerank_centrality",
     # r5-green fills past slot 50 (kept in list order as the next-up
     # queue; the driver reads the FIRST 50, so entries below the line
     # formed by the r9 births above are named r9 slips):
+    # llm_pagerank_centrality (displaced by the late
+    # stream_retention_cohorts birth; graph.py's checkpoint-loop idiom
+    # is fronted via llm_dup_graph_kcore and the pagerank function
+    # itself is untouched since r5),
+    "llm_pagerank_centrality",
     # events_zorder_key (displaced by the late funnel/retention births;
     # the z-order layout is plan-gated every pytest run in
     # test_plan_quality and its code is untouched since r5) and

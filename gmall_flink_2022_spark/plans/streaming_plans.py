@@ -2682,3 +2682,50 @@ def _register_stream_domain_mix() -> None:
 
 
 _register_stream_domain_mix()
+
+
+def _register_stream_retention() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_retention_cohorts",
+        oracle=_R["ads_retention_cohorts"].oracle,
+        survey_ref="streaming twin of ads_retention_cohorts: two "
+        "update-mode aggregations with COMMUTATIVE state — per-user "
+        "min(first-seen date) and per-(user, activity-day) presence — "
+        "each settled through the keyed-upsert store; the cohort "
+        "triangle (a derived, non-commutative view: offsets move when "
+        "an EARLIER first-seen day arrives late) is computed "
+        "post-settle, the rate-dependent-decision pattern of "
+        "stream_domain_mix",
+        tags=("streaming", "ads", "events", "serving"),
+    )
+    def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_stream_table(spark, sf_dir, "events")
+        dt = F.col("ts").cast("date")
+        f = ev.groupBy("user_id").agg(F.min(dt).alias("cohort_dt"))
+        fk = f.withColumn("_k", F.col("user_id").cast("string"))
+        cohorts = _run_update_upsert(fk, _uniq("ret_first")).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("cohort_dt").cast("date").alias("cohort_dt"),
+        )
+        a = (
+            ev.select("user_id", dt.alias("act_dt"))
+            .groupBy("user_id", "act_dt")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        ak = a.withColumn(
+            "_k", F.concat_ws("|", F.col("user_id"), F.col("act_dt"))
+        )
+        activity = _run_update_upsert(ak, _uniq("ret_act")).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("act_dt").cast("date").alias("act_dt"),
+        )
+        j = activity.join(cohorts, "user_id")
+        return j.groupBy(
+            F.col("cohort_dt").cast("string").alias("cohort_dt"),
+            F.datediff("act_dt", "cohort_dt").cast("long").alias("day_offset"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+
+
+_register_stream_retention()
