@@ -5021,11 +5021,11 @@ _DOMAIN_SQL = f"""(
          ELSE array_to_string(string_split(host, '.')[-2:], '.')
     END)"""
 _NORM_SQL = """(
-    lower(regexp_extract(regexp_replace(split_part(url, '#', 1), '/$', ''),
+    lower(regexp_extract(regexp_replace(split_part(url, '#', 1), '/+$', ''),
                          '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/#?]*)', 1))
-    || substring(regexp_replace(split_part(url, '#', 1), '/$', ''),
+    || substring(regexp_replace(split_part(url, '#', 1), '/+$', ''),
                  length(regexp_extract(
-                     regexp_replace(split_part(url, '#', 1), '/$', ''),
+                     regexp_replace(split_part(url, '#', 1), '/+$', ''),
                      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/#?]*)', 1)) + 1))"""
 
 

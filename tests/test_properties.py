@@ -506,3 +506,52 @@ def test_decay_batch_formula_reference(spark, rows):
             for j, (_, v) in enumerate(newest_first)
         )
     assert got == want
+
+
+_url_strategy = st.lists(
+    st.builds(
+        lambda scheme, sub, body, tld, path, slash, frag, upcase: (
+            f"{scheme}://"
+            + (f"{sub}." if sub else "")
+            + (body.upper() if upcase else body)
+            + f".{tld}/{path}"
+            + ("/" if slash else "")
+            + (f"#{frag}" if frag else "")
+        ),
+        st.sampled_from(["http", "https", "HTTPS", "Ftp"]),
+        st.sampled_from(["", "www", "a.b", "CDN"]),
+        st.text(alphabet="abcdefgXYZ09-", min_size=1, max_size=8).filter(
+            lambda s: s.strip("-")
+        ),
+        st.sampled_from(["com", "org", "co.uk", "io"]),
+        st.text(alphabet="AbCd01/._-", min_size=0, max_size=12),
+        st.booleans(),
+        st.sampled_from(["", "top", "Sec-2"]),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_url_strategy)
+def test_url_normalize_idempotent_and_host_stable(spark, urls):
+    """url_normalize is IDEMPOTENT (a second pass is a no-op — the
+    property that makes keep-first dedup safe to re-run over already-
+    normalized URLs) and host/domain extraction is invariant under
+    normalization."""
+    from gmall_flink_2022_spark.llm import urls as U
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "id long, url string")
+    one = U.url_normalize(F.col("url"))
+    out = df.select(
+        one.alias("n1"),
+        U.url_normalize(one).alias("n2"),
+        U.registrable_domain(U.host_of(F.col("url"))).alias("d_raw"),
+        U.registrable_domain(U.host_of(one)).alias("d_norm"),
+    ).collect()
+    for r in out:
+        assert r["n1"] == r["n2"], (r["n1"], r["n2"])
+        assert r["d_raw"] == r["d_norm"], (r["d_raw"], r["d_norm"])
