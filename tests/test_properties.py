@@ -555,3 +555,125 @@ def test_url_normalize_idempotent_and_host_stable(spark, urls):
     for r in out:
         assert r["n1"] == r["n2"], (r["n1"], r["n2"])
         assert r["d_raw"] == r["d_norm"], (r["d_raw"], r["d_norm"])
+
+
+_event_funnel_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),          # user
+        st.integers(min_value=0, max_value=2880),       # minute over 2 days
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_event_funnel_strategy)
+def test_funnel_matches_python_recompute(spark, rows):
+    """ads_funnel_conversion's min-ts chaining == a direct per-user-day
+    python fold over the sorted events, on arbitrary event sets (ties,
+    missing stages, multi-day users)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from gmall_flink_2022_spark.plans.registry import REGISTRY
+
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (i, base + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="gmall_funnel_prop_")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["dt"]: (r["n_view"], r["n_click_after_view"],
+                      r["n_purchase_after_click"])
+            for r in REGISTRY["ads_funnel_conversion"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    per = {}
+    for _i, (u, m, t) in enumerate(rows):
+        ts = base + dt.timedelta(minutes=m)
+        per.setdefault((u, ts.date()), []).append((ts, t))
+    want: dict = {}
+    for (u, day), evs in per.items():
+        views = [ts for ts, t in evs if t == "view"]
+        if not views:
+            continue
+        tv = min(views)
+        clicks = [ts for ts, t in evs if t == "click" and ts > tv]
+        tc = min(clicks) if clicks else None
+        purch = (
+            [ts for ts, t in evs if t == "purchase" and ts > tc]
+            if tc is not None else []
+        )
+        k = str(day)
+        v, c, p = want.get(k, (0, 0, 0))
+        want[k] = (v + 1, c + (1 if tc is not None else 0),
+                   p + (1 if purch else 0))
+    assert got == want
+    # structural funnel invariant: each stage never exceeds the previous
+    for v, c, p in got.values():
+        assert v >= c >= p
+
+
+@settings(max_examples=8, deadline=None)
+@given(_event_funnel_strategy)
+def test_retention_matches_python_recompute(spark, rows):
+    """ads_retention_cohorts == the direct python cohort triangle, and
+    its structural invariants hold: offset 0 carries the full cohort,
+    per-cohort totals equal that cohort's distinct (user, day) pairs."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from gmall_flink_2022_spark.plans.registry import REGISTRY
+
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (i, base + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="gmall_ret_prop_")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["cohort_dt"], r["day_offset"]): r["n_active"]
+            for r in REGISTRY["ads_retention_cohorts"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    first: dict = {}
+    act = set()
+    for _i, (u, m, t) in enumerate(rows):
+        day = (base + dt.timedelta(minutes=m)).date()
+        act.add((u, day))
+        first[u] = min(first.get(u, day), day)
+    want: dict = {}
+    for u, day in act:
+        k = (str(first[u]), (day - first[u]).days)
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+    cohort_sizes = {}
+    for u, f in first.items():
+        cohort_sizes[str(f)] = cohort_sizes.get(str(f), 0) + 1
+    for cdt, n in cohort_sizes.items():
+        assert got.get((cdt, 0)) == n  # day 0 == full cohort
