@@ -677,3 +677,40 @@ def test_retention_matches_python_recompute(spark, rows):
         cohort_sizes[str(f)] = cohort_sizes.get(str(f), 0) + 1
     for cdt, n in cohort_sizes.items():
         assert got.get((cdt, 0)) == n  # day 0 == full cohort
+
+
+@settings(max_examples=8, deadline=None)
+@given(_url_strategy)
+def test_url_dedup_partition_invariants(spark, urls):
+    """url_dedup is a PARTITION of the input: dup_cts sum to the row
+    count, keep_id is the minimum id of its group, and re-running dedup
+    over already-normalized URLs is a no-op (idempotence riding the
+    normalization property)."""
+    from gmall_flink_2022_spark.llm import urls as U
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    out = U.url_dedup(df, "id", "url").collect()
+    assert sum(r["dup_ct"] for r in out) == len(urls)
+    norm = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", U.url_normalize(F.col("url")).alias("n")
+        ).collect()
+    }
+    groups: dict = {}
+    for i, _u in enumerate(urls):
+        groups.setdefault(norm[i], []).append(i)
+    assert {r["norm_url"]: (r["keep_id"], r["dup_ct"]) for r in out} == {
+        k: (min(v), len(v)) for k, v in groups.items()
+    }
+    # dedup over the survivors' normalized urls changes nothing
+    surv = df.filter(
+        F.col("id").isin([r["keep_id"] for r in out])
+    ).select("id", U.url_normalize(F.col("url")).alias("url"))
+    again = U.url_dedup(surv, "id", "url").collect()
+    assert {(r["norm_url"], r["keep_id"]) for r in again} == {
+        (r["norm_url"], r["keep_id"]) for r in out
+    }
+    assert all(r["dup_ct"] == 1 for r in again)
