@@ -654,3 +654,21 @@ def test_stage1_composed_plans(spark, sf_dir):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
         assert "SortMergeJoin" not in p, name
         assert "BroadcastHashJoin" in p, name
+
+
+def test_funnel_retention_plans(spark, sf_dir):
+    """Funnel/retention compile to hash aggregates + equi broadcast
+    joins with the inequality as a post-join filter — never a
+    nested-loop/cartesian, never Python. (At 100 TB the broadcasts flip
+    to shuffled joins by size; the no-nested-loop property is the
+    invariant.)"""
+    for name in ("ads_funnel_conversion", "ads_retention_cohorts"):
+        p = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "BroadcastHashJoin" in p, name
+    # retention is exactly its three hash-agg exchanges (first-seen,
+    # distinct activity, final triangle)
+    p = _plan(spark, sf_dir, "ads_retention_cohorts")
+    assert p.count(") Exchange") - p.count("ReusedExchange") <= 3
