@@ -23,26 +23,24 @@ from .text import STOPWORDS
 
 # The pipelines below return LAZY plans over persisted intermediates, so
 # they cannot unpersist in-function (the cache must outlive the return).
-# Callers own the cache lifecycle: after materializing a pipeline's
-# result, call release_caches() to drop every intermediate the module
-# persisted since the last release (bench.py's between-query
-# spark.catalog.clearCache() subsumes it for the bench loop; composing
-# callers in a long-lived session use this targeted form).
-_LIVE_CACHES: list[DataFrame] = []
+# Callers own the cache lifecycle through llm.cachereg (thread-safe,
+# soft-bounded with a leak warning — r9 ADVICE): after materializing a
+# pipeline's result, call release_caches() / cachereg.release_all() to
+# drop every tracked intermediate, or wrap construction+materialization
+# in cachereg.cache_scope() (bench.py's between-query
+# spark.catalog.clearCache() subsumes it for the bench loop).
+from . import cachereg
 
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _LIVE_CACHES.append(df)
-    return df
+_persist = cachereg.track
+cache_scope = cachereg.cache_scope
 
 
 def release_caches() -> None:
-    """Unpersist every intermediate cached by the curation pipelines
-    since the last call. Safe to call at any time — a consumer that
-    re-reads a released plan just recomputes it."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+    """Unpersist every intermediate tracked by the LLM pipelines since
+    the last release (curation AND the dedup pre-collapse — one shared
+    registry). Safe to call at any time — a consumer that re-reads a
+    released plan just recomputes it."""
+    cachereg.release_all()
 
 
 def curate(

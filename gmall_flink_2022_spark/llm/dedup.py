@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.tokenize import tokenize_col
+from .cachereg import track as _persist
 
 
 def _parse_byte_size(s: str) -> int:
@@ -402,12 +403,12 @@ def ngram_jaccard_pairs(
         pre_dedup = _should_pre_dedup(df, F.md5(F.col(text_col)))
     groups = None
     if pre_dedup:
-        groups = _exact_text_groups(df, id_col, text_col).persist()
+        groups = _persist(_exact_text_groups(df, id_col, text_col))
         reps = groups.select(F.col("rep_id").alias("id"), "_txt")
-        sh = shingles(reps, "id", "_txt", n).persist()
+        sh = _persist(shingles(reps, "id", "_txt", n))
         wts = groups.select(F.col("rep_id").alias("id"), "fam_n")
     else:
-        sh = shingles(df, id_col, text_col, n).persist()
+        sh = _persist(shingles(df, id_col, text_col, n))
         wts = None
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand_src = sh
@@ -560,7 +561,7 @@ def prefix_jaccard_pairs(
         pre_dedup = _should_pre_dedup(df, F.md5(F.col(text_col)))
     groups = None
     if pre_dedup:
-        groups = _exact_text_groups(df, id_col, text_col).persist()
+        groups = _persist(_exact_text_groups(df, id_col, text_col))
         src, sid, stxt = (
             groups.select(F.col("rep_id").alias("id"), "_txt"),
             "id",
@@ -707,11 +708,11 @@ def minhash_lsh_pairs(
     if pre_dedup == "auto":
         pre_dedup = _should_pre_dedup(df, F.md5(F.col(text_col)))
     if not pre_dedup:
-        sh = shingles(df, id_col, text_col, n).persist()
+        sh = _persist(shingles(df, id_col, text_col, n))
         return minhash_lsh_pairs_from_shingles(sh, num_hashes, bands, threshold)
-    groups = _exact_text_groups(df, id_col, text_col).persist()
+    groups = _persist(_exact_text_groups(df, id_col, text_col))
     reps = groups.select(F.col("rep_id").alias("id"), "_txt")
-    sh = shingles(reps, "id", "_txt", n).persist()
+    sh = _persist(shingles(reps, "id", "_txt", n))
     rep_pairs = minhash_lsh_pairs_from_shingles(sh, num_hashes, bands, threshold)
     cross = _expand_rep_pairs(
         rep_pairs, groups.select("rep_id", "members"), ["jaccard"]
@@ -743,9 +744,9 @@ def minhash_lsh_pairs_from_shingles(
     # one aggregation computes both the signature and the set size — the
     # shuffle key is the same, so a separate sizes pass would be a second
     # full exchange over the shingle table for no reason.
-    sig = sh.groupBy("id").agg(
+    sig = _persist(sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"), *_minhash_cols(num_hashes)
-    ).persist()  # one small row per doc; read by both buckets and sizes
+    ))  # one small row per doc; read by both buckets and sizes
     sizes = sig.select("id", "n_sh")
     band_cols = [
         F.concat_ws(
@@ -853,7 +854,7 @@ def simhash_near_pairs(
         pre_dedup = _should_pre_dedup(df, F.md5(F.col(text_col)))
     groups = None
     if pre_dedup:
-        groups = _exact_text_groups(df, id_col, text_col).persist()
+        groups = _persist(_exact_text_groups(df, id_col, text_col))
         src, id_use, text_use = (
             groups.select(F.col("rep_id").alias("__rid"), "_txt"),
             "__rid",
@@ -861,7 +862,7 @@ def simhash_near_pairs(
         )
     else:
         src, id_use, text_use = df, id_col, text_col
-    sig = simhash_signatures(src, id_use, text_use, bits).persist()
+    sig = _persist(simhash_signatures(src, id_use, text_use, bits))
     width = bits // n_splits
     slices = [
         F.concat(F.lit(f"s{k}_"), F.substring("simhash", k * width + 1, width))
@@ -961,7 +962,8 @@ def substring_match_spans(
         ensure_explode_parallelism(df)
         .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
         .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    ).persist()
+    )
+    g = _persist(g)
     # cap BEFORE collecting posting lists (same rationale as the
     # ngram_jaccard cap: a df=m gram expands m^2/2 hit structs in one
     # task). nd>=2 additionally drops within-doc-only repeats early.

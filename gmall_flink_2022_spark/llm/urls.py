@@ -8,9 +8,10 @@ ops; no Python UDF, no exchange for the extraction itself) and is
 replayed verbatim in ANSI SQL by the registry oracles:
 
 - :func:`url_normalize` — lowercase scheme://host, strip the fragment,
-  strip the trailing-slash run (idempotent in one pass — hypothesis-
-  tested). Path/query case is preserved (paths are case-sensitive per
-  RFC 3986; hosts are not).
+  strip the trailing-slash run when no query string is present
+  (idempotent in one pass — hypothesis-tested). Path/query case is
+  preserved (paths are case-sensitive per RFC 3986; hosts are not),
+  and a slash ending a query value ('?next=/') survives.
 - :func:`host_of` / :func:`registrable_domain` — host via one regex
   (ports and userinfo excluded), registrable domain as the last two
   labels, or three when the last two are a public-suffix pair like
@@ -66,13 +67,19 @@ def registrable_domain(host: Column) -> Column:
 
 def url_normalize(url: Column) -> Column:
     """Canonical URL: lowercase scheme://host (userinfo/port preserved
-    as written, lowercased), fragment removed, one trailing slash
-    removed (the whole trailing run — one pass is idempotent). Pure
-    string expression — replayed identically in SQL."""
+    as written, lowercased), fragment removed, the trailing-slash run
+    removed — but ONLY when the URL carries no query string: with a
+    '?' present a trailing slash ends a query VALUE ('?next=/'), and
+    stripping it would conflate URLs that differ in that value (r9
+    ADVICE). Pure string expression — replayed identically in SQL."""
     no_frag = F.substring_index(url, "#", 1)
     # strip the whole trailing-slash RUN, not one slash — '/$' alone
-    # breaks idempotence on '...//' (found by the hypothesis test)
-    no_slash = F.regexp_replace(no_frag, "/+$", "")
+    # breaks idempotence on '...//' (found by the hypothesis test);
+    # skip the strip entirely when a query string is present (the run
+    # would be part of the last query value, not the path)
+    no_slash = F.when(
+        no_frag.contains("?"), no_frag
+    ).otherwise(F.regexp_replace(no_frag, "/+$", ""))
     head = F.regexp_extract(no_slash, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/#?]*)", 1)
     tail = F.substring(no_slash, F.length(head) + 1, F.lit(1 << 30))
     return F.concat(F.lower(head), tail)

@@ -3987,9 +3987,9 @@ _SHARD_RATES_SQL = (
 )
 def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..llm.curation import training_shards
+    from ..sources.io import scratch_dir
 
     docs = _para_corpus(spark, sf_dir)
     bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 13 == 0).select(
@@ -3998,7 +3998,9 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_df = _docs(spark, sf_dir).select("doc_id", "lang")
     manifest = training_shards(docs, bench, lang_df, "doc_id", "text",
                                window=_PARA_W)
-    stage = tempfile.mkdtemp(prefix="gmall_shards_")
+    # executors write the shard layout here: driver-local tempdir in
+    # local mode, SPARK_GRAFT_SCRATCH (shared URI) on a cluster
+    stage = scratch_dir("gmall_shards_")
     try:
         # the consumer layout: one directory per shard, so a trainer
         # reading shard k is a partition-pruned scan
@@ -5020,12 +5022,19 @@ _DOMAIN_SQL = f"""(
          THEN array_to_string(string_split(host, '.')[-3:], '.')
          ELSE array_to_string(string_split(host, '.')[-2:], '.')
     END)"""
-_NORM_SQL = """(
-    lower(regexp_extract(regexp_replace(split_part(url, '#', 1), '/+$', ''),
+# the trailing-slash run strips only when no query string is present —
+# with a '?' the run ends a query VALUE, not the path (r9 ADVICE; the
+# Spark twin is urls.url_normalize's F.when on contains('?'))
+_STRIP_SQL = """(
+    CASE WHEN contains(split_part(url, '#', 1), '?')
+         THEN split_part(url, '#', 1)
+         ELSE regexp_replace(split_part(url, '#', 1), '/+$', '') END)"""
+_NORM_SQL = f"""(
+    lower(regexp_extract({_STRIP_SQL},
                          '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/#?]*)', 1))
-    || substring(regexp_replace(split_part(url, '#', 1), '/+$', ''),
+    || substring({_STRIP_SQL},
                  length(regexp_extract(
-                     regexp_replace(split_part(url, '#', 1), '/+$', ''),
+                     {_STRIP_SQL},
                      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/#?]*)', 1)) + 1))"""
 
 

@@ -115,6 +115,26 @@ def read_stream_table(
     return _fix_nanos(sdf, name)
 
 
+def scratch_dir(prefix: str) -> str:
+    """Staging directory for DISTRIBUTED writes (executors write here,
+    the driver reads back). Defaults to a driver-local tempdir — correct
+    in local mode only; on a multi-node cluster set ``SPARK_GRAFT_SCRATCH``
+    to a shared-filesystem / object-store URI so executors and driver see
+    the same paths (r9 ADVICE: a bare mkdtemp path silently scatters
+    executor output across node-local disks). Cleanup of env-configured
+    scratch is the deployment's lifecycle policy (TTL'd bucket/dir);
+    local tempdirs are removed by the callers' finally blocks."""
+    import tempfile
+    import uuid
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root:
+        path = os.path.join(root, f"{prefix}{uuid.uuid4().hex}")
+        os.makedirs(path, exist_ok=True)
+        return path
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def write_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Batch parquet sink (the test-mode stand-in for the reference's
     ClickHouse JDBC batch sink, utils/ClickHouseUtil.java:17-57)."""

@@ -2613,6 +2613,8 @@ def test_url_normalize_and_domain(spark):
         (4, "https://example.com"),
         (5, "https://user@host.org:8080/y/"),
         (6, "ftp://Mixed.Case.Net/Z"),
+        (7, "https://a.com/p?next=/"),
+        (8, "https://a.com/p/?q=1#frag"),
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     out = {
@@ -2637,6 +2639,12 @@ def test_url_normalize_and_domain(spark):
     assert out[5]["norm"] == "https://user@host.org:8080/y"
     assert out[6]["host"] == "mixed.case.net"
     assert out[6]["dom"] == "case.net"
+    # query present -> trailing-slash strip suppressed (a '/' ending a
+    # query VALUE is data, not a path separator; r9 ADVICE)
+    assert out[7]["norm"] == "https://a.com/p?next=/"
+    # ...including a path-trailing slash BEFORE the '?': preserved too
+    # (the rule is all-or-nothing on '?' presence), fragment still cut
+    assert out[8]["norm"] == "https://a.com/p/?q=1"
 
 
 def test_domain_capped_sample_semantics(spark):
@@ -2742,3 +2750,70 @@ def test_funnel_strict_ordering(spark):
                 r["n_purchase_after_click"]) == (4, 2, 1)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cachereg_scope_and_release(spark):
+    """The shared cache registry (r9 ADVICE): track persists, release_all
+    drops everything, cache_scope drops exactly its own frames and
+    leaves outer-scope caches live."""
+    from gmall_flink_2022_spark.llm import cachereg
+
+    cachereg.release_all()  # clean slate
+    outer = cachereg.track(spark.range(10))
+    outer.count()
+    assert outer.is_cached
+    with cachereg.cache_scope():
+        inner = cachereg.track(spark.range(5))
+        inner.count()
+        assert inner.is_cached
+    assert not inner.is_cached and outer.is_cached
+    cachereg.release_all()
+    assert not outer.is_cached
+    # the leak warning fires once past the soft threshold
+    import warnings as W
+
+    try:
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            for _ in range(cachereg.WARN_THRESHOLD + 1):
+                cachereg.track(spark.range(1))
+        assert any(issubclass(w.category, ResourceWarning) for w in rec)
+    finally:
+        cachereg.release_all()
+
+
+def test_prefix_jaccard_pre_dedup_releases_via_registry(spark):
+    """prefix_jaccard_pairs' pre-collapse persist is tracked in the
+    shared registry, so release_caches() drops it (r9 ADVICE #4)."""
+    from gmall_flink_2022_spark.llm import cachereg, dedup
+    from gmall_flink_2022_spark.llm.curation import release_caches
+
+    cachereg.release_all()
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)]
+        + [(10, "totally different words here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    out = dedup.prefix_jaccard_pairs(docs, "doc_id", "text", pre_dedup=True)
+    out.count()
+    with cachereg._LOCK:
+        n_live = len(cachereg._LIVE)
+    assert n_live >= 1
+    release_caches()
+    with cachereg._LOCK:
+        assert not cachereg._LIVE
+
+
+def test_scratch_dir_env_override(tmp_path, monkeypatch):
+    import os
+    import shutil
+
+    from gmall_flink_2022_spark.sources.io import scratch_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    p = scratch_dir("probe_")
+    assert p.startswith(str(tmp_path)) and os.path.isdir(p)
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH")
+    q = scratch_dir("probe_")
+    assert not q.startswith(str(tmp_path)) and os.path.isdir(q)
+    shutil.rmtree(q, ignore_errors=True)

@@ -510,12 +510,13 @@ def test_decay_batch_formula_reference(spark, rows):
 
 _url_strategy = st.lists(
     st.builds(
-        lambda scheme, sub, body, tld, path, slash, frag, upcase: (
+        lambda scheme, sub, body, tld, path, slash, query, frag, upcase: (
             f"{scheme}://"
             + (f"{sub}." if sub else "")
             + (body.upper() if upcase else body)
             + f".{tld}/{path}"
             + ("/" if slash else "")
+            + (f"?{query}" if query else "")
             + (f"#{frag}" if frag else "")
         ),
         st.sampled_from(["http", "https", "HTTPS", "Ftp"]),
@@ -526,6 +527,9 @@ _url_strategy = st.lists(
         st.sampled_from(["com", "org", "co.uk", "io"]),
         st.text(alphabet="AbCd01/._-", min_size=0, max_size=12),
         st.booleans(),
+        # query values ending in '/' exercise the r10 rule: the strip
+        # is suppressed whenever a '?' is present
+        st.sampled_from(["", "q=1", "next=/", "a=/b//", "x=1/"]),
         st.sampled_from(["", "top", "Sec-2"]),
         st.booleans(),
     ),
