@@ -5377,3 +5377,137 @@ def llm_training_shards_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_df = _docs(spark, sf_dir).select("doc_id", "lang")
     return training_shards(corpus, bench, lang_df, "doc_id", "text",
                            window=_PARA_W)
+
+
+# --------------------------------------------------------- r10: PSL dim
+# + exact per-domain top-k cap (r9 VERDICT asks #4/#5).
+
+# exotic-host fixture exercising the REAL public-suffix semantics the
+# 14-pair literal cannot express: multi-label suffixes beyond its set
+# (com.sg / co.za / k12.ma.us), wildcard blocks (*.kawasaki.jp, *.ck)
+# and their carve-out exceptions (!city.kawasaki.jp, !www.ck). Same
+# deterministic doc_id derivation discipline as _URL_SQL.
+_PSL_URL_CTE = """pudocs AS (SELECT doc_id,
+    'https://' || (CASE doc_id % 8
+        WHEN 0 THEN 'site' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+        WHEN 1 THEN 'www.shop' || CAST(doc_id % 3 AS VARCHAR) || '.com.sg'
+        WHEN 2 THEN 'mail' || CAST(doc_id % 3 AS VARCHAR) || '.co.za'
+        WHEN 3 THEN 'a' || CAST(doc_id % 3 AS VARCHAR) || '.b.kawasaki.jp'
+        WHEN 4 THEN 'city.kawasaki.jp'
+        WHEN 5 THEN 'foo' || CAST(doc_id % 3 AS VARCHAR) || '.bar.ck'
+        WHEN 6 THEN 'www.ck'
+        ELSE 'x' || CAST(doc_id % 3 AS VARCHAR) || '.k12.ma.us' END)
+    || '/p/' || CAST(doc_id % 20 AS VARCHAR) AS url
+    FROM documents)"""
+
+
+def _with_url_psl(d: DataFrame) -> DataFrame:
+    """Spark rendering of _PSL_URL_CTE (identical string arithmetic)."""
+    rid = F.col("doc_id")
+    m = (rid % 3).cast("string")
+    host = (
+        F.when(rid % 8 == 0, F.concat(F.lit("site"), m, F.lit(".com")))
+        .when(rid % 8 == 1, F.concat(F.lit("www.shop"), m, F.lit(".com.sg")))
+        .when(rid % 8 == 2, F.concat(F.lit("mail"), m, F.lit(".co.za")))
+        .when(rid % 8 == 3, F.concat(F.lit("a"), m, F.lit(".b.kawasaki.jp")))
+        .when(rid % 8 == 4, F.lit("city.kawasaki.jp"))
+        .when(rid % 8 == 5, F.concat(F.lit("foo"), m, F.lit(".bar.ck")))
+        .when(rid % 8 == 6, F.lit("www.ck"))
+        .otherwise(F.concat(F.lit("x"), m, F.lit(".k12.ma.us")))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), (rid % 20).cast("string")
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def _register_psl_entries() -> None:
+    from ..llm import psl
+
+    @register(
+        "llm_domain_mix_psl",
+        oracle=f"""
+        WITH {_PSL_URL_CTE},
+        hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM pudocs),
+        {psl.psl_domain_sql("hosts").lstrip()}
+        SELECT domain, COUNT(*) AS n_docs,
+               CAST(floor(LEAST(1.0,
+                    {_DOMAIN_CAP} / CAST(COUNT(*) AS DOUBLE))
+                    * 4294967296.0) AS BIGINT) AS thresh_q32
+        FROM psldom GROUP BY domain
+        """,
+        survey_ref="r9 VERDICT ask #4: registrable domain via the REAL "
+        "Public Suffix List semantics (normal/wildcard/exception rules, "
+        "longest match, exceptions prevail) as a broadcast suffix DIM — "
+        "the rule table round-trips through the DimStore (S7 machinery) "
+        "the way a deployment persists the full publicsuffix.org list; "
+        "the 14-pair literal in llm/urls.py stays as the no-dim "
+        "fallback. Domain-mix report over hosts the literal mis-groups "
+        "(com.sg, co.za, *.kawasaki.jp, !www.ck, k12.ma.us)",
+        tags=("llm", "url", "sampling", "dim"),
+    )
+    def llm_domain_mix_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from ..sources.dim_store import DimStore
+
+        d = _with_url_psl(_docs(spark, sf_dir).select("doc_id"))
+        h = d.select("doc_id", urls_mod.host_of(F.col("url")).alias("host"))
+        store = DimStore(spark, tempfile.mkdtemp(prefix="gmall_psl_dim_"))
+        try:
+            store.upsert(psl.PSL_TABLE, psl.psl_rules_df(spark), pk="suffix")
+            rules = store.read(psl.PSL_TABLE)
+            dom = psl.registrable_domain_psl(h, "host", rules).select(
+                "doc_id", "domain"
+            )
+            rate = F.least(
+                F.lit(1.0),
+                F.lit(float(_DOMAIN_CAP)) / F.col("n_docs").cast("double"),
+            )
+            out = (
+                dom.groupBy("domain")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .select(
+                    "domain",
+                    "n_docs",
+                    F.floor(rate * F.lit(float(1 << 32)))
+                    .cast("long")
+                    .alias("thresh_q32"),
+                )
+            )
+            # materialize before the dim dir is removed (the
+            # llm_dedup_incremental discipline)
+            return out.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(store.root, ignore_errors=True)
+
+
+_register_psl_entries()
+
+
+@register(
+    "llm_domain_capped_topk",
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    h AS (SELECT doc_id, url, {_HOST_SQL} AS host FROM udocs),
+    dom AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM h),
+    rk AS (SELECT doc_id AS id, domain,
+                  ROW_NUMBER() OVER (PARTITION BY domain
+                      ORDER BY {_u32_sql("doc_id")}, doc_id) AS rk
+           FROM dom)
+    SELECT id, domain, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= {_DOMAIN_CAP}
+    """,
+    survey_ref="r9 VERDICT ask #5: deterministic EXACT per-domain cap — "
+    "keep exactly min(cap, n_d) docs per domain, ranked by the stable "
+    "hash (FineWeb-style mixture contract) vs the Bernoulli "
+    "~cap-in-expectation of llm_domain_mix; compiles to "
+    "WindowGroupLimit on both sides of the one domain exchange "
+    "(plan-gated), so a billion-doc domain ships at most cap rows",
+    tags=("llm", "url", "sampling"),
+)
+def llm_domain_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return urls_mod.domain_capped_topk(
+        _docs_with_urls(spark, sf_dir), "doc_id", "url", cap=_DOMAIN_CAP
+    )

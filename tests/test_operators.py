@@ -2817,3 +2817,63 @@ def test_scratch_dir_env_override(tmp_path, monkeypatch):
     q = scratch_dir("probe_")
     assert not q.startswith(str(tmp_path)) and os.path.isdir(q)
     shutil.rmtree(q, ignore_errors=True)
+
+
+def test_psl_rule_semantics(spark):
+    """The PSL dim matcher implements the published algorithm: normal /
+    wildcard / exception rules, longest match, exceptions prevail,
+    implicit '*' default — r9 VERDICT ask #4's unit test."""
+    from gmall_flink_2022_spark.llm import psl
+
+    cases = {
+        # implicit '*' default (TLD-only)
+        "www.example.com": "example.com",
+        "example.com": "example.com",
+        "com": "com",                        # host IS a public suffix
+        # normal multi-label rules the 14-pair literal mis-groups
+        "x.y.com.sg": "y.com.sg",
+        "shop.co.za": "shop.co.za",
+        "www.school.k12.ma.us": "school.k12.ma.us",  # depth-3 rule
+        "deep.sub.host.co.uk": "host.co.uk",
+        # wildcard *.kawasaki.jp: every DIRECT CHILD is a public suffix
+        "a.b.kawasaki.jp": "a.b.kawasaki.jp",
+        "b.kawasaki.jp": "b.kawasaki.jp",    # IS a public suffix
+        "kawasaki.jp": "kawasaki.jp",        # wildcard needs a child
+        # exception !city.kawasaki.jp carves back out of the wildcard
+        "city.kawasaki.jp": "city.kawasaki.jp",
+        "sub.city.kawasaki.jp": "city.kawasaki.jp",
+        # wildcard TLD *.ck with exception !www.ck (the canonical pair)
+        "foo.bar.ck": "foo.bar.ck",
+        "www.ck": "www.ck",
+        "a.www.ck": "www.ck",
+    }
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "id long, host string"
+    )
+    out = psl.registrable_domain_psl(df, "host", psl.psl_rules_df(spark))
+    got = {r["host"]: r["domain"] for r in out.collect()}
+    assert got == cases
+
+
+def test_domain_capped_topk_exact(spark):
+    """domain_capped_topk keeps EXACTLY min(cap, n_d) rows per domain
+    (the Bernoulli variant only does so in expectation), ranks are
+    dense 1..k, and membership is deterministic across runs."""
+    from gmall_flink_2022_spark.llm import urls
+
+    docs = spark.createDataFrame(
+        [(i, f"https://big.com/p/{i}" if i < 80 else f"https://small.org/p/{i}")
+         for i in range(100)],
+        "doc_id long, url string",
+    )
+    out = urls.domain_capped_topk(docs, cap=30).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append((r["rk"], r["id"]))
+    assert len(by_dom["big.com"]) == 30          # exactly cap
+    assert len(by_dom["small.org"]) == 20        # all of an under-cap domain
+    assert sorted(rk for rk, _ in by_dom["big.com"]) == list(range(1, 31))
+    again = urls.domain_capped_topk(docs, cap=30).collect()
+    assert {(r["id"], r["rk"]) for r in again} == {
+        (r["id"], r["rk"]) for r in out
+    }

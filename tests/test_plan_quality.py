@@ -672,3 +672,38 @@ def test_funnel_retention_plans(spark, sf_dir):
     # distinct activity, final triangle)
     p = _plan(spark, sf_dir, "ads_retention_cohorts")
     assert p.count(") Exchange") - p.count("ReusedExchange") <= 3
+
+
+def test_psl_dim_plan(spark, sf_dir):
+    """PSL registrable-domain extraction is pure broadcast: one
+    BroadcastHashJoin per candidate suffix depth, ZERO exchanges, no
+    sort-merge, no Python (r9 VERDICT ask #4's plan gate). Gated on the
+    function composition — the registry entry localCheckpoints after
+    the DimStore round-trip, truncating lineage."""
+    from gmall_flink_2022_spark.llm import psl
+    from gmall_flink_2022_spark.plans.llm_plans import _with_url_psl
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    d = _with_url_psl(read_table(spark, sf_dir, "documents").select("doc_id"))
+    h = d.select("doc_id", F.lower(F.col("url")).alias("host"))
+    out = psl.registrable_domain_psl(h, "host", psl.psl_rules_df(spark))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert p.count(") BroadcastHashJoin") == psl.MAX_RULE_LABELS
+    assert "SortMergeJoin" not in p
+    assert p.count(") Exchange") == 0  # BroadcastExchange only
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_domain_capped_topk_plan(spark, sf_dir):
+    """The exact per-domain cap compiles to WindowGroupLimit on BOTH
+    sides of its single exchange (partial top-cap per map task, final
+    after) — the rank filter is pushed through the shuffle, so a huge
+    domain ships at most cap rows (r9 VERDICT ask #5's plan gate)."""
+    p = _plan(spark, sf_dir, "llm_domain_capped_topk")
+    assert p.count(") WindowGroupLimit") == 2, p
+    assert "Partial" in p and "Final" in p  # both shuffle sides limited
+    assert p.count(") Exchange") - p.count("ReusedExchange") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
