@@ -2729,3 +2729,68 @@ def _register_stream_retention() -> None:
 
 
 _register_stream_retention()
+
+
+def _register_stream_funnel() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_funnel_conversion",
+        oracle=_R["ads_funnel_conversion"].oracle,
+        survey_ref="streaming twin of ads_funnel_conversion (r9 VERDICT "
+        "ask #2): the min-ts chain is NON-COMMUTATIVE under late data "
+        "(a late earlier view shifts the anchor and can validate a "
+        "previously-rejected click), so the live form is a stateful "
+        "per-(user, day) operator (applyInPandasWithState, the "
+        "bounce-detector shape) holding the view anchor plus the "
+        "pruned pre-anchor click/purchase buffers — losslessly bounded "
+        "because anchors only tighten downward (see "
+        "streaming/funnel_state.py); each user-day emits once when the "
+        "watermark passes end-of-day, then the per-day report is one "
+        "tiny aggregate over settled user-grain rows",
+        tags=("streaming", "stateful", "ads", "serving"),
+    )
+    def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sentinel pattern as stream_user_jump: one data file plus a
+        far-future sentinel file advance the watermark so every real
+        day's event-time timeout fires before availableNow drains."""
+        from ..streaming.funnel_state import funnel_stateful
+
+        ev = read_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type"
+        )
+        stage = tempfile.mkdtemp(prefix="gmall_funnel_in_")
+        try:
+            in_dir = os.path.join(stage, "in")
+            ev.coalesce(1).write.parquet(in_dir, mode="overwrite")
+            sentinel = spark.createDataFrame(
+                [(-1, "2030-01-01 00:00:00", "click")],
+                "user_id long, cts string, event_type string",
+            ).select(
+                "user_id", F.to_timestamp("cts").alias("ts"), "event_type"
+            )
+            sentinel.coalesce(1).write.parquet(in_dir, mode="append")
+            sdf = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            out = funnel_stateful(sdf, watermark_delay="1 seconds")
+            settled = run_stream_to_table(
+                out, _uniq("funnel"), output_mode="append"
+            )
+            per_day = settled.filter(F.col("user_id") >= 0)
+            return per_day.groupBy("dt").agg(
+                F.count(F.lit(1)).alias("n_view"),
+                F.sum(F.when(F.col("reached_click"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_click_after_view"),
+                F.sum(F.when(F.col("reached_purchase"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_purchase_after_click"),
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+_register_stream_funnel()

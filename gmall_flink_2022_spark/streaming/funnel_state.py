@@ -1,0 +1,145 @@
+"""Stateful streaming funnel conversion (r9 VERDICT ask #2) — the live
+twin of ``ads_funnel_conversion``'s strictly-ordered min-ts chain.
+
+The chain (tv = min view; tc = min click > tv; tp = min purchase > tc)
+is NON-COMMUTATIVE under late data: a late EARLIER view lowers tv,
+which can make a previously-rejected click the new tc, which can make
+a previously-rejected purchase the new tp. Three anchor timestamps are
+therefore NOT sufficient state — the operator must remember exactly
+the events that could still become valid. This module keeps, per
+(user, day) key in ``applyInPandasWithState``:
+
+- ``tv_us``   — the view anchor (min is commutative: one long);
+- ``clicks``  — distinct click timestamps <= the CURRENT tc (when no
+  tc exists yet, all clicks seen — they all precede tv);
+- ``purch``   — distinct purchase timestamps <= the CURRENT tp
+  (when no tp exists yet, all purchases <= tc).
+
+Pruning is lossless: anchors only tighten downward as earlier events
+arrive (tv monotonically non-increasing => its successor tc
+non-increasing => tp non-increasing), so an event above the current
+anchor can never become the answer — only events at or below it can.
+Bounded-state argument: the buffers hold only distinct PRE-ANCHOR
+timestamps of one user-day (a funnel's "too-early" events), shrink as
+anchors tighten, and the whole key is evicted when the watermark
+passes end-of-day + delay — the same eviction contract as the CEP
+bounce detector (streaming/bounce_state.py, the reference's
+dwm/UserJumpDetailApp.java:54-104 analog). Rows later than the
+watermark are dropped by the engine before the operator, the standard
+late-data contract (SURVEY W7).
+
+The finished (user_id, dt, reached_click, reached_purchase) row emits
+exactly once, at the event-time timeout — scoring after the day
+settles, like the reference's window-close emissions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("reached_click", T.BooleanType()),
+        T.StructField("reached_purchase", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tv_us", T.LongType()),
+        T.StructField("clicks_us", T.ArrayType(T.LongType())),
+        T.StructField("purch_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _chain(tv, clicks, purch):
+    """The min-ts chain over the buffered timestamps."""
+    tc = min((c for c in clicks if tv is not None and c > tv), default=None)
+    tp = min((p for p in purch if tc is not None and p > tc), default=None)
+    return tc, tp
+
+
+def _make_apply(timeout_delay: dt.timedelta):
+    def apply(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        user_id, day = key
+        day_str = day.strftime("%Y-%m-%d")
+
+        if state.hasTimedOut:
+            tv, clicks, purch = state.get
+            clicks, purch = list(clicks or ()), list(purch or ())
+            if tv is not None:
+                tc, tp = _chain(tv, clicks, purch)
+                yield pd.DataFrame(
+                    [(user_id, day_str, tc is not None, tp is not None)],
+                    columns=["user_id", "dt", "reached_click",
+                             "reached_purchase"],
+                )
+            state.remove()
+            return
+
+        tv, clicks, purch = (None, [], [])
+        if state.exists:
+            tv, clicks, purch = state.get
+            clicks, purch = list(clicks or ()), list(purch or ())
+        rows = pd.concat(list(pdf_iter))
+        us = rows["ts"].astype("int64") // 1000  # ns -> us
+        for t_us, etype in zip(us, rows["event_type"]):
+            t_us = int(t_us)
+            if etype == "view":
+                tv = t_us if tv is None else min(tv, t_us)
+            elif etype == "click":
+                clicks.append(t_us)
+            elif etype == "purchase":
+                purch.append(t_us)
+        clicks, purch = sorted(set(clicks)), sorted(set(purch))
+        # recompute the chain, then prune everything ABOVE the anchors:
+        # a tightening anchor can only move DOWN, so those can never win
+        tc, tp = _chain(tv, clicks, purch)
+        if tc is not None:
+            clicks = [c for c in clicks if c <= tc]
+        if tp is not None:
+            purch = [p for p in purch if p <= tp]
+        state.update((tv, clicks, purch))
+        day_end = dt.datetime(day.year, day.month, day.day) + dt.timedelta(
+            days=1
+        )
+        deadline_ms = int(
+            (day_end + timeout_delay).replace(tzinfo=dt.timezone.utc).timestamp()
+            * 1000
+        )
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return apply
+
+
+def funnel_stateful(
+    events: DataFrame,
+    watermark_delay: str = "2 seconds",
+    timeout_delay_seconds: int = 1,
+) -> DataFrame:
+    """events(user_id, ts, event_type) -> one (user_id, dt,
+    reached_click, reached_purchase) row per user-day WITH a view,
+    emitted when the watermark passes end-of-day + timeout_delay.
+    Feed the per-day funnel report by aggregating: n_view = count,
+    n_click_after_view = count_if(reached_click), ..."""
+    wm = events.withWatermark("ts", watermark_delay).select(
+        "user_id", F.col("ts").cast("date").alias("dt"), "ts", "event_type"
+    )
+    return wm.groupBy("user_id", "dt").applyInPandasWithState(
+        _make_apply(dt.timedelta(seconds=timeout_delay_seconds)),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
