@@ -2794,3 +2794,141 @@ def _register_stream_funnel() -> None:
 
 
 _register_stream_funnel()
+
+
+def _register_stream_training_ingest() -> None:
+    from .llm_plans import TOKS, _NORM_SQL, _URL_SQL, _INC_SPLIT_SQL, _inc_round_sql
+
+    _GOPHER_Q = """
+    gtk AS (SELECT doc_id, text,
+                   COALESCE({toks}, CAST([] AS VARCHAR[])) AS toks
+            FROM newall),
+    gfeat AS (SELECT doc_id, text, len(toks) AS n,
+              CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) AS mean_len,
+              CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+              len(list_filter(toks, t -> list_contains(
+                  ['the','a','of','and','is','to','in'], t))) AS n_stop
+              FROM gtk),
+    gq AS (SELECT doc_id, text FROM gfeat
+           WHERE (n > 0 AND n BETWEEN 20 AND 100000)
+             AND COALESCE(n > 0 AND mean_len BETWEEN 3.0 AND 10.0, FALSE)
+             AND COALESCE(n > 0 AND alpha_frac >= 0.8, FALSE)
+             AND (n > 0 AND n_stop >= 2))""".format(toks=TOKS)
+
+    @register(
+        "stream_llm_training_ingest",
+        # two-batch unroll (the llm_dedup_incremental oracle pattern):
+        # per batch, within-batch URL keep-first -> incremental dedup vs
+        # the index (batch 2's index includes batch 1's 'new' docs) ->
+        # Gopher gate -> 6-gram decontamination vs the bench -> shard.
+        # The gates are row-local / bench-only, so gating the union of
+        # both batches' new docs equals gating per batch.
+        oracle=f"""
+        WITH {_INC_SPLIT_SQL},
+        b1 AS (SELECT doc_id, text FROM arrv WHERE doc_id % 2 = 0),
+        b2 AS (SELECT doc_id, text FROM arrv WHERE doc_id % 2 = 1),
+        ub1 AS (SELECT doc_id, {_URL_SQL} AS url FROM b1),
+        ub2 AS (SELECT doc_id, {_URL_SQL} AS url FROM b2),
+        k1 AS (SELECT MIN(doc_id) AS doc_id FROM
+               (SELECT doc_id, {_NORM_SQL} AS nrm FROM ub1) GROUP BY nrm),
+        k2 AS (SELECT MIN(doc_id) AS doc_id FROM
+               (SELECT doc_id, {_NORM_SQL} AS nrm FROM ub2) GROUP BY nrm),
+        s1b1 AS (SELECT b.doc_id, b.text FROM b1 b JOIN k1 USING (doc_id)),
+        s1b2 AS (SELECT b.doc_id, b.text FROM b2 b JOIN k2 USING (doc_id)),
+        {_inc_round_sql("r1", "corpus", "s1b1")},
+        new1 AS (SELECT s.doc_id, s.text FROM s1b1 s
+                 JOIN dr1 d ON d.doc_id = s.doc_id AND d.dup_kind = 'new'),
+        idx2 AS (SELECT doc_id, text FROM corpus
+                 UNION ALL SELECT doc_id, text FROM new1),
+        {_inc_round_sql("r2", "idx2", "s1b2")},
+        new2 AS (SELECT s.doc_id, s.text FROM s1b2 s
+                 JOIN dr2 d ON d.doc_id = s.doc_id AND d.dup_kind = 'new'),
+        newall AS (SELECT * FROM new1 UNION ALL SELECT * FROM new2),
+        {_GOPHER_Q},
+        btk AS (SELECT {TOKS} AS toks FROM documents WHERE doc_id % 13 = 0),
+        bsh AS (SELECT DISTINCT
+                    array_to_string(list_slice(toks, i, i + 5), ' ') AS shingle
+                FROM btk, UNNEST(generate_series(1, len(toks) - 5)) AS t(i)
+                WHERE len(toks) >= 6),
+        qtk AS (SELECT doc_id, {TOKS} AS toks FROM gq),
+        qsh AS (SELECT doc_id,
+                    array_to_string(list_slice(toks, i, i + 5), ' ') AS shingle
+                FROM qtk, UNNEST(generate_series(1, len(toks) - 5)) AS t(i)
+                WHERE len(toks) >= 6),
+        bad AS (SELECT DISTINCT doc_id FROM qsh JOIN bsh USING (shingle))
+        SELECT g.doc_id,
+               CAST(g.doc_id % 8 AS BIGINT) AS shard,
+               CAST(len(COALESCE({TOKS}, CAST([] AS VARCHAR[])))
+                    AS BIGINT) AS n_tokens
+        FROM gq g
+        WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = g.doc_id)
+        """,
+        survey_ref="r9 VERDICT ask #3: streaming raw-to-shards ingestion "
+        "— the live twin of llm_training_shards_full. Each arrival "
+        "micro-batch: within-batch URL keep-first (stage 1) -> "
+        "incremental content dedup vs the PERSISTED DimStore index "
+        "(no corpus re-scan, arrivals broadcast — the "
+        "test_incremental plan gates; batch 2 dedupes against batch "
+        "1's additions) -> Gopher gate -> 6-gram decontamination "
+        "(bench broadcasts) -> shard rows into the IdempotentBatchStore "
+        "(W8: replay-safe). The continuously-crawling pipeline's shape: "
+        "corpus-sized state lives in the index + shard store, "
+        "per-trigger work is arrival-sized",
+        tags=("streaming", "llm", "pipeline", "incremental", "eos"),
+    )
+    def stream_llm_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm import incremental as inc
+        from ..llm.ingest import foreach_batch_training_ingest
+        from ..sources.dim_store import DimStore
+        from ..streaming.eos import IdempotentBatchStore
+        from .llm_plans import _inc_corpus_arrivals, _with_url
+
+        corpus, arrivals = _inc_corpus_arrivals(spark, sf_dir)
+        arr = arrivals.join(_with_url(arrivals.select("doc_id")), "doc_id")
+        bench = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 13 == 0
+        ).select("doc_id", "text")
+        stage = tempfile.mkdtemp(prefix="gmall_ingest_")
+        idx = DimStore(spark, tempfile.mkdtemp(prefix="gmall_ingest_idx_"))
+        try:
+            inc.build_dedup_index(idx, corpus)
+            in_dir = os.path.join(stage, "in")
+            arr.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+                in_dir, mode="overwrite"
+            )
+            arr.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+                in_dir, mode="append"
+            )
+            shard_store = IdempotentBatchStore(
+                spark, os.path.join(stage, "shards")
+            )
+            sdf = (
+                spark.readStream.schema(arr.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            fn = foreach_batch_training_ingest(idx, shard_store, bench)
+            with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+                q = (
+                    sdf.writeStream.foreachBatch(fn)
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", os.path.join(stage, "ck"))
+                    .start()
+                )
+                q.awaitTermination()
+            # batch column dropped: the surviving SET is order-independent
+            # on this fixture (arrival batches contain no cross-batch
+            # dups), the per-batch placement is the store's concern
+            return (
+                shard_store.read_committed()
+                .select("doc_id", "shard", "n_tokens")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(idx.root, ignore_errors=True)
+
+
+_register_stream_training_ingest()

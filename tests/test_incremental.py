@@ -305,3 +305,91 @@ def test_vacuum_cluster_map_reelects_labels(spark):
     inc.update_dup_clusters(store, pairs([(12, 31)]))
     got2 = dict(sorted(inc.read_cluster_map(store).collect()))
     assert got2 == {11: 11, 12: 11, 20: 20, 30: 11, 31: 11}
+
+
+# --------------------------------------------------- r10: training ingest
+# (the composed streaming raw-to-shards chain, llm/ingest.py)
+
+_GOOD = (
+    "the quick brown fox jumps over a lazy dog and then it runs down "
+    "to the quiet river of dreams which is calm tonight for everyone"
+)
+_GOOD2 = (
+    "pack my box with five dozen liquor jugs and bring the party to "
+    "a joyful end because everyone is tired of waiting in the cold"
+)
+
+
+def test_training_ingest_index_advances_and_stage1(spark):
+    """The composed per-batch fn: (a) stage 1 collapses same-URL docs
+    within a batch; (b) batch 2's exact replica of a batch-1 'new' doc
+    is rejected by the ADVANCED index (never reaches the shard store);
+    (c) gate failures (short doc) are filtered."""
+    from gmall_flink_2022_spark.llm.ingest import foreach_batch_training_ingest
+    from gmall_flink_2022_spark.streaming.eos import IdempotentBatchStore
+
+    store = _store(spark)
+    inc.build_dedup_index(store, _df(spark, CORPUS))
+    shard_root = tempfile.mkdtemp(prefix="ingest_shards_")
+    shards = IdempotentBatchStore(spark, shard_root)
+    bench = _df(spark, [(999, "zz yy xx ww vv uu tt ss rr qq pp oo")])
+    fn = foreach_batch_training_ingest(store, shards, bench)
+
+    schema = "doc_id long, text string, url string"
+    b1 = spark.createDataFrame(
+        [
+            (10, _GOOD, "https://a.com/x"),
+            (11, _GOOD2, "https://a.com/x"),   # same URL: stage-1 drops it
+            (12, "too short", "https://b.com/y"),  # Gopher gate drops it
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(20, _GOOD, "https://c.com/z")],  # exact replica of batch-1 doc 10
+        schema,
+    )
+    fn(b1, 0)
+    fn(b2, 1)
+    got = {r["doc_id"] for r in shards.read_committed().collect()}
+    assert got == {10}
+    # the replica WAS decided against the advanced index (exact), not
+    # silently lost: its digest maps to doc 10, which is in the index
+    dec = inc.incremental_dedup(
+        store, spark.createDataFrame([(30, _GOOD)], "doc_id long, text string")
+    ).collect()
+    assert dec[0]["dup_kind"] == "exact" and dec[0]["match_id"] == 10
+
+
+def test_training_ingest_plan_no_corpus_scan_and_broadcasts(spark, sf_dir):
+    """r9 VERDICT ask #3's plan gates on the composed content pass: the
+    corpus side is the INDEX parquet (no documents-table scan anywhere),
+    and every join broadcasts its arrival/bench-bounded side — no
+    sort-merge, no shuffled hash join, no Python."""
+    from gmall_flink_2022_spark.llm.ingest import training_ingest_batch
+    from gmall_flink_2022_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = _store(spark)
+    inc.build_dedup_index(store, docs)
+    arr_dir = tempfile.mkdtemp(prefix="ingest_arr_")
+    docs.limit(20).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    ).write.mode("overwrite").parquet(arr_dir)
+    bench_dir = tempfile.mkdtemp(prefix="ingest_bench_")
+    docs.filter(F.col("doc_id") % 13 == 0).write.mode("overwrite").parquet(
+        bench_dir
+    )
+    arrivals = spark.read.parquet(arr_dir)
+    bench = spark.read.parquet(bench_dir)
+    out = training_ingest_batch(store, arrivals, bench)
+    # the decision phase is materialized inside ingest_with_dedup
+    # (foreachBatch discipline truncates its lineage); ITS no-corpus-scan
+    # + arrivals-broadcast gates are test_incremental_plan_reads_index_
+    # not_corpus_text / test_incremental_broadcasts_arrival_side above.
+    # This gate covers the composed TAIL (gates + decontam + shard):
+    plan = out._jdf.queryExecution().toString()
+    assert "documents" not in plan           # no corpus re-scan anywhere
+    assert arr_dir in plan and bench_dir in plan
+    assert "BroadcastHashJoin" in plan       # gate/decontam semi-joins
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
