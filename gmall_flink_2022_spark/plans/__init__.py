@@ -18,327 +18,85 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
-    # ROUND-9 WINDOW (VERDICT r8 ask #1 executed verbatim).
-    # Slots: (a) everything born or semantically changed in r9 (listed
-    # first, appended as they land); (b) the NINETEEN entries born after
-    # the r8 window froze — the only registry rows with no driver check
-    # ever (VERDICT r8 "What's missing #1"; all judge-verified green at
-    # sf0.01 last session and swept by test_oracle_parity every run);
-    # (c) the stalest green cohort: the four r4-green _scale knob twins,
-    # llm_knn_ivf_contract (r5-green, the only contract not re-checked
-    # since r5), then the VERDICT-named r5-green entries over churned or
-    # long-unvisited code. Slips are named at the end of this list's
-    # comment block. The r8 window list lives in git history: dc979b6.
-    # --- (a) r9-born / r9-changed ---
-    # llm_knn_lsh / llm_knn_ivf / llm_dedup_embed_lsh: r2-green rows-only
-    # originals PROMOTED to exact oracles this round (VERDICT ask #4) —
-    # semantically "changed" (oracle added; Spark side untouched) and the
-    # stalest rows in the ledger, so they front.
+    # ROUND-10 WINDOW (VERDICT r9 ask #1 executed verbatim; the r9 list
+    # lives in git history: a5c4a48).
+    # Slots: (a) the four r10 births, then the five entries semantically
+    # or materially changed in r10 (url_normalize gained the
+    # query-string guard -> the whole normalize-consuming family
+    # re-fronts; llm_training_shards moved its stage path to the
+    # configurable scratch helper); (b) the ENTIRE 39-entry r5-green
+    # cohort (5 rounds stale — the VERDICT named it in full, including
+    # the six r9 slips llm_pagerank_centrality / events_zorder_key /
+    # llm_curation_pipeline_full / llm_sequence_pack_bpe /
+    # llm_sample_hash / llm_mixture_temperature, which lead it); (c)
+    # the two remaining slots start on the r6 cohort (r11's target),
+    # picking the two entries that ride THIS round's dedup.py churn
+    # (the persist()->shared-cache-registry rewrite):
+    # llm_dedup_minhash (minhash_lsh_pairs + _from_shingles) and
+    # llm_substring_dedup_removal (substring_match_spans).
+    # ZERO slips this round: everything r5-stale is in the window.
+    # --- (a) r10 births ---
+    "stream_funnel_conversion",
+    "stream_llm_training_ingest",
+    "llm_domain_mix_psl",
+    "llm_domain_capped_topk",
+    # --- (a) r10-changed (url_normalize query guard; scratch path) ---
     "llm_url_dedup",
     "llm_url_dedup_stream",
-    "llm_domain_mix",
-    "llm_host_extract",
-    "llm_domain_balanced_sample",
     "llm_stage1_pipeline",
-    "stream_domain_mix",
-    "llm_domain_quality",
-    "ads_funnel_conversion",
-    "ads_retention_cohorts",
-    "stream_retention_cohorts",
-    "llm_training_shards",
     "llm_training_shards_full",
-    "llm_lm_perplexity_sampled",
-    # graph demos re-fed from the cap-free prefix-filter pair family
-    # (ask #5) — semantically changed in r9, so they front (kcore and
-    # cluster_audit are also in the never-checked block below; the
-    # triangles entry was r8-green but its pair source changed):
-    "llm_dup_graph_triangles",
-    "llm_knn_lsh",
-    "llm_knn_ivf",
-    "llm_dedup_embed_lsh",
-    # --- (b) the 19 never-driver-checked r8 births (oldest-first by
-    # birth order within the round) ---
-    "stream_cdc_materialize",
-    "ads_grouping_sets_revenue",
-    "dq_referential_orphans",
-    "dq_profile_orders_approx",
-    "llm_curation_ccnet",
-    "llm_dup_graph_kcore",
-    "stream_brand_price_quantiles",
-    "stream_attribution_linear",
-    "events_trailing_24h",
-    "stream_llm_contamination_report",
-    "llm_lm_ppl_buckets",
-    "llm_dup_cluster_audit",
-    "ads_brand_price_trend",
-    "events_value_outliers",
-    "stream_events_value_outliers",
-    "ads_qty_discount_corr",
-    "ads_price_winsorized",
-    "ads_revenue_gini",
-    "dws_top_daily_paths",
-    # --- (c) stalest cohorts ---
-    # r4-green _scale knob twins (5 rounds stale — the oldest green rows
-    # in the ledger after the promoted ANN trio):
-    "stream_order_enrich_scale",
-    "stream_session_window_scale",
-    "stream_two_hop_scale",
-    "stream_keyword_stats_cjk_scale",
-    # the one contract not re-checked since r5:
-    "llm_knn_ivf_contract",
-    # VERDICT-named r5-green entries over churned code (DimStore journaled
-    # swaps: stats_store_idempotent_upsert, stream_db_route; text.py:
-    # llm_lang_id, llm_gopher_filter; dedup.py memo churn:
-    # llm_dedup_paragraph, llm_curation_pipeline_full; retrieval/graph/
-    # multimodal/zorder long-unvisited):
-    "stream_db_route",
-    "stats_store_idempotent_upsert",
-    "llm_lang_id",
-    "llm_gopher_filter",
-    "llm_bm25_topk",
-    "mm_media_features",
-    "mm_frame_sample",
-    "llm_dedup_paragraph",
-    # r5-green fills past slot 50 (kept in list order as the next-up
-    # queue; the driver reads the FIRST 50, so entries below the line
-    # formed by the r9 births above are named r9 slips):
-    # llm_pagerank_centrality (displaced by the late
-    # stream_retention_cohorts birth; graph.py's checkpoint-loop idiom
-    # is fronted via llm_dup_graph_kcore and the pagerank function
-    # itself is untouched since r5),
+    "llm_training_shards",
+    # --- (b) the 39-entry r5-green cohort, named r9 slips first ---
     "llm_pagerank_centrality",
-    # events_zorder_key (displaced by the late funnel/retention births;
-    # the z-order layout is plan-gated every pytest run in
-    # test_plan_quality and its code is untouched since r5) and
-    # llm_curation_pipeline_full (its ENTIRE machinery runs inside the
-    # fronted llm_training_shards + llm_training_shards_full, whose
-    # oracles replay curate_full end-to-end — stronger coverage than
-    # the entry itself; also ALL-GREEN in this round's three full
-    # driver-sims before the displacement); then
-    # llm_sequence_pack_bpe, llm_sample_hash, llm_mixture_temperature
-    # (displaced by the late r9 births stream_domain_mix /
-    # llm_domain_quality / llm_training_shards_full; the u32/hash
-    # universe is fronted via llm_domain_mix + llm_lm_perplexity_sampled
-    # + llm_domain_balanced_sample, the BPE chain's apply/train stages
-    # were r8-green, and sampling.py is untouched since r5), and the
-    # also-stale llm_dup_cluster_keep_best / llm_bpe_pair_counts
-    # (machinery r7-green via llm_dup_clusters_incremental and the BPE
-    # chain).
+    "events_zorder_key",
+    "llm_curation_pipeline_full",
     "llm_sequence_pack_bpe",
     "llm_sample_hash",
     "llm_mixture_temperature",
-    # R9 SLIPS (named; each with a fronted same-code-path sibling and no
-    # r9 churn of its own): the 13 TPC-H batch-2/3 thin SQL renderings
-    # (tpch_q2/q6/q7/q8/q9/q11/q12/q14/q16/q18/q19/q20/q21 — single-shape
-    # frames over tpch_more/tpch_shapes.py untouched since r5; warehouse
-    # spine entries ride every round's parity sweep), the 5 approx/
-    # percentile/cube analytics twins (exact siblings r6-green), the
-    # knob/_scale event twins (originals r7-green; zorder plan-gated),
-    # mm_frame_dedup / mm_image_resize / mm_audio_frames (multimodal.py
-    # untouched since r5; mm_media_features + mm_frame_sample fronted
-    # here), llm_ngram_familiarity / llm_fingerprint_rolling /
-    # llm_fingerprint_winnow (fingerprint/text gram machinery rides the
-    # fronted CMS/LM entries), llm_sample_stratified / llm_train_val_split
-    # (sampling.py untouched since r5; the hash/mixture/u32 paths are
-    # fronted via llm_sample_hash + llm_mixture_temperature above plus
-    # llm_lm_perplexity_sampled + llm_domain_mix), stream_uv_dropdup and
-    # the r5 _scale streaming twins (machinery r7/r8-green via fronted
-    # originals).
-    # =====================================================================
-    # ROUND-8 WINDOW follows (kept for reference until the r9 freeze;
-    # entries below slot 50 are ignored by the driver).
-    # Slots: (a) the 4 r8-born/semantically-changed entries plus
-    # stream_llm_rare_token_score (its persistence path moved to the new
-    # validated save_sketch/load_sketch this round) and llm_bpe_apply
-    # (now round-trips the merge table through a DimStore); (b)
-    # llm_dsir_weights — the ONLY previously never-driver-checked entry;
-    # (c) ALL 22 named r7 slips (4 rounds stale at r8, the r4-green
-    # cohort — they go first per standing policy); (d) 22 of the
-    # 50-entry r5-green cohort (3 rounds stale), prioritizing entries
-    # whose SHARED code churned in r6-r8: DimStore riders (journaled
-    # swaps landed THIS round: stats_store_idempotent_upsert,
-    # stream_db_route), dedup.py riders (memo-key freshness churn:
-    # substring/simhash64/paragraph/curation_full), text.py riders
-    # (r7 NULL-coalesce: gopher/lang_id/ngram_familiarity),
-    # similarity.py rider (r6-r7 PQ refactor: llm_knn_ivf_contract),
-    # bpe-chain rider (llm_sequence_pack_bpe), the hash-universe
-    # sibling of the new Gumbel entry (llm_mixture_temperature), then
-    # the stale multimodal + sampling + fingerprint families.
-    # THIRTY-EIGHT r5-green entries slip to r9, each with a fronted
-    # same-code-path sibling and no r6-r8 churn of its own:
-    #   llm_fingerprint_rolling / llm_fingerprint_winnow /
-    #   llm_sample_stratified / llm_sample_hash / llm_train_val_split /
-    #   llm_mixture_temperature (displaced late by the r8-born HLL
-    #     trio + histogram pair + llm_bpe_train_sampled; fronted
-    #     llm_fingerprint covers the fingerprint feature file, and
-    #     sampling.py — untouched since r5 — keeps fronted
-    #     representatives llm_mixture_sample + llm_shuffle_order from
-    #     the r4 cohort plus the r8-born hash-sampled BPE entry over
-    #     the same hash_sample path),
-    #   mm_frame_dedup / mm_image_resize / mm_audio_frames (displaced
-    #     late by the r8-born daily-UV HLL trio; multimodal.py is
-    #     untouched since r5 and keeps fronted representatives
-    #     mm_media_features + mm_frame_sample here plus
-    #     stream_mm_features in the r4 cohort above),
-    #   llm_ngram_familiarity (displaced late by the r8-born
-    #     ads_brand_price_quantiles; its text.py neighborhood keeps
-    #     fronted representatives llm_gopher_filter + llm_lang_id +
-    #     llm_quality_score, and its gram machinery rides the fronted
-    #     CMS/DSIR entries),
-    #   tpch_q2/q6/q7/q8/q9/q11/q12/q14/q16/q18/q19/q20/q21 +
-    #   tpch_q3-adjacent shapes (13 entries: thin single-shape SQL
-    #     renderings over tpch_more/tpch_shapes.py untouched since r5;
-    #     the warehouse spine entries they share frames with are
-    #     r6-r7-green and all ride the per-session parity sweep),
-    #   dws_product_stats_approx / dws_province_stats_approx /
-    #   ads_price_percentiles / ads_cube_revenue /
-    #   ads_customer_quartiles (analytics.py untouched since r5;
-    #     exact siblings r6-green),
-    #   dws_events_sliding / events_zorder_key /
-    #   stream_events_sliding_scale / stream_visitor_stats_scale /
-    #   stream_product_stats_scale / stream_uv_dropdup (knob/_scale
-    #     twins — originals fronted in r7 and green; zorder layout is
-    #     plan-gated in test_plan_quality),
-    #   llm_dup_cluster_keep_best / llm_pagerank_centrality /
-    #   llm_bpe_pair_counts (thin surfaces over machinery that is
-    #     r7-green via llm_dup_clusters_incremental / llm_dup_clusters
-    #     and the r8-fronted BPE chain's first stage),
-    #   llm_bm25_topk (retrieval.py untouched since r5; its sibling
-    #     llm_tfidf_keywords over the same postings machinery is
-    #     r7-green and fronted in the r7 window).
-    # The 3 rows-only ANN originals stay below slot 50 as every round —
-    # their driver-checkable recall contracts are fronted this round
-    # (llm_knn_lsh_contract, llm_knn_ivf_contract,
-    # llm_dedup_embed_lsh_contract all in the window).
-    # --- (a) r8-born / r8-changed ---
-    # Late-r8 births (after the first window freeze; the freeze re-opened
-    # and the full window driver-sim'd again on the final tree): the
-    # prefix-filter exact similarity join, triangle counting, PII
-    # redaction batch+stream, boilerplate strip, CDC materialization.
-    # They displace SIX (d)-cohort entries, each with a fronted
-    # same-code-path sibling: llm_sequence_pack_bpe (BPE chain keeps two
-    # fronted entries: llm_bpe_apply + llm_bpe_train_sampled),
-    # llm_knn_ivf_contract (similarity.py untouched in r8; the fronted
-    # llm_knn_lsh_contract + llm_dedup_embed_lsh_contract ride the same
-    # contract harness), llm_curation_pipeline_full (dedup.py memo churn
-    # also ridden by fronted llm_substring_dedup + llm_dedup_simhash64),
-    # llm_dedup_paragraph (its paragraph_segments/_reassemble machinery
-    # is exercised by the NEW fronted llm_boilerplate_strip over the
-    # same planted corpus), mm_media_features + mm_frame_sample
-    # (multimodal.py untouched since r5; fronted stream_mm_features
-    # rides the same feature UDF path).
-    # llm_lm_perplexity + stream_llm_lm_perplexity (late-r8 births)
-    # displace llm_gopher_filter + llm_lang_id: both were fronted as
-    # text.py NULL-coalesce riders, and the new LM entries exercise the
-    # same _toks_or_empty coalesce path directly (NULL text in the
-    # scored half flows through it), so the churned line keeps two
-    # fronted riders either way.
-    "llm_lm_perplexity",
-    "stream_llm_lm_perplexity",
-    # Final late-r8 births with NO fronted same-path sibling — novel
-    # code (operators/quality.py, streaming/decay_state.py,
-    # decontam.contamination_report, the decay/attribution arithmetic)
-    # goes first per standing policy. They displace SIX entries, each
-    # with fronted coverage of its churned path: stats_store_idempotent_upsert
-    # + stream_db_route (the r8 journaled-swap DimStore path keeps FOUR
-    # fronted riders: llm_bpe_apply, stream_llm_dsir_score,
-    # stream_llm_rare_token_score, stream_user_decay_score) and the four
-    # r7-slip _scale knob twins stream_order_enrich_scale /
-    # stream_session_window_scale / stream_two_hop_scale /
-    # stream_keyword_stats_cjk_scale (their originals are r7-green and
-    # the _scale knob surface keeps stream_visitor_stats_scale's
-    # registry-wide collect_set plan gate; they lead the r9 list below).
-    # Births WITH a fronted same-path sibling slip to r9 instead:
-    # stream_cdc_materialize (dwd_cdc_materialize fronted),
-    # ads_grouping_sets_revenue (ads_rollup_revenue fronted),
-    # dq_referential_orphans (anti-join surface: dwd_anti_idle_customers
-    # fronted), dq_profile_orders_approx (tolerance-contract shape:
-    # llm_knn_lsh_contract + llm_dedup_embed_lsh_contract fronted;
-    # exact twin dq_profile_orders fronted).
-    "ads_user_decay_score",
-    "stream_user_decay_score",
-    "ads_attribution_linear",
-    "dq_profile_orders",
-    "dq_check_rules_lineitem",
-    "llm_contamination_report",
-    "llm_dedup_prefix_jaccard",
-    "llm_dup_graph_triangles",
-    "llm_pii_redact",
-    "stream_llm_pii_redact",
-    "llm_boilerplate_strip",
-    "dwd_cdc_materialize",
-    "llm_token_cms_heavy_scale",
-    "llm_dsir_select_gumbel",
-    "stream_llm_dsir_score",
-    "dws_uv_hll",
-    "dws_uv_hll_estimate",
-    "stream_uv_hll",
-    "ads_price_quantile_sketch",
-    "stream_value_histogram",
-    "llm_bpe_train_sampled",
-    "dws_daily_uv_hll",
-    "dws_daily_uv_hll_estimate",
-    "stream_daily_uv_hll",
-    "ads_brand_price_quantiles",
-    "llm_bpe_apply",
-    "stream_llm_rare_token_score",
-    # --- (b) never driver-checked ---
-    "llm_dsir_weights",
-    # --- (c) the named r7 slips (r4-green, stalest first; the four
-    # _scale knob twins displaced late, see above) ---
-    "llm_knn_lsh_contract",
-    "llm_dedup_embed_lsh_contract",
-    "llm_semdedup_contract",
-    "llm_dedup_embed_planted",
-    "llm_mixture_sample",
-    "llm_shuffle_order",
-    "llm_chunk_overlap",
-    "udf_surface_token_count",
-    "dws_keyword_stats_windowed",
-    "dwd_anti_idle_customers",
-    "ads_rollup_revenue",
-    "ads_pivot_linestatus",
-    "llm_token_stats",
-    "llm_fingerprint",
-    "llm_quality_score",
-    "dws_session_window_native",
-    "dwd_db_route",
-    "stream_mm_features",
-    # --- (d) r5-green rotation: the dedup-memo churn riders ---
-    "llm_substring_dedup",
-    "llm_dedup_simhash64",
+    # the 13 TPC-H batch-2/3 renderings
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q16_supplier_part_types",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    # the 5 approx/percentile/cube analytics twins
+    "dws_product_stats_approx",
+    "dws_province_stats_approx",
+    "ads_price_percentiles",
+    "ads_cube_revenue",
+    "ads_customer_quartiles",
+    # knob/_scale event twins
+    "dws_events_sliding",
+    "stream_events_sliding_scale",
+    "stream_visitor_stats_scale",
+    "stream_product_stats_scale",
+    "stream_uv_dropdup",
+    # multimodal
+    "mm_frame_dedup",
+    "mm_image_resize",
+    "mm_audio_frames",
+    # fingerprint / familiarity family
+    "llm_ngram_familiarity",
+    "llm_fingerprint_rolling",
+    "llm_fingerprint_winnow",
+    # sampling family
+    "llm_sample_stratified",
+    "llm_train_val_split",
+    # cluster/BPE thin surfaces
+    "llm_dup_cluster_keep_best",
+    "llm_bpe_pair_counts",
+    # --- (c) r6-cohort head start: riders of r10 dedup.py churn ---
+    "llm_dedup_minhash",
+    "llm_substring_dedup_removal",
 ]
-
-# (the round-6 window list lives in git history: d6f96dc;
-#  the round-7 list in 359bae4)
-
-# r9 window candidates, in priority order: the 46 named r8 slips above
-# (the 38 original slips PLUS the 8 late-r8 displacements:
-# llm_sequence_pack_bpe, llm_knn_ivf_contract, llm_curation_pipeline_full,
-# llm_dedup_paragraph, mm_media_features, mm_frame_sample,
-# llm_gopher_filter, llm_lang_id, stats_store_idempotent_upsert,
-# stream_db_route, and the four _scale knob twins
-# stream_order_enrich_scale / stream_session_window_scale /
-# stream_two_hop_scale / stream_keyword_stats_cjk_scale) — they go
-# FIRST, along with the five slipped late-r8 births
-# stream_cdc_materialize, ads_grouping_sets_revenue,
-# dq_referential_orphans, dq_profile_orders_approx, and
-# llm_curation_ccnet, llm_dup_graph_kcore, stream_brand_price_quantiles,
-# stream_attribution_linear, events_trailing_24h,
-# stream_llm_contamination_report, llm_lm_ppl_buckets,
-# llm_dup_cluster_audit, ads_brand_price_trend, events_value_outliers,
-# stream_events_value_outliers, ads_qty_discount_corr,
-# ads_price_winsorized, ads_revenue_gini, and dws_top_daily_paths (every
-# stage's machinery fronted: paragraph
-# segmentation via llm_boilerplate_strip, the LM gate via
-# llm_lm_perplexity, exact dedup everywhere; the k-core peel rides
-# the fronted triangle entry's pair corpus and pagerank's checkpoint
-# loop idiom, the grouped-quantile stream twin rides the fronted
-# ads_brand_price_quantiles + stream_value_histogram machinery, the
-# streaming attribution rides fronted ads_attribution_linear plus the
-# proven two-hop topology; each locally oracle-verified at sf0.01 and
-# swept by test_oracle_parity), then
-# anything born or churned in r9, then the r6-green cohort.
 
 
 def _prioritize() -> None:
