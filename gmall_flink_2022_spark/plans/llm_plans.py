@@ -5506,6 +5506,9 @@ _register_psl_entries()
     "WindowGroupLimit on both sides of the one domain exchange "
     "(plan-gated), so a billion-doc domain ships at most cap rows",
     tags=("llm", "url", "sampling"),
+    # r10 bench-set addition (documented per the standing honesty ask):
+    # tracks the WindowGroupLimit group-limit path per round, ~0.5 s
+    bench=True,
 )
 def llm_domain_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls_mod.domain_capped_topk(

@@ -2932,3 +2932,48 @@ def _register_stream_training_ingest() -> None:
 
 
 _register_stream_training_ingest()
+
+
+def _register_stream_topk() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_domain_capped_topk",
+        oracle=_R["llm_domain_capped_topk"].oracle,
+        survey_ref="streaming twin of llm_domain_capped_topk: the exact "
+        "per-domain top-cap with BOUNDED state — WindowGroupLimit's "
+        "partial heap made persistent (streaming/topk_state.py: at most "
+        "cap (hash, id) pairs per domain, heap-merge + truncate per "
+        "micro-batch), full current ranking re-emitted per touched "
+        "domain in update mode through the (domain, rank)-keyed upsert "
+        "store; the settled table is bit-identical to the batch "
+        "ranking because membership is by the same stable u32",
+        tags=("streaming", "stateful", "llm", "url", "sampling"),
+    )
+    def stream_domain_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm import urls
+        from ..llm.sampling import _u32
+        from ..streaming.topk_state import keyed_topk_stateful
+        from .llm_plans import _DOMAIN_CAP, _with_url
+
+        d = read_stream_table(spark, sf_dir, "documents").select("doc_id")
+        rows = _with_url(d).select(
+            F.col("doc_id").alias("id"),
+            urls.registrable_domain(urls.host_of(F.col("url"))).alias(
+                "domain"
+            ),
+            _u32(F.col("doc_id")).alias("_u"),
+        )
+        out = keyed_topk_stateful(rows, "domain", "id", "_u", _DOMAIN_CAP)
+        keyed = out.withColumn(
+            "_k", F.concat_ws("|", F.col("key"), F.col("rk"))
+        )
+        settled = _run_update_upsert(keyed, _uniq("domtopk"))
+        return settled.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("key").alias("domain"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+
+
+_register_stream_topk()

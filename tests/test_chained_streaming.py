@@ -111,3 +111,52 @@ def test_two_hop_streaming_pipeline(spark, tmp_path):
     # order 1's two in-band details reach payment 100; order 2's only
     # in-band detail (12) is dropped because payment 101 is outside 15 min
     assert got == [(100, 10), (100, 11)]
+
+def test_keyed_topk_state_bounded_and_improving(spark, tmp_path):
+    """The streaming top-k's state never exceeds cap pairs per key, and
+    a later batch with smaller hashes IMPROVES the ranking (the settled
+    (key, rank) upserts converge to the global top-cap)."""
+    from gmall_flink_2022_spark.streaming.topk_state import keyed_topk_stateful
+    from gmall_flink_2022_spark.streaming.runner import run_stream_to_table
+
+    # u values chosen so batch 2 undercuts batch 1's ranking
+    b1 = spark.createDataFrame(
+        [("a", 1, 50), ("a", 2, 60), ("a", 3, 70), ("b", 9, 10)],
+        "key string, id long, _u long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 4, 5), ("a", 5, 55)], "key string, id long, _u long"
+    )
+    in_dir = str(tmp_path / "in")
+    import time
+
+    b1.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    time.sleep(1.2)
+    b2.coalesce(1).write.parquet(in_dir, mode="append")
+    sdf = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = keyed_topk_stateful(sdf, "key", "id", "_u", cap=3)
+    settled = run_stream_to_table(
+        out, "topk_t", output_mode="update", checkpoint=str(tmp_path / "c")
+    )
+    # memory sink in update mode APPENDS re-emissions; last per (key, rk)
+    # wins — replicate the keyed-upsert read with a batch window
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    last = (
+        settled.withColumn("_ord", F.monotonically_increasing_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("key", "rk").orderBy(F.desc("_ord"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    got = {(r["key"], r["rk"]): r["id"] for r in last.collect()}
+    # global top-3 for 'a' by (u, id): (5,4), (50,1), (55,5) — id 2, 3 out
+    assert got == {("a", 1): 4, ("a", 2): 1, ("a", 3): 5, ("b", 1): 9}
