@@ -32,16 +32,20 @@ _DRIVER_WINDOW_FIRST = [
     # the two remaining slots start on the r6 cohort (r11's target),
     # picking the two entries that ride THIS round's dedup.py churn
     # (the persist()->shared-cache-registry rewrite):
-    # llm_dedup_minhash (minhash_lsh_pairs + _from_shingles); the late
-    # r10 birth stream_domain_capped_topk took the second head-start
-    # slot, so llm_substring_dedup_removal is the ONE named slip — its
-    # churn is the same mechanical persist->cachereg rewrite the
-    # fronted llm_dedup_minhash rides, it is r6-green (not r5), and
-    # substring_match_spans has its own unit + parity coverage every
-    # pytest run. Everything r5-stale is in the window.
+    # llm_dedup_minhash (minhash_lsh_pairs + _from_shingles) and
+    # llm_substring_dedup_removal (substring_match_spans) — but the
+    # late r10 births stream_domain_capped_topk and llm_stage1_psl_topk
+    # took both head-start slots, so those two r6-green entries are the
+    # named slips. Justification: they are r6-green (not r5-stale),
+    # their only r10 churn is the mechanical persist->cachereg rewrite
+    # (covered by dedicated release/equivalence unit tests every pytest
+    # run), and both ride the per-session 243-entry parity sweep.
+    # Everything r5-stale is in the window; the r6 cohort is r11's
+    # standing target.
     # --- (a) r10 births ---
     "stream_funnel_conversion",
     "stream_domain_capped_topk",
+    "llm_stage1_psl_topk",
     "stream_llm_training_ingest",
     "llm_domain_mix_psl",
     "llm_domain_capped_topk",
@@ -98,8 +102,6 @@ _DRIVER_WINDOW_FIRST = [
     # cluster/BPE thin surfaces
     "llm_dup_cluster_keep_best",
     "llm_bpe_pair_counts",
-    # --- (c) r6-cohort head start: rider of r10 dedup.py churn ---
-    "llm_dedup_minhash",
 ]
 
 

@@ -5514,3 +5514,67 @@ def llm_domain_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls_mod.domain_capped_topk(
         _docs_with_urls(spark, sf_dir), "doc_id", "url", cap=_DOMAIN_CAP
     )
+
+
+def _register_stage1_psl_topk() -> None:
+    from ..llm import psl
+
+    @register(
+        "llm_stage1_psl_topk",
+        # stage 1 with BOTH r10 upgrades composed: keep-first URL dedup,
+        # then the REAL-PSL registrable domain (broadcast rule dim), then
+        # the exact min(cap, n_d) per-domain selection. The oracle chains
+        # kept -> psl_domain_sql -> ROW_NUMBER, all from shared fragments.
+        oracle=f"""
+        WITH {_PSL_URL_CTE},
+        kept AS (SELECT MIN(doc_id) AS doc_id
+                 FROM (SELECT doc_id, {_NORM_SQL} AS nrm FROM pudocs)
+                 GROUP BY nrm),
+        kdocs AS (SELECT u.doc_id, u.url FROM pudocs u
+                  JOIN kept k ON k.doc_id = u.doc_id),
+        hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM kdocs),
+        {psl.psl_domain_sql("hosts").lstrip()},
+        rk AS (SELECT doc_id AS id, domain,
+                      ROW_NUMBER() OVER (PARTITION BY domain
+                          ORDER BY {_u32_sql("doc_id")}, doc_id) AS rk
+               FROM psldom)
+        SELECT id, domain, CAST(rk AS BIGINT) AS rk
+        FROM rk WHERE rk <= {_DOMAIN_CAP}
+        """,
+        survey_ref="r10 composition: the stage-1 pass with the real-PSL "
+        "domain dim AND the exact per-domain cap — URL keep-first dedup "
+        "-> broadcast-rule registrable domain (wildcards/exceptions "
+        "grouped correctly, unlike the literal) -> deterministic "
+        "min(cap, n_d) top-k; plan is the url_dedup aggregation + "
+        "three broadcast rule probes + WindowGroupLimit on both "
+        "exchange sides — the 'swap the literal for the dim is not a "
+        "plan change' promise demonstrated inside the composed pipeline",
+        tags=("llm", "url", "sampling", "pipeline", "dim"),
+    )
+    def llm_stage1_psl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from ..llm.sampling import _u32
+
+        d = _with_url_psl(_docs(spark, sf_dir).select("doc_id"))
+        kept = urls_mod.url_dedup(d, "doc_id", "url").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        surv = d.join(kept, "doc_id", "left_semi")
+        h = surv.select(
+            "doc_id", urls_mod.host_of(F.col("url")).alias("host")
+        )
+        dom = psl.registrable_domain_psl(
+            h, "host", psl.psl_rules_df(spark)
+        ).select(F.col("doc_id").alias("id"), "domain")
+        w = Window.partitionBy("domain").orderBy(
+            _u32(F.col("id")).asc(), F.col("id").asc()
+        )
+        return (
+            dom.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= _DOMAIN_CAP)
+            .select("id", "domain", "rk")
+        )
+
+
+_register_stage1_psl_topk()

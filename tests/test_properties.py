@@ -718,3 +718,63 @@ def test_url_dedup_partition_invariants(spark, urls):
         (r["norm_url"], r["keep_id"]) for r in out
     }
     assert all(r["dup_ct"] == 1 for r in again)
+
+
+_psl_host_strategy = st.lists(
+    st.builds(
+        lambda labels: ".".join(labels),
+        st.lists(
+            st.sampled_from(
+                ["www", "a", "b7", "city", "shop", "k12", "ma", "us",
+                 "kawasaki", "jp", "ck", "com", "sg", "co", "uk", "za",
+                 "example", "bd", "x-y"]
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _psl_ref_domain(host: str) -> str:
+    """Independent python rendering of the published PSL algorithm —
+    the property oracle for the Spark expression tree."""
+    from gmall_flink_2022_spark.llm.psl import MAX_RULE_LABELS, PSL_RULES
+
+    rules = dict(PSL_RULES)
+    labels = host.split(".")
+    n = len(labels)
+    exc, best = None, 1
+    for k in range(1, MAX_RULE_LABELS + 1):
+        if n < k:
+            break
+        kind = rules.get(".".join(labels[-k:]))
+        if kind == "x":
+            exc = k
+        elif kind == "n":
+            best = max(best, k)
+        elif kind == "w" and n >= k + 1:
+            best = max(best, k + 1)
+    ps = (exc - 1) if exc is not None else best
+    return host if n <= ps else ".".join(labels[-(ps + 1):])
+
+
+@settings(max_examples=8, deadline=None)
+@given(_psl_host_strategy)
+def test_psl_domain_matches_python_reference(spark, hosts):
+    """registrable_domain_psl (3 broadcast joins + a CASE tree) equals
+    the direct python PSL fold on arbitrary hosts built from rule-
+    adjacent labels — wildcard children, exception descendants, deep
+    normal rules, bare suffixes, unknown TLDs."""
+    from gmall_flink_2022_spark.llm import psl
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id long, host string"
+    )
+    out = psl.registrable_domain_psl(df, "host", psl.psl_rules_df(spark))
+    got = {(r["id"], r["host"]): r["domain"] for r in out.collect()}
+    for (i, h), d in got.items():
+        assert d == _psl_ref_domain(h), (h, d, _psl_ref_domain(h))
+    assert len(got) == len(hosts)
