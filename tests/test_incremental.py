@@ -393,3 +393,36 @@ def test_training_ingest_plan_no_corpus_scan_and_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan       # gate/decontam semi-joins
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_training_ingest_batch_order_independent(spark):
+    """The entry documents that the surviving SET is independent of
+    micro-batch arrival order when batches contain no cross-batch dups
+    — prove it: two fresh index/store pairs fed the same two batches in
+    opposite orders commit identical shard sets."""
+    from gmall_flink_2022_spark.llm.ingest import foreach_batch_training_ingest
+    from gmall_flink_2022_spark.streaming.eos import IdempotentBatchStore
+
+    schema = "doc_id long, text string, url string"
+    b1 = spark.createDataFrame(
+        [(10, _GOOD, "https://a.com/x"), (12, "too short", "https://b.com/y")],
+        schema,
+    )
+    b2 = spark.createDataFrame([(20, _GOOD2, "https://c.com/z")], schema)
+    bench = _df(spark, [(999, "zz yy xx ww vv uu tt ss rr qq pp oo")])
+
+    def run(order):
+        store = _store(spark)
+        inc.build_dedup_index(store, _df(spark, CORPUS))
+        shards = IdempotentBatchStore(
+            spark, tempfile.mkdtemp(prefix="ingest_order_")
+        )
+        fn = foreach_batch_training_ingest(store, shards, bench)
+        for bid, batch in enumerate(order):
+            fn(batch, bid)
+        return {
+            (r["doc_id"], r["shard"], r["n_tokens"])
+            for r in shards.read_committed().collect()
+        }
+
+    assert run([b1, b2]) == run([b2, b1]) != set()

@@ -2877,3 +2877,19 @@ def test_domain_capped_topk_exact(spark):
     assert {(r["id"], r["rk"]) for r in again} == {
         (r["id"], r["rk"]) for r in out
     }
+
+
+def test_url_dedup_corpus_view(spark):
+    """url_dedup_corpus = the surviving rows of the keep-first dedup —
+    one row per normalized URL, carrying the min id, no second corpus
+    pass (it is the map reprojected)."""
+    from gmall_flink_2022_spark.llm import urls
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/x/"), (2, "https://a.com/x"),
+         (3, "https://a.com/x#frag"), (4, "https://b.org/y")],
+        "doc_id long, url string",
+    )
+    out = {(r["doc_id"], r["norm_url"])
+           for r in urls.url_dedup_corpus(docs).collect()}
+    assert out == {(1, "https://a.com/x"), (4, "https://b.org/y")}
