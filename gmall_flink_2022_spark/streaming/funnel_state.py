@@ -68,6 +68,31 @@ def _chain(tv, clicks, purch):
     return tc, tp
 
 
+def _fold_batch(tv, clicks, purch, events):
+    """Pure state-merge: fold one batch of (ts_us, event_type) into the
+    (tv, clicks, purch) state, recompute the chain, prune losslessly
+    (anchors only tighten downward, so events above an anchor can never
+    become the answer). THE invariant the hypothesis property test
+    drives: folding any partition of an event multiset through this
+    function yields the same final chain as one fold of everything."""
+    clicks, purch = list(clicks), list(purch)
+    for t_us, etype in events:
+        t_us = int(t_us)
+        if etype == "view":
+            tv = t_us if tv is None else min(tv, t_us)
+        elif etype == "click":
+            clicks.append(t_us)
+        elif etype == "purchase":
+            purch.append(t_us)
+    clicks, purch = sorted(set(clicks)), sorted(set(purch))
+    tc, tp = _chain(tv, clicks, purch)
+    if tc is not None:
+        clicks = [c for c in clicks if c <= tc]
+    if tp is not None:
+        purch = [p for p in purch if p <= tp]
+    return tv, clicks, purch
+
+
 def _make_apply(timeout_delay: dt.timedelta):
     def apply(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         user_id, day = key
@@ -92,22 +117,9 @@ def _make_apply(timeout_delay: dt.timedelta):
             clicks, purch = list(clicks or ()), list(purch or ())
         rows = pd.concat(list(pdf_iter))
         us = rows["ts"].astype("int64") // 1000  # ns -> us
-        for t_us, etype in zip(us, rows["event_type"]):
-            t_us = int(t_us)
-            if etype == "view":
-                tv = t_us if tv is None else min(tv, t_us)
-            elif etype == "click":
-                clicks.append(t_us)
-            elif etype == "purchase":
-                purch.append(t_us)
-        clicks, purch = sorted(set(clicks)), sorted(set(purch))
-        # recompute the chain, then prune everything ABOVE the anchors:
-        # a tightening anchor can only move DOWN, so those can never win
-        tc, tp = _chain(tv, clicks, purch)
-        if tc is not None:
-            clicks = [c for c in clicks if c <= tc]
-        if tp is not None:
-            purch = [p for p in purch if p <= tp]
+        tv, clicks, purch = _fold_batch(
+            tv, clicks, purch, zip(us, rows["event_type"])
+        )
         state.update((tv, clicks, purch))
         day_end = dt.datetime(day.year, day.month, day.day) + dt.timedelta(
             days=1

@@ -707,3 +707,15 @@ def test_domain_capped_topk_plan(spark, sf_dir):
     assert "Partial" in p and "Final" in p  # both shuffle sides limited
     assert p.count(") Exchange") - p.count("ReusedExchange") == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_stage1_psl_topk_plan(spark, sf_dir):
+    """The composed stage-1 + PSL + exact-cap entry keeps every piece's
+    shape: the url-dedup aggregation, the three broadcast rule probes
+    (no sort-merge anywhere), WindowGroupLimit on both sides of the
+    rank exchange, no Python."""
+    p = _plan(spark, sf_dir, "llm_stage1_psl_topk")
+    assert p.count(") BroadcastHashJoin") >= 3  # rule probes (+ semi)
+    assert "SortMergeJoin" not in p
+    assert p.count(") WindowGroupLimit") == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

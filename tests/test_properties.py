@@ -778,3 +778,54 @@ def test_psl_domain_matches_python_reference(spark, hosts):
     for (i, h), d in got.items():
         assert d == _psl_ref_domain(h), (h, d, _psl_ref_domain(h))
     assert len(got) == len(hosts)
+
+
+_funnel_fold_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # ts (tiny domain -> ties)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.lists(st.integers(min_value=0, max_value=30), max_size=6),  # cut points
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_funnel_fold_strategy)
+def test_funnel_fold_partition_invariant(case):
+    """THE lossless-prune theorem behind the streaming funnel
+    (streaming/funnel_state.py::_fold_batch): folding ANY partition of
+    an event multiset — any batch boundaries, any arrival order —
+    yields the same final (tv, tc, tp) chain as folding everything at
+    once. This is exactly why a late earlier view can always be
+    recovered from the pruned buffers."""
+    from gmall_flink_2022_spark.streaming.funnel_state import (
+        _chain,
+        _fold_batch,
+    )
+
+    events, cuts = case
+    # one-shot fold = ground truth
+    tv0, c0, p0 = _fold_batch(None, [], [], events)
+    want = (tv0, *_chain(tv0, c0, p0))
+    # partitioned fold at arbitrary cut points
+    bounds = sorted({c for c in cuts if c <= len(events)})
+    pieces, prev = [], 0
+    for b in bounds + [len(events)]:
+        pieces.append(events[prev:b])
+        prev = b
+    tv, cl, pu = None, [], []
+    for piece in pieces:
+        tv, cl, pu = _fold_batch(tv, cl, pu, piece)
+    got = (tv, *_chain(tv, cl, pu))
+    assert got == want, (events, bounds, got, want)
+    # the bounded-state claim: buffers never exceed the distinct
+    # pre-anchor timestamps of their type
+    tc, tp = _chain(tv, cl, pu)
+    if tc is not None:
+        assert all(c <= tc for c in cl)
+    if tp is not None:
+        assert all(p <= tp for p in pu)
