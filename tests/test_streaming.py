@@ -615,3 +615,90 @@ def test_stream_funnel_no_view_day_and_boundary(spark, tmp_path):
         for r in settled.filter(F.col("user_id") >= 0).collect()
     }
     assert rows == {1: (False, False)}
+
+
+def test_stream_funnel_checkpoint_resume(spark, tmp_path):
+    """The funnel state survives a query RESTART: run 1 ingests
+    click+purchase (and user 2's provisional anchor), stops with state
+    checkpointed and nothing emitted; run 2 — a NEW query on the SAME
+    checkpoint — delivers the late earlier views and the sentinel. The
+    resumed state must still recover the anchor shift (W8: restart =
+    replay from checkpoint, state is the source of truth)."""
+    import datetime as dt
+    import time
+
+    from gmall_flink_2022_spark.streaming.funnel_state import funnel_stateful
+    from gmall_flink_2022_spark.streaming.runner import (
+        DEFAULT_STATE_PARTITIONS,
+        _pinned_shuffle_partitions,
+    )
+
+    day = dt.datetime(2024, 5, 3)
+
+    def t(h, m):
+        return day + dt.timedelta(hours=h, minutes=m)
+
+    schema = "user_id long, ts timestamp, event_type string"
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    out_dir = str(tmp_path / "out")
+
+    def run(name):
+        # file sink, not memory: the memory sink does not support
+        # checkpoint RECOVERY, which is the point of this test
+        sdf = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = funnel_stateful(sdf, watermark_delay="4 hours")
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.schema(
+            "user_id long, dt string, reached_click boolean, "
+            "reached_purchase boolean"
+        ).parquet(out_dir)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, t(9, 30), "click"),
+            (1, t(9, 45), "purchase"),
+            (2, t(10, 0), "view"),
+            (2, t(9, 30), "click"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    first = run("funnel_resume1")
+    assert first.count() == 0  # nothing timed out yet: all state, no output
+
+    time.sleep(1.2)
+    batch2 = spark.createDataFrame(
+        [(1, t(9, 0), "view"), (2, t(9, 0), "view")], schema
+    )
+    batch2.coalesce(1).write.parquet(in_dir, mode="append")
+    time.sleep(1.2)
+    spark.createDataFrame(
+        [(-1, dt.datetime(2030, 1, 1), "click")], schema
+    ).coalesce(1).write.parquet(in_dir, mode="append")
+
+    second = run("funnel_resume2")
+    rows = {
+        r["user_id"]: (r["reached_click"], r["reached_purchase"])
+        for r in second.filter(F.col("user_id") >= 0).collect()
+    }
+    # both anchor recoveries worked THROUGH the restart: user 1's whole
+    # chain was pre-anchor state from run 1; user 2's buffered rejected
+    # click was resurrected by the run-2 late view
+    assert rows == {1: (True, True), 2: (True, False)}
