@@ -45,6 +45,20 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _merge_topk(
+    pairs: list[tuple[int, int]],
+    new: list[tuple[int, int]],
+    cap: int,
+) -> list[tuple[int, int]]:
+    """Pure heap-merge + truncate. The partition-invariance theorem the
+    property test drives: folding ANY partition of a (u, id) multiset
+    through this function, in any order, equals one global
+    sorted-set-truncate — truncation is lossless because an element
+    outside the current top-cap can never re-enter (the kept set only
+    improves element-wise)."""
+    return sorted(set(pairs) | set(new))[:cap]
+
+
 def _make_apply(cap: int):
     def apply(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         (k,) = key
@@ -52,11 +66,12 @@ def _make_apply(cap: int):
         if state.exists:
             us, ids = state.get
             pairs = list(zip(list(us or ()), list(ids or ())))
+        new = []
         for pdf in pdf_iter:
-            pairs.extend(
+            new.extend(
                 zip((int(u) for u in pdf["_u"]), (int(i) for i in pdf["id"]))
             )
-        pairs = sorted(set(pairs))[:cap]  # heap-merge + truncate
+        pairs = _merge_topk(pairs, new, cap)
         state.update(([u for u, _ in pairs], [i for _, i in pairs]))
         yield pd.DataFrame(
             [(k, r + 1, i) for r, (_, i) in enumerate(pairs)],

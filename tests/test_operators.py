@@ -2893,3 +2893,41 @@ def test_url_dedup_corpus_view(spark):
     out = {(r["doc_id"], r["norm_url"])
            for r in urls.url_dedup_corpus(docs).collect()}
     assert out == {(1, "https://a.com/x"), (4, "https://b.org/y")}
+
+
+def test_psl_custom_depth_rules(spark):
+    """registrable_domain_psl parameterizes beyond the bundled depth:
+    a depth-4 rule table (pvt.k12.ma.us) matches at max_labels=4, and
+    the same host falls back to the bundled depth-3 rule when only the
+    default table is used — the full-PSL swap is a data change."""
+    from gmall_flink_2022_spark.llm import psl
+
+    rules4 = spark.createDataFrame(
+        [("pvt.k12.ma.us", "n"), ("k12.ma.us", "n")],
+        "suffix string, kind string",
+    )
+    df = spark.createDataFrame(
+        [(1, "school.pvt.k12.ma.us"), (2, "www.school.pvt.k12.ma.us")],
+        "id long, host string",
+    )
+    got4 = {
+        r["host"]: r["domain"]
+        for r in psl.registrable_domain_psl(
+            df, "host", rules4, max_labels=4
+        ).collect()
+    }
+    assert got4 == {
+        "school.pvt.k12.ma.us": "school.pvt.k12.ma.us",
+        "www.school.pvt.k12.ma.us": "school.pvt.k12.ma.us",
+    }
+    # bundled table (depth 3): k12.ma.us is the longest match instead
+    got3 = {
+        r["host"]: r["domain"]
+        for r in psl.registrable_domain_psl(
+            df, "host", psl.psl_rules_df(spark)
+        ).collect()
+    }
+    assert got3 == {
+        "school.pvt.k12.ma.us": "pvt.k12.ma.us",
+        "www.school.pvt.k12.ma.us": "pvt.k12.ma.us",
+    }

@@ -829,3 +829,29 @@ def test_funnel_fold_partition_invariant(case):
         assert all(c <= tc for c in cl)
     if tp is not None:
         assert all(p <= tp for p in pu)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 50)),  # (u, id) ties
+        max_size=40,
+    ),
+    st.lists(st.integers(min_value=0, max_value=40), max_size=5),  # cuts
+    st.integers(min_value=1, max_value=6),  # cap
+)
+def test_topk_merge_partition_invariant(pairs, cuts, cap):
+    """streaming/topk_state.py::_merge_topk — folding ANY partition of
+    the (u, id) multiset, with truncation to cap applied at EVERY step,
+    equals the single global sorted-set-truncate: per-step truncation
+    never loses a final winner."""
+    from gmall_flink_2022_spark.streaming.topk_state import _merge_topk
+
+    want = sorted(set(pairs))[:cap]
+    bounds = sorted({c for c in cuts if c <= len(pairs)})
+    state, prev = [], 0
+    for b in bounds + [len(pairs)]:
+        state = _merge_topk(state, pairs[prev:b], cap)
+        prev = b
+    assert state == want, (pairs, bounds, cap, state, want)
+    assert len(state) <= cap
