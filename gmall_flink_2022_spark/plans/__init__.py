@@ -18,44 +18,44 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
-    # ROUND-10 WINDOW (VERDICT r9 ask #1 executed verbatim; the r9 list
-    # lives in git history: a5c4a48).
-    # Slots: (a) the four r10 births, then the five entries semantically
-    # or materially changed in r10 (url_normalize gained the
-    # query-string guard -> the whole normalize-consuming family
-    # re-fronts; llm_training_shards moved its stage path to the
-    # configurable scratch helper); (b) the ENTIRE 39-entry r5-green
-    # cohort (5 rounds stale — the VERDICT named it in full, including
-    # the six r9 slips llm_pagerank_centrality / events_zorder_key /
-    # llm_curation_pipeline_full / llm_sequence_pack_bpe /
-    # llm_sample_hash / llm_mixture_temperature, which lead it); (c)
-    # the two remaining slots start on the r6 cohort (r11's target),
-    # picking the two entries that ride THIS round's dedup.py churn
-    # (the persist()->shared-cache-registry rewrite):
-    # llm_dedup_minhash (minhash_lsh_pairs + _from_shingles) and
-    # llm_substring_dedup_removal (substring_match_spans) — but the
-    # late r10 births stream_domain_capped_topk and llm_stage1_psl_topk
-    # took both head-start slots, so those two r6-green entries are the
-    # named slips. Justification: they are r6-green (not r5-stale),
-    # their only r10 churn is the mechanical persist->cachereg rewrite
-    # (covered by dedicated release/equivalence unit tests every pytest
-    # run), and both ride the per-session 243-entry parity sweep.
-    # Everything r5-stale is in the window; the r6 cohort is r11's
-    # standing target.
-    # --- (a) r10 births ---
+    # ROUND-11 WINDOW. The round-10 driver gate NEVER RAN — no
+    # CORRECTNESS_r10.json / BENCH_r10.json / VERDICT r10 were delivered
+    # (verified at r11 open: the newest driver artifacts are the r9 set).
+    # So the r10 window (git: 4321d3a) was never driver-checked: the six
+    # r10 births have no driver row at all, and the 39-entry r5-green
+    # cohort it fronted is still r5-green, now 6 rounds stale. Standing
+    # policy ranks (a) this round's births/changes, then (b) anything
+    # never driver-checked, then (c) the stalest green cohort — which
+    # makes the correct r11 window essentially the r10 window re-issued,
+    # with the r11 births at the head:
+    #   (a) r11 births (added as built);
+    #   (b) the six never-checked r10 births;
+    #   (c) the ENTIRE 39-entry r5-green cohort (names and intra-cohort
+    #       order unchanged from the r10 rotation, r9 slips first).
+    # Displaced relative to the r10 list, all named: the five r10-changed
+    # url-family entries (llm_url_dedup, llm_url_dedup_stream,
+    # llm_stage1_pipeline, llm_training_shards_full, llm_training_shards)
+    # — they are r9-green (the youngest cohort), their r10 change is
+    # unit- and parity-covered every pytest run, and the r11 births
+    # llm_url_dedup_corpus / llm_domain_quality_psl ride the same
+    # urls.py/psl.py code in-window. The 50-entry r6-green cohort
+    # (PLAN_r11's original target, pre-verified ALL GREEN at sf0.01 at
+    # r10 close) moves to r12 — the r5 cohort is strictly staler and
+    # must clear first.
+    # --- (a) r11 births ---
+    "llm_text_normalize",
+    "llm_url_dedup_corpus",
+    "llm_domain_quality_psl",
+    "stream_domain_mix_psl",
+    "llm_minhash_dup_rate",
+    # --- (b) never-driver-checked r10 births ---
     "stream_funnel_conversion",
     "stream_domain_capped_topk",
     "llm_stage1_psl_topk",
     "stream_llm_training_ingest",
     "llm_domain_mix_psl",
     "llm_domain_capped_topk",
-    # --- (a) r10-changed (url_normalize query guard; scratch path) ---
-    "llm_url_dedup",
-    "llm_url_dedup_stream",
-    "llm_stage1_pipeline",
-    "llm_training_shards_full",
-    "llm_training_shards",
-    # --- (b) the 39-entry r5-green cohort, named r9 slips first ---
+    # --- (c) the 39-entry r5-green cohort, named r9 slips first ---
     "llm_pagerank_centrality",
     "events_zorder_key",
     "llm_curation_pipeline_full",
