@@ -519,3 +519,72 @@ def quality_classifier(
         logit_5k.cast("long").alias("logit_5k"),
         ((F.col("n_features") > 0) & (logit_5k >= 0)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stage-0 text normalization (r11): the cleanup pass crawl pipelines run
+# BEFORE tokenization, dedup digests, or quality rules — otherwise
+# byte-different renderings of the same text ('e' + COMBINING ACUTE vs
+# the precomposed 'é', NBSP vs space, stray control bytes) defeat
+# exact-dedup and skew token statistics.
+# ---------------------------------------------------------------------------
+
+#: whitespace class for the collapse step: ASCII whitespace + NBSP (the
+#: common crawl artifact). A literal character class, NOT \s — Java
+#: regex and RE2 disagree on \s's unicode coverage, and the oracle
+#: replays this exact pattern, so the class is spelled out once here.
+NORM_WS_CLASS = "[ \t\n\r\f\u00a0]+"
+
+#: C0 controls + DEL, stripped outright (they carry no text content and
+#: poison downstream digest/len features).
+NORM_CTRL_CLASS = "[\\x00-\\x1f\\x7f]"
+
+
+def nfc_udf():
+    """Arrow-batched NFC normalizer factory — returns the pandas UDF.
+
+    NFC (canonical composition) is the ONE step with no JVM built-in
+    (Spark has no unicode-normalize function through 4.x), so it is the
+    only Python in the pipeline; the control-strip / whitespace-collapse
+    / trim steps stay JVM-side regexp_replace. DuckDB's nfc_normalize
+    implements the same UAX #15 transform, so oracle parity is exact
+    (probed on composed/decomposed/control/NBSP cases in tests)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # real class objects, not strings: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's type inference rejects
+    # (the similarity.py lsh-bucket idiom)
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")
+
+
+def normalize_text(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "norm_text"
+) -> DataFrame:
+    """Append ``out_col`` = canonical text: C0/DEL control strip, NFC
+    composition, whitespace-run (incl. NBSP) collapse to one space,
+    trim. Row-local (zero exchanges); one Arrow-batched UDF for the NFC
+    step, JVM regexp for the rest.
+
+    The strip runs BEFORE NFC — order is load-bearing for idempotence:
+    a control char between a base char and a combining mark ('e',
+    U+001F, U+0301) blocks composition, so strip-after-NFC would CREATE
+    a newly-composable pair that only composes on a second pass (found
+    by the hypothesis property test). Strip-first also keeps NUL bytes
+    out of DuckDB's nfc_normalize, which C-string-truncates on them.
+    The later steps cannot un-normalize: collapse only replaces
+    whitespace runs with one space (ccc=0 starters — no composition or
+    canonical reordering crosses them) and trim only removes edge
+    spaces, so one pass is a fixed point (property-tested)."""
+    stripped = F.regexp_replace(F.col(text_col), NORM_CTRL_CLASS, "")
+    nfc = nfc_udf()(stripped)
+    collapsed = F.regexp_replace(nfc, NORM_WS_CLASS, " ")
+    return df.withColumn(out_col, F.trim(collapsed))

@@ -5578,3 +5578,235 @@ def _register_stage1_psl_topk() -> None:
 
 
 _register_stage1_psl_topk()
+
+
+# ================================================================ r11 births
+# --- stage-0 unicode text normalization ------------------------------------
+# The synthetic corpus is pure ASCII (TESTDATA.md), so an identity-map
+# entry would prove nothing. Instead the entry derives a deterministically
+# DIRTIED projection from the SAME literals on both engines — decomposed
+# 'Cafe' + U+0301 COMBINING ACUTE (NFC composes it), a BEL control (the
+# strip removes it), an NBSP (the collapse folds it), run-on whitespace —
+# and normalizes THAT, so every normalization step is exercised and
+# hash-checked per row.
+
+_DIRTY_SQL = (
+    "('Cafe' || chr(769) || '  ' || text || chr(7) || ' du' || chr(160)"
+    " || 'monde' || chr(9) || upper(lang))"
+)
+
+# RE2 rendering of text.NORM_WS_CLASS: every non-structural member as a
+# \x{....} escape, generated FROM the one Python constant so the two
+# engines cannot drift (the Spark side passes the constant itself).
+_WS_CLASS_SQL = "".join(
+    ch if ch in "[]+ " else "\\x{%04x}" % ord(ch) for ch in text.NORM_WS_CLASS
+)
+
+
+@register(
+    "llm_text_normalize",
+    oracle=f"""
+    WITH dirty AS (SELECT doc_id, {_DIRTY_SQL} AS dtext FROM documents),
+    norm AS (SELECT doc_id, dtext,
+                    trim(regexp_replace(nfc_normalize(
+                        regexp_replace(dtext,
+                                       '{text.NORM_CTRL_CLASS}', '', 'g')),
+                        '{_WS_CLASS_SQL}', ' ', 'g')) AS ntext
+             FROM dirty)
+    SELECT doc_id,
+           strlen(dtext) AS n_bytes_raw,
+           strlen(ntext) AS n_bytes_norm,
+           md5(ntext) AS fp
+    FROM norm
+    """,
+    survey_ref="extension (r11): stage-0 text normalization — NFC "
+    "canonical composition (the one step with no JVM built-in: an "
+    "Arrow-batched pandas UDF over unicodedata, mirrored by DuckDB's "
+    "nfc_normalize, both UAX #15), then JVM-side C0/DEL strip, "
+    "whitespace+NBSP run collapse, trim; the cleanup crawl pipelines "
+    "run before any digest/token stage, else byte-variant renderings "
+    "of equal text defeat exact dedup. Row-local, zero exchanges",
+    tags=("llm", "text"),
+    # r11 bench-set addition (documented per the standing honesty ask):
+    # tracks the Arrow-batched-UDF corpus path per round, ~sub-second
+    bench=True,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.lit("Cafe\u0301  "),  # DECOMPOSED e + COMBINING ACUTE (= chr(769))
+        F.col("text"),
+        F.lit("\x07 du\u00a0monde\t"),  # BEL + NBSP, matching the chr() calls
+        F.upper(F.col("lang")),
+    )
+    base = d.select("doc_id", dirty.alias("dtext"))
+    norm = text.normalize_text(base, "doc_id", "dtext", out_col="ntext")
+    return norm.select(
+        "doc_id",
+        F.octet_length("dtext").cast("long").alias("n_bytes_raw"),
+        F.octet_length("ntext").cast("long").alias("n_bytes_norm"),
+        F.md5(F.col("ntext")).alias("fp"),
+    )
+
+
+# --- URL dedup: the surviving corpus ----------------------------------------
+@register(
+    "llm_url_dedup_corpus",
+    oracle=f"""
+    WITH {_URL_DOCS_CTE}
+    SELECT MIN(doc_id) AS doc_id, norm_url
+    FROM (SELECT doc_id, {_NORM_SQL} AS norm_url FROM udocs)
+    GROUP BY norm_url
+    """,
+    survey_ref="r9 VERDICT 'What's wrong' API-taste note, closed as a "
+    "first-class entry: llm_url_dedup returns the dedup MAP "
+    "(norm_url, keep_id, dup_ct); this is the deduped corpus itself — "
+    "the surviving (doc_id, norm_url) rows, which are the map "
+    "reprojected from the SAME single map-side-combined aggregation "
+    "(no second corpus pass)",
+    tags=("llm", "url", "dedup"),
+)
+def llm_url_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return urls_mod.url_dedup_corpus(
+        _docs_with_urls(spark, sf_dir), "doc_id", "url"
+    )
+
+
+# --- corpus near-dup rate (the dedup KPI) -----------------------------------
+@register(
+    "llm_minhash_dup_rate",
+    # shares _MH_COLS/_BANDS_SQL/SHINGLE_CTE with llm_dedup_minhash, so
+    # the candidate/verify semantics cannot drift between the two
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bk AS (SELECT DISTINCT doc_id, bucket
+           FROM (SELECT doc_id, UNNEST([{_BANDS_SQL}]) AS bucket FROM sig)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bk a JOIN bk b ON a.bucket = b.bucket
+                                AND a.doc_id < b.doc_id),
+    common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.id_a
+               JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+               GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b FROM common
+              JOIN sizes sa ON id_a = sa.doc_id
+              JOIN sizes sb ON id_b = sb.doc_id
+              WHERE CAST(common AS DOUBLE)
+                    / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.4),
+    dup AS (SELECT COUNT(DISTINCT doc_id) AS n_dup_docs
+            FROM (SELECT id_a AS doc_id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs)),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT n_dup_docs, n_docs,
+           CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+    FROM dup, tot
+    """,
+    survey_ref="extension (r11): corpus near-duplication rate — the KPI "
+    "a dedup pass is judged by (fraction of docs with at least one "
+    "verified near-dup at the llm_dedup_minhash threshold). Composition "
+    "of the LSH pair feed: explode pair endpoints -> one distinct-count "
+    "aggregate -> one double division of two exact longs; the pair feed "
+    "is bucket-bounded, so the rollup adds one map-side-combined agg on "
+    "top of the scale-safe candidate path",
+    tags=("llm", "dedup", "sketch"),
+)
+def llm_minhash_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=_NH, bands=_BANDS, threshold=0.4
+    )
+    dup = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).agg(F.countDistinct("doc_id").alias("n_dup_docs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return dup.crossJoin(F.broadcast(tot)).select(
+        "n_dup_docs",
+        "n_docs",
+        (
+            F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+# --- per-domain quality report on the REAL-PSL domain -----------------------
+def _register_domain_quality_psl() -> None:
+    from ..llm import psl
+
+    @register(
+        "llm_domain_quality_psl",
+        # PSL-domain twin of llm_domain_quality, over the host universe
+        # the 14-pair literal mis-groups (com.sg, co.za, *.kawasaki.jp,
+        # !www.ck, k12.ma.us) — same Gopher verdict fragments, domain
+        # via the broadcast rule dim (llm_domain_mix_psl's grouping).
+        oracle=f"""
+        WITH {_PSL_URL_CTE},
+        hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM pudocs),
+        {psl.psl_domain_sql("hosts").lstrip()},
+        tk AS (SELECT doc_id,
+                      COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+               FROM documents),
+        feat AS (
+            SELECT doc_id, len(toks) AS n,
+                   CAST(list_sum(list_transform(toks, t -> length(t)))
+                        AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS mean_len,
+                   CAST(len(list_filter(toks,
+                                        t -> regexp_matches(t, '[a-z]')))
+                     AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+                   len(list_filter(toks, t -> list_contains(
+                       ['the','a','of','and','is','to','in'], t))) AS n_stop
+            FROM tk
+        ),
+        verdict AS (
+            SELECT doc_id,
+                   ((n > 0 AND n BETWEEN 20 AND 100000)
+                    AND COALESCE(n > 0 AND mean_len BETWEEN 3.0 AND 10.0,
+                                 FALSE)
+                    AND COALESCE(n > 0 AND alpha_frac >= 0.8, FALSE)
+                    AND (n > 0 AND n_stop >= 2)) AS keep
+            FROM feat
+        )
+        SELECT p.domain,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_keep,
+               CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+        FROM psldom p JOIN verdict v USING (doc_id)
+        GROUP BY p.domain
+        """,
+        survey_ref="r11: the PSL dim wired wider (PLAN_r11 candidate) — "
+        "llm_domain_quality's blocklist-driving report grouped by the "
+        "REAL-PSL registrable domain (broadcast rule dim, zero extra "
+        "exchanges) instead of the literal stand-in; one corpus scan "
+        "for the Gopher verdict, one for the host projection, one "
+        "aggregate",
+        tags=("llm", "url", "text", "quality", "dim"),
+    )
+    def llm_domain_quality_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm import text as text_mod
+
+        d = _docs(spark, sf_dir)
+        h = _with_url_psl(d.select("doc_id")).select(
+            "doc_id", urls_mod.host_of(F.col("url")).alias("host")
+        )
+        dom = psl.registrable_domain_psl(
+            h, "host", psl.psl_rules_df(spark)
+        ).select("doc_id", "domain")
+        keep = text_mod.gopher_filter(d, "doc_id", "text").select("id", "keep")
+        j = dom.join(keep, dom["doc_id"] == keep["id"])
+        return j.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            (
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("keep_rate"),
+        )
+
+
+_register_domain_quality_psl()

@@ -2684,6 +2684,54 @@ def _register_stream_domain_mix() -> None:
 _register_stream_domain_mix()
 
 
+def _register_stream_domain_mix_psl() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_domain_mix_psl",
+        oracle=_R["llm_domain_mix_psl"].oracle,
+        survey_ref="r11: streaming twin of llm_domain_mix_psl — the "
+        "PSL dim wired into the live path (PLAN_r11 candidate). The "
+        "registrable domain comes from the broadcast rule dim via a "
+        "STREAM-STATIC join (the reference's Redis cache-aside "
+        "S11, rendered as Spark's per-batch broadcast re-read of a "
+        "persistent dim: SURVEY §4); per-domain counts accumulate as "
+        "update-mode state (one long per domain — bounded) and the cap "
+        "thresholds are scored post-settle (stream_domain_mix's "
+        "rate-dependent-decision pattern, because the threshold "
+        "depends on the FINAL count)",
+        tags=("streaming", "llm", "url", "sampling", "dim"),
+    )
+    def stream_domain_mix_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..llm import psl, urls
+        from .llm_plans import _DOMAIN_CAP, _with_url_psl
+
+        d = read_stream_table(spark, sf_dir, "documents").select("doc_id")
+        h = _with_url_psl(d).select(
+            "doc_id", urls.host_of(F.col("url")).alias("host")
+        )
+        dom = psl.registrable_domain_psl(
+            h, "host", psl.psl_rules_df(spark)
+        ).select("doc_id", "domain")
+        agg = dom.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+        keyed = agg.withColumn("_k", F.col("domain"))
+        settled = _run_update_upsert(keyed, _uniq("dommixpsl")).select(
+            "domain", F.col("n_docs").cast("long").alias("n_docs")
+        )
+        rate = F.least(
+            F.lit(1.0),
+            F.lit(float(_DOMAIN_CAP)) / F.col("n_docs").cast("double"),
+        )
+        return settled.select(
+            "domain",
+            "n_docs",
+            F.floor(rate * F.lit(float(1 << 32))).cast("long").alias("thresh_q32"),
+        )
+
+
+_register_stream_domain_mix_psl()
+
+
 def _register_stream_retention() -> None:
     from .registry import REGISTRY as _R  # batch oracle verbatim
 

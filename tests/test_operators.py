@@ -2931,3 +2931,60 @@ def test_psl_custom_depth_rules(spark):
         "school.pvt.k12.ma.us": "pvt.k12.ma.us",
         "www.school.pvt.k12.ma.us": "pvt.k12.ma.us",
     }
+
+
+# ------------------------------------------------------------------ r11
+
+def test_normalize_text_unit_cases(spark):
+    """normalize_text: NFC composes decomposed accents, C0/DEL strip,
+    NBSP + whitespace-run collapse, trim; null text passes through as
+    null (fail-open for the caller to gate)."""
+    from gmall_flink_2022_spark.llm import text as T
+
+    cases = [
+        (0, "Café x"),          # decomposed -> composed é
+        (1, "a\x07b\x00c\x7fd"),      # controls stripped
+        (2, "a\u00a0\u00a0 b"),  # NBSP run + space -> one space
+        (3, "  lead \t\n trail  "),   # collapse + trim
+        (4, None),
+        (5, "é"),                # already composed: unchanged
+    ]
+    df = spark.createDataFrame(cases, "id long, raw string")
+    got = {
+        r["id"]: r["n"]
+        for r in T.normalize_text(df, "id", "raw", out_col="n").collect()
+    }
+    assert got[0] == "Café x" and len(got[0]) == 6
+    assert got[1] == "abcd"
+    assert got[2] == "a b"
+    assert got[3] == "lead trail"
+    assert got[4] is None
+    assert got[5] == "é"
+
+
+def test_minhash_dup_rate_counts_planted_dupes(spark):
+    """The dup-rate rollup counts each document once no matter how many
+    verified pairs it appears in: a planted 3-family + 1 unique doc
+    gives n_dup_docs = 3 (not 6 pair endpoints) over n_docs = 4."""
+    from gmall_flink_2022_spark.llm import dedup
+
+    fam = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, fam),
+        (2, fam),
+        (3, fam + " extra"),
+        (4, "completely different words about spark physical plans here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.4
+    )
+    dup_ids = {
+        r["doc_id"]
+        for r in pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        ).distinct().collect()
+    }
+    assert dup_ids == {1, 2, 3}
+    n_dup = len(dup_ids)
+    assert n_dup / 4 == 0.75

@@ -719,3 +719,40 @@ def test_stage1_psl_topk_plan(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert p.count(") WindowGroupLimit") == 2
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ------------------------------------------------------------------ r11
+
+def test_text_normalize_plan(spark, sf_dir):
+    """Stage-0 normalization is row-local: ZERO exchanges, and the only
+    Python is the single Arrow-batched NFC step (no JVM built-in exists
+    for unicode normalization through Spark 4.x) — never row-at-a-time
+    BatchEvalPython; the control-strip/collapse/trim regexps stay
+    JVM-side around it."""
+    p = _plan(spark, sf_dir, "llm_text_normalize")
+    assert "Exchange" not in p
+    assert p.count(") ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_domain_quality_psl_plan(spark, sf_dir):
+    """The PSL-domain quality report keeps the dim promise inside a
+    composed entry: rule probes are broadcast joins (never sort-merge;
+    the doc_id verdict join may legitimately sort-merge at corpus
+    grain), one aggregation exchange for the domain rollup, no
+    Python."""
+    p = _plan(spark, sf_dir, "llm_domain_quality_psl")
+    from gmall_flink_2022_spark.llm import psl
+
+    assert p.count(") BroadcastHashJoin") >= psl.MAX_RULE_LABELS
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_minhash_dup_rate_plan(spark, sf_dir):
+    """The dup-rate rollup adds only aggregations on top of the
+    bucket-bounded LSH pair path: the one crossJoin in sight is the
+    broadcast of a ONE-ROW corpus-count frame (the house scalar-frame
+    pattern), never a corpus-grain cartesian."""
+    p = _plan(spark, sf_dir, "llm_minhash_dup_rate")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p

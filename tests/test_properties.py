@@ -855,3 +855,74 @@ def test_topk_merge_partition_invariant(pairs, cuts, cap):
         prev = b
     assert state == want, (pairs, bounds, cap, state, want)
     assert len(state) <= cap
+
+
+# --------------------------------------------------------------------------
+# r11: stage-0 text normalization — Spark pipeline vs an independent
+# python rendering, idempotence, and the DuckDB-oracle NFC parity the
+# llm_text_normalize entry relies on, all on adversarial unicode.
+# --------------------------------------------------------------------------
+_norm_text_strategy = st.lists(
+    st.text(
+        alphabet=(
+            "ab XY09.?!"
+            "é"        # precomposed e-acute
+            "é"       # decomposed pair members (combining acute)
+            "ö"       # combining diaeresis
+            "\u00a0"    # NBSP
+            "\t\n\r\x0c"    # ASCII whitespace
+            "\x00\x07\x1f\x7f"  # C0 controls + DEL
+        ),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _norm_ref(t: str) -> str:
+    """Independent python rendering of normalize_text's contract.
+    Strip BEFORE NFC: the order is load-bearing (see normalize_text's
+    docstring — this test found the strip-after-NFC idempotence hole)."""
+    import re
+    import unicodedata
+
+    t = re.sub("[\x00-\x1f\x7f]", "", t)
+    t = unicodedata.normalize("NFC", t)
+    t = re.sub("[ \t\n\r\x0c\u00a0]+", " ", t)
+    return t.strip(" ")  # Spark/DuckDB trim strips ASCII space only
+
+
+@settings(max_examples=8, deadline=None)
+@given(_norm_text_strategy)
+def test_normalize_text_matches_reference_and_idempotent(spark, texts):
+    """normalize_text == the python reference on every input, a second
+    pass is a no-op (NFC is idempotent; the collapse output holds no
+    collapsible runs; controls are gone after one pass), and DuckDB's
+    nfc_normalize — the oracle side of llm_text_normalize — agrees with
+    unicodedata's NFC on the same strings."""
+    import duckdb
+
+    from gmall_flink_2022_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, raw string"
+    )
+    once = T.normalize_text(df, "id", "raw", out_col="n1")
+    twice = T.normalize_text(once, "id", "n1", out_col="n2")
+    out = {r["id"]: (r["raw"], r["n1"], r["n2"]) for r in twice.collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        raw, n1, n2 = out[i]
+        assert n1 == _norm_ref(t), (repr(t), repr(n1), repr(_norm_ref(t)))
+        assert n2 == n1, (repr(t), repr(n1), repr(n2))
+        # oracle-side parity on what the oracle actually feeds NFC: the
+        # control-STRIPPED string (DuckDB's nfc_normalize C-string-
+        # truncates on NUL bytes — this test found that too; the
+        # strip-first order keeps NULs out of it on both engines)
+        import re
+        import unicodedata
+
+        s = re.sub("[\x00-\x1f\x7f]", "", t)
+        duck = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
+        assert duck == unicodedata.normalize("NFC", s), repr(t)
