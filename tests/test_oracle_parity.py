@@ -37,3 +37,21 @@ def test_every_entry_has_oracle():
     rows-only without a documented reason here."""
     no_oracle = [n for n, q in plans.REGISTRY.items() if q.oracle is None]
     assert no_oracle == [], no_oracle
+
+
+def test_driver_window_names_resolve_and_fill():
+    """r11: _prioritize() silently skips names missing from the
+    registry (deliberate — birth names are listed before the entries
+    exist during a round's build-up), so a TYPO in
+    plans._DRIVER_WINDOW_FIRST would silently demote an entry out of
+    the driver's 50-slot correctness window. At suite time every listed
+    name must resolve, the list must be duplicate-free, and it must
+    fill the window exactly (the window is a scarce resource — under-
+    filling wastes driver checks on unrotated tail entries)."""
+    win = plans._DRIVER_WINDOW_FIRST
+    unknown = [n for n in win if n not in plans.REGISTRY]
+    assert unknown == [], unknown
+    assert len(win) == len(set(win)), "duplicate window names"
+    assert len(win) == 50, len(win)
+    # and the registry iteration order actually fronts them
+    assert list(plans.REGISTRY)[: len(win)] == win

@@ -470,6 +470,10 @@ def test_registry_wide_no_row_python(spark, sf_dir):
         "dws_keyword_stats_cjk", "udf_surface_token_count",
         "mm_media_features", "mm_frame_sample", "mm_frame_dedup",
         "mm_image_resize", "mm_audio_frames",
+        # r11: NFC canonical composition has no JVM built-in through
+        # Spark 4.x — the one Arrow step in the stage-0 normalize chain
+        # (test_text_normalize_plan pins it to exactly one)
+        "llm_text_normalize",
     }
     offenders, arrow_offenders = [], []
     for name, q in plans.REGISTRY.items():

@@ -617,6 +617,72 @@ def test_stream_funnel_no_view_day_and_boundary(spark, tmp_path):
     assert rows == {1: (False, False)}
 
 
+def test_stream_funnel_type_filter_and_noise_immunity(spark, tmp_path):
+    """r11: non-funnel event types are dropped JVM-side INSIDE
+    funnel_stateful, before the shuffle + Arrow boundary — the filter
+    shows in the unstarted streaming plan upstream of the stateful
+    operator, and a noisy stream (signup/error rows interleaved,
+    including a user-day with ONLY noise) produces bit-identical
+    output to the clean one."""
+    import datetime as dt
+
+    from gmall_flink_2022_spark.streaming.funnel_state import funnel_stateful
+
+    day = dt.datetime(2024, 5, 2)
+    schema = "user_id long, ts timestamp, event_type string"
+    clean = [
+        (1, day + dt.timedelta(hours=9), "view"),
+        (1, day + dt.timedelta(hours=10), "click"),
+        (1, day + dt.timedelta(hours=11), "purchase"),
+    ]
+    noise = [
+        (1, day + dt.timedelta(hours=8), "signup"),
+        (1, day + dt.timedelta(hours=9, minutes=30), "error"),
+        (3, day + dt.timedelta(hours=7), "error"),  # noise-only user-day
+    ]
+    sentinel = [(-1, dt.datetime(2030, 1, 1), "click")]
+    import time
+
+    results = {}
+    for label, rows in (("clean", clean), ("noisy", clean + noise)):
+        in_dir = str(tmp_path / f"in_{label}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            in_dir, mode="overwrite"
+        )
+        time.sleep(1.2)
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(
+            in_dir, mode="append"
+        )
+        sdf = (
+            spark.readStream.schema("user_id long, ts timestamp, "
+                                    "event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = funnel_stateful(sdf, watermark_delay="1 seconds")
+        if label == "noisy":
+            # the filter is upstream of the stateful op in the plan
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                out.explain(True)
+            plan = buf.getvalue()
+            pos_f = plan.find("event_type")
+            assert pos_f != -1 and "Filter" in plan
+        settled = run_stream_to_table(
+            out, f"funnel_typef_{label}", output_mode="append"
+        )
+        results[label] = sorted(
+            (r["user_id"], r["dt"], r["reached_click"], r["reached_purchase"])
+            for r in settled.filter(F.col("user_id") >= 0).collect()
+        )
+    assert results["clean"] == results["noisy"] == [
+        (1, "2024-05-02", True, True)
+    ]
+
+
 def test_stream_funnel_checkpoint_resume(spark, tmp_path):
     """The funnel state survives a query RESTART: run 1 ingests
     click+purchase (and user 2's provisional anchor), stops with state
