@@ -5810,3 +5810,177 @@ def _register_domain_quality_psl() -> None:
 
 
 _register_domain_quality_psl()
+
+
+# --- normalization-recovered dedup (why stage 0 exists) ---------------------
+# Four byte-variant renderings of the same canonical prefix — decomposed
+# NFC pair, precomposed char, NBSP separator, control + run-on spaces —
+# are planted per doc_id % 4. Raw md5 sees four distinct strings, so
+# exact dedup recovers NOTHING across variants; after normalize_text all
+# four collapse to one canonical rendering and the dedup map finds the
+# corpus's planted exact-dup families again. The entry returns the
+# digest-grouped dedup map over the NORMALIZED text (llm_dedup_exact's
+# shape), demonstrating the byte-variant recovery end-to-end.
+# ~20% of docs (doc_id % 5 == 0) swap their body for one of ten shared
+# canonical bodies ((doc_id // 5) % 10), so the corpus carries planted
+# byte-variant dup FAMILIES at every scale factor (the raw corpus has
+# zero exact dups at sf0.001/sf0.01 — without the plant the recovery
+# story would be vacuous); the other 80% keep their own unique text.
+_VBODY_SQL = (
+    "(CASE WHEN doc_id % 5 = 0 THEN 'the shared canonical body number '"
+    " || CAST((doc_id // 5) % 10 AS VARCHAR) ELSE text END)"
+)
+_VARIANT_SQL = f"""(CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN 'Cafe' || chr(769) || ' intro ' || {_VBODY_SQL}
+    WHEN 1 THEN 'Caf' || chr(233) || ' intro ' || {_VBODY_SQL}
+    WHEN 2 THEN 'Caf' || chr(233) || chr(160) || 'intro ' || {_VBODY_SQL}
+    ELSE 'Caf' || chr(233) || chr(9) || 'intro' || chr(7) || '  '
+         || {_VBODY_SQL}
+END)"""
+
+
+@register(
+    "llm_normalize_dedup",
+    oracle=f"""
+    WITH vdocs AS (SELECT doc_id, {_VARIANT_SQL} AS vtext FROM documents),
+    norm AS (SELECT doc_id,
+                    trim(regexp_replace(nfc_normalize(
+                        regexp_replace(vtext,
+                                       '{text.NORM_CTRL_CLASS}', '', 'g')),
+                        '{_WS_CLASS_SQL}', ' ', 'g')) AS ntext
+             FROM vdocs)
+    SELECT md5(ntext) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_ct
+    FROM norm GROUP BY md5(ntext)
+    """,
+    survey_ref="extension (r11): normalization-recovered exact dedup — "
+    "THE reason stage-0 normalization runs before digests: four "
+    "byte-variant renderings (decomposed pair / precomposed char / "
+    "NBSP / control + run-on spaces) of one canonical prefix defeat "
+    "raw-md5 dedup entirely; normalize_text collapses them and the "
+    "one-aggregation dedup map recovers the planted dup families. "
+    "Plan = the zero-exchange normalize chain + llm_dedup_exact's "
+    "single map-side-combined aggregation",
+    tags=("llm", "text", "dedup"),
+)
+def llm_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    rid = F.col("doc_id") % 4
+    body = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit("the shared canonical body number "),
+            (F.floor(F.col("doc_id") / 5) % 10).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    variant = (
+        # v0: decomposed pair; v1: precomposed; v2: NBSP separator;
+        # v3: tab + BEL + run-on spaces — all normalize identically
+        F.when(rid == 0, F.concat(F.lit("Cafe\u0301 intro "), body))
+        .when(rid == 1, F.concat(F.lit("Caf\u00e9 intro "), body))
+        .when(rid == 2, F.concat(F.lit("Caf\u00e9\u00a0intro "), body))
+        .otherwise(F.concat(F.lit("Caf\u00e9\tintro\x07  "), body))
+    )
+    base = d.select("doc_id", variant.alias("vtext"))
+    norm = text.normalize_text(base, "doc_id", "vtext", out_col="ntext")
+    return norm.groupBy(F.md5(F.col("ntext")).alias("digest")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_ct"),
+    )
+
+
+# --- quality-driven domain blocklist, applied -------------------------------
+_BLOCK_K = 4  # bottom-k domains by Gopher keep-rate are blocked
+
+
+@register(
+    "llm_domain_blocklist_filter",
+    # the composition llm_domain_quality's docstring promises: the
+    # per-domain keep-rate table DRIVES a blocklist, and the blocklist
+    # filters the corpus. Bottom-k (not an absolute threshold): the
+    # keep-rate distribution shifts with scale (sf0.1's min is 0.706,
+    # sf0.001's is 0.576), so a fixed cut goes vacuous; the k worst
+    # offenders are always non-vacuous and deterministic (keep_rate,
+    # domain) ties included.
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    h AS (SELECT doc_id, {_HOST_SQL} AS host FROM udocs),
+    dom AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM h),
+    tk AS (SELECT doc_id,
+                  COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+           FROM documents),
+    feat AS (
+        SELECT doc_id, len(toks) AS n,
+               CAST(list_sum(list_transform(toks, t -> length(t)))
+                    AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS mean_len,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','is','to','in'], t))) AS n_stop
+        FROM tk
+    ),
+    verdict AS (
+        SELECT doc_id,
+               ((n > 0 AND n BETWEEN 20 AND 100000)
+                AND COALESCE(n > 0 AND mean_len BETWEEN 3.0 AND 10.0,
+                             FALSE)
+                AND COALESCE(n > 0 AND alpha_frac >= 0.8, FALSE)
+                AND (n > 0 AND n_stop >= 2)) AS keep
+        FROM feat
+    ),
+    rates AS (
+        SELECT d.domain,
+               CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+        FROM dom d JOIN verdict v USING (doc_id)
+        GROUP BY d.domain
+    ),
+    blocked AS (
+        SELECT domain FROM (
+            SELECT domain,
+                   ROW_NUMBER() OVER (ORDER BY keep_rate, domain) AS rk
+            FROM rates) WHERE rk <= {_BLOCK_K}
+    )
+    SELECT d.doc_id, d.domain
+    FROM dom d LEFT JOIN blocked b USING (domain)
+    WHERE b.domain IS NULL
+    """,
+    survey_ref="extension (r11): the blocklist llm_domain_quality "
+    "drives, APPLIED — rank domains by Gopher keep-rate, block the "
+    "bottom-k, keep the rest of the corpus. Plan = one corpus-grain "
+    "aggregate for the rate table (tiny), a row_number over that "
+    "15-row frame, then a BROADCAST anti-join back onto the corpus "
+    "scan — the aggregate-tiny-then-broadcast-back two-pass shape "
+    "(domain_capped_sample's), never a corpus-side sort",
+    tags=("llm", "url", "text", "quality", "sampling"),
+)
+def llm_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..llm import text as text_mod, urls
+
+    d = _docs(spark, sf_dir)
+    dom = _with_url(d.select("doc_id")).select(
+        "doc_id",
+        urls.registrable_domain(urls.host_of(F.col("url"))).alias("domain"),
+    )
+    keep = text_mod.gopher_filter(d, "doc_id", "text").select("id", "keep")
+    rates = (
+        dom.join(keep, dom["doc_id"] == keep["id"])
+        .groupBy("domain")
+        .agg(
+            (
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("keep_rate")
+        )
+    )
+    w = Window.orderBy(F.col("keep_rate").asc(), F.col("domain").asc())
+    blocked = (
+        rates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BLOCK_K)
+        .select("domain")
+    )
+    return dom.join(F.broadcast(blocked), "domain", "left_anti").select(
+        "doc_id", "domain"
+    )

@@ -472,8 +472,10 @@ def test_registry_wide_no_row_python(spark, sf_dir):
         "mm_image_resize", "mm_audio_frames",
         # r11: NFC canonical composition has no JVM built-in through
         # Spark 4.x — the one Arrow step in the stage-0 normalize chain
-        # (test_text_normalize_plan pins it to exactly one)
+        # (test_text_normalize_plan pins it to exactly one); the
+        # recovered-dedup entry runs the same chain before its digest agg
         "llm_text_normalize",
+        "llm_normalize_dedup",
     }
     offenders, arrow_offenders = [], []
     for name, q in plans.REGISTRY.items():
