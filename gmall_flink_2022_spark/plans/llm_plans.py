@@ -5058,7 +5058,12 @@ def _with_url(d: DataFrame) -> DataFrame:
         F.when(rid % 6 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(rid % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
     )
-    return d.select("doc_id", url.alias("url"))
+    # "*" keeps any extra columns the caller carries (r11: the streaming
+    # blocklist derives the url on a frame that already holds the Gopher
+    # verdict — a second stream branch would be an illegal stream-stream
+    # join); existing callers pass a bare doc_id projection, for which
+    # this is identical to the old select("doc_id", url).
+    return d.select("*", url.alias("url"))
 
 
 def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:

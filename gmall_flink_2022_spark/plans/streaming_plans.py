@@ -2732,6 +2732,82 @@ def _register_stream_domain_mix_psl() -> None:
 _register_stream_domain_mix_psl()
 
 
+def _register_stream_domain_blocklist() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_domain_blocklist",
+        oracle=_R["llm_domain_blocklist_filter"].oracle,
+        survey_ref="r11: streaming twin of llm_domain_blocklist_filter "
+        "— the Gopher verdict is a row-local JVM map on arrivals, the "
+        "per-domain (n_keep, n_docs) sums are COMMUTATIVE update-mode "
+        "state (two longs per domain — bounded), and the "
+        "non-commutative decisions (keep-rate division, bottom-k rank, "
+        "the anti-join against the corpus) run post-settle because the "
+        "blocklist depends on the FINAL counts — the "
+        "rate-dependent-decision pattern of stream_domain_mix",
+        tags=("streaming", "llm", "url", "text", "quality"),
+    )
+    def stream_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from ..llm import text as text_mod, urls
+        from .llm_plans import _BLOCK_K, _with_url
+
+        d = read_stream_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        # the verdict and the domain are BOTH row-local functions of one
+        # arrival row — one narrow chain, never a second stream branch
+        # (a stream-stream self-join would be illegal without watermark
+        # time bounds and pointless here)
+        keep = text_mod.gopher_filter(d, "doc_id", "text").select(
+            F.col("id").alias("doc_id"), "keep"
+        )
+        j = _with_url(keep).select(
+            "keep",
+            urls.registrable_domain(
+                urls.host_of(F.col("url"))
+            ).alias("domain"),
+        )
+        agg = j.groupBy("domain").agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        keyed = agg.withColumn("_k", F.col("domain"))
+        settled = _run_update_upsert(keyed, _uniq("domblock")).select(
+            "domain",
+            F.col("n_keep").cast("long").alias("n_keep"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        rates = settled.select(
+            "domain",
+            (
+                F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+            ).alias("keep_rate"),
+        )
+        w = Window.orderBy(F.col("keep_rate").asc(), F.col("domain").asc())
+        blocked = (
+            rates.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _BLOCK_K)
+            .select("domain")
+        )
+        static_dom = _with_url(
+            read_table(spark, sf_dir, "documents").select("doc_id")
+        ).select(
+            "doc_id",
+            urls.registrable_domain(
+                urls.host_of(F.col("url"))
+            ).alias("domain"),
+        )
+        return static_dom.join(
+            F.broadcast(blocked), "domain", "left_anti"
+        ).select("doc_id", "domain")
+
+
+_register_stream_domain_blocklist()
+
+
 def _register_stream_retention() -> None:
     from .registry import REGISTRY as _R  # batch oracle verbatim
 

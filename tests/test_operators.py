@@ -2988,3 +2988,29 @@ def test_minhash_dup_rate_counts_planted_dupes(spark):
     assert dup_ids == {1, 2, 3}
     n_dup = len(dup_ids)
     assert n_dup / 4 == 0.75
+
+
+def test_blocklist_bottom_k_tie_determinism(spark):
+    """The bottom-k blocklist rank orders by (keep_rate, domain): equal
+    keep-rates resolve by domain name, so the blocked set is a pure
+    function of the rate table — retry- and engine-stable (three
+    domains tie at 0.5; k=2 must block exactly the two lexicographically
+    smallest of the tie after the strictly-worse one)."""
+    from pyspark.sql import Window
+
+    rows = [
+        ("a.com", 0.5),
+        ("c.com", 0.5),
+        ("b.com", 0.5),
+        ("z.com", 0.1),
+        ("good.com", 0.9),
+    ]
+    rates = spark.createDataFrame(rows, "domain string, keep_rate double")
+    w = Window.orderBy(F.col("keep_rate").asc(), F.col("domain").asc())
+    blocked = {
+        r["domain"]
+        for r in rates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .collect()
+    }
+    assert blocked == {"z.com", "a.com"}
