@@ -57,6 +57,10 @@ def main() -> None:
     )
     qs, osql = mod.queries(), mod.oracle_sql()
     con = duckdb.connect()
+    # bound the oracle side so a scale-exploding oracle fails ITS row,
+    # not the host (see tests/oracle_util.py::duckdb_conn, r11)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET max_temp_directory_size='30GB'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
