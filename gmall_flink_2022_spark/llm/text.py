@@ -567,7 +567,7 @@ def nfc_udf():
 
 
 def normalize_text(
-    df: DataFrame, id_col: str, text_col: str, out_col: str = "norm_text"
+    df: DataFrame, text_col: str, out_col: str = "norm_text"
 ) -> DataFrame:
     """Append ``out_col`` = canonical text: C0/DEL control strip, NFC
     composition, whitespace-run (incl. NBSP) collapse to one space,

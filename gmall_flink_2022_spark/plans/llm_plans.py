@@ -5063,6 +5063,10 @@ def _with_url(d: DataFrame) -> DataFrame:
     # verdict — a second stream branch would be an illegal stream-stream
     # join); existing callers pass a bare doc_id projection, for which
     # this is identical to the old select("doc_id", url).
+    # Fail fast on a frame that already carries 'url' — select("*", url)
+    # would otherwise produce a silent duplicate column name that makes
+    # every downstream F.col("url") ambiguous (r11 ADVICE).
+    assert "url" not in d.columns, "_with_url: input already has a 'url' column"
     return d.select("*", url.alias("url"))
 
 
@@ -5645,7 +5649,7 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("lang")),
     )
     base = d.select("doc_id", dirty.alias("dtext"))
-    norm = text.normalize_text(base, "doc_id", "dtext", out_col="ntext")
+    norm = text.normalize_text(base, "dtext", out_col="ntext")
     return norm.select(
         "doc_id",
         F.octet_length("dtext").cast("long").alias("n_bytes_raw"),
@@ -5886,7 +5890,7 @@ def llm_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("Caf\u00e9\tintro\x07  "), body))
     )
     base = d.select("doc_id", variant.alias("vtext"))
-    norm = text.normalize_text(base, "doc_id", "vtext", out_col="ntext")
+    norm = text.normalize_text(base, "vtext", out_col="ntext")
     return norm.groupBy(F.md5(F.col("ntext")).alias("digest")).agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("dup_ct"),

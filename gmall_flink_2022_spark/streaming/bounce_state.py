@@ -26,6 +26,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -65,14 +66,35 @@ def _make_apply(gap_seconds: int):
             state.remove()
         else:
             rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
-            for _, row in rows.iterrows():
-                is_entry = bool(row["is_entry"])
+            # Vectorized rendering of the sequential scan (r11 VERDICT:
+            # remove the iterrows fold): a pending entry's fate is fully
+            # decided by its IMMEDIATE successor in event order — bounce
+            # iff the successor is itself an entry OR arrives after the
+            # gap; a non-entry successor inside the gap clears it. So
+            # in-batch bounces are a lead() comparison; only the carried
+            # pending (vs row 0) and the last row (new pending) are
+            # scalar cases.
+            n = len(rows)
+            if n:
+                is_entry = rows["is_entry"].to_numpy().astype(bool)
+                ts = rows["ts"].to_numpy()
+                eid = rows["event_id"].to_numpy().astype("int64")
                 if pending is not None:
-                    if is_entry or row["ts"] > pending[1] + gap:
+                    if is_entry[0] or rows["ts"].iloc[0] > pending[1] + gap:
                         out.append((user_id, pending[0], pending[1]))
                     pending = None
-                if is_entry:
-                    pending = (int(row["event_id"]), row["ts"])
+                if n > 1:
+                    gap_ns = np.timedelta64(gap_seconds * 1_000_000_000, "ns")
+                    cand = np.nonzero(is_entry[:-1])[0]
+                    hit = cand[
+                        is_entry[cand + 1] | (ts[cand + 1] > ts[cand] + gap_ns)
+                    ]
+                    for i in hit:
+                        out.append(
+                            (user_id, int(eid[i]), rows["ts"].iloc[int(i)])
+                        )
+                if is_entry[-1]:
+                    pending = (int(eid[-1]), rows["ts"].iloc[-1])
             if pending is not None:
                 state.update((pending[0], int(pending[1].value // 1000)))
                 deadline_ms = int((pending[1] + gap).value // 1_000_000) + 1

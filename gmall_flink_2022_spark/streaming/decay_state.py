@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -45,24 +46,40 @@ STATE_SCHEMA = T.StructType(
 def _apply(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     (user_id,) = key
     if state.exists:
-        ts_ns, eid, cents = (list(x) for x in state.get)
+        s_ts, s_eid, s_cents = state.get
     else:
-        ts_ns, eid, cents = [], [], []
-    rows = list(zip(ts_ns, eid, cents))
-    for pdf in pdf_iter:
-        for _, r in pdf.iterrows():
-            rows.append(
-                (int(r["ts"].value), int(r["event_id"]), int(r["cents"]))
-            )
-    # newest first by (ts, event_id); keep the top K — bounded state
-    rows.sort(key=lambda t: (t[0], t[1]), reverse=True)
-    rows = rows[:K]
-    state.update(
-        ([r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows])
+        s_ts, s_eid, s_cents = (), (), ()
+    # vectorized merge (r11 VERDICT ask: drop the iterrows fold): state
+    # arrays ++ batch columns, one lexsort, keep the newest K
+    batch = pd.concat(list(pdf_iter))
+    ts = np.concatenate(
+        [
+            np.asarray(list(s_ts), dtype=np.int64),
+            batch["ts"].to_numpy().astype("int64"),
+        ]
     )
-    num = sum(c << (K - 1 - j) for j, (_, _, c) in enumerate(rows))
+    eid = np.concatenate(
+        [
+            np.asarray(list(s_eid), dtype=np.int64),
+            batch["event_id"].to_numpy().astype("int64"),
+        ]
+    )
+    cents = np.concatenate(
+        [
+            np.asarray(list(s_cents), dtype=np.int64),
+            batch["cents"].to_numpy().astype("int64"),
+        ]
+    )
+    # newest first by (ts, event_id); keep the top K — bounded state
+    order = np.lexsort((eid, ts))[::-1][:K]
+    ts, eid, cents = ts[order], eid[order], cents[order]
+    state.update((ts.tolist(), eid.tolist(), cents.tolist()))
+    # exact bigint arithmetic: weight 2^(K-1-j) for the j-th newest —
+    # Python ints (the cents are bounded, but keep the old exactness)
+    num = sum(int(c) << (K - 1 - j) for j, c in enumerate(cents))
     yield pd.DataFrame(
-        [(user_id, len(rows), num)], columns=["user_id", "n_scored", "num_q"]
+        [(user_id, len(cents), num)],
+        columns=["user_id", "n_scored", "num_q"],
     )
 
 

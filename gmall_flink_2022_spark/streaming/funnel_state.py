@@ -38,6 +38,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -62,35 +63,59 @@ STATE_SCHEMA = T.StructType(
 
 
 def _chain(tv, clicks, purch):
-    """The min-ts chain over the buffered timestamps."""
-    tc = min((c for c in clicks if tv is not None and c > tv), default=None)
-    tp = min((p for p in purch if tc is not None and p > tc), default=None)
+    """The min-ts chain over the buffered timestamps. ``clicks`` /
+    ``purch`` must be sorted ascending (the state invariant) — the
+    successor lookups are then binary searches, not scans."""
+    clicks = np.asarray(clicks, dtype=np.int64)
+    purch = np.asarray(purch, dtype=np.int64)
+    tc = None
+    if tv is not None and clicks.size:
+        i = int(np.searchsorted(clicks, tv, side="right"))
+        if i < clicks.size:
+            tc = int(clicks[i])
+    tp = None
+    if tc is not None and purch.size:
+        i = int(np.searchsorted(purch, tc, side="right"))
+        if i < purch.size:
+            tp = int(purch[i])
     return tc, tp
 
 
-def _fold_batch(tv, clicks, purch, events):
-    """Pure state-merge: fold one batch of (ts_us, event_type) into the
-    (tv, clicks, purch) state, recompute the chain, prune losslessly
-    (anchors only tighten downward, so events above an anchor can never
-    become the answer). THE invariant the hypothesis property test
-    drives: folding any partition of an event multiset through this
-    function yields the same final chain as one fold of everything."""
-    clicks, purch = list(clicks), list(purch)
-    for t_us, etype in events:
-        t_us = int(t_us)
-        if etype == "view":
-            tv = t_us if tv is None else min(tv, t_us)
-        elif etype == "click":
-            clicks.append(t_us)
-        elif etype == "purchase":
-            purch.append(t_us)
-    clicks, purch = sorted(set(clicks)), sorted(set(purch))
+def _fold_arrays(tv, clicks, purch, ts_us, etypes):
+    """Pure state-merge, fully vectorized (r11 VERDICT: the funnel's
+    remaining constant was this fold's per-row Python loop): merge one
+    batch's (ts_us, event_type) arrays into the (tv, clicks, purch)
+    state, recompute the chain, prune losslessly (anchors only tighten
+    downward, so events above an anchor can never become the answer)."""
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    etypes = np.asarray(etypes)
+    views = ts_us[etypes == "view"]
+    if views.size:
+        mv = int(views.min())
+        tv = mv if tv is None else min(tv, mv)
+    clicks = np.union1d(
+        np.asarray(clicks, dtype=np.int64), ts_us[etypes == "click"]
+    )
+    purch = np.union1d(
+        np.asarray(purch, dtype=np.int64), ts_us[etypes == "purchase"]
+    )
     tc, tp = _chain(tv, clicks, purch)
     if tc is not None:
-        clicks = [c for c in clicks if c <= tc]
+        clicks = clicks[clicks <= tc]
     if tp is not None:
-        purch = [p for p in purch if p <= tp]
-    return tv, clicks, purch
+        purch = purch[purch <= tp]
+    return tv, clicks.tolist(), purch.tolist()
+
+
+def _fold_batch(tv, clicks, purch, events):
+    """Iterable-of-(ts_us, event_type) wrapper over :func:`_fold_arrays`
+    — THE invariant the hypothesis property test drives: folding any
+    partition of an event multiset through this function yields the
+    same final chain as one fold of everything."""
+    ev = list(events)
+    ts_us = np.fromiter((int(t) for t, _ in ev), dtype=np.int64, count=len(ev))
+    etypes = np.array([e for _, e in ev], dtype=object)
+    return _fold_arrays(tv, clicks, purch, ts_us, etypes)
 
 
 def _make_apply(timeout_delay: dt.timedelta):
@@ -116,9 +141,9 @@ def _make_apply(timeout_delay: dt.timedelta):
             tv, clicks, purch = state.get
             clicks, purch = list(clicks or ()), list(purch or ())
         rows = pd.concat(list(pdf_iter))
-        us = rows["ts"].astype("int64") // 1000  # ns -> us
-        tv, clicks, purch = _fold_batch(
-            tv, clicks, purch, zip(us, rows["event_type"])
+        us = rows["ts"].to_numpy().astype("int64") // 1000  # ns -> us
+        tv, clicks, purch = _fold_arrays(
+            tv, clicks, purch, us, rows["event_type"].to_numpy()
         )
         state.update((tv, clicks, purch))
         day_end = dt.datetime(day.year, day.month, day.day) + dt.timedelta(
@@ -158,7 +183,15 @@ def funnel_stateful(
     state keys. On the synthetic mix that is ~40% of rows; on a real
     clickstream, usually far more. The filter is a JVM predicate that
     reaches the source scan (PushedFilters: In(event_type, ...)), so
-    the stateful operator's input shrinks before any exchange."""
+    the stateful operator's input shrinks before any exchange.
+
+    Watermark-advancement caveat (r11 ADVICE): because the filter runs
+    BEFORE withWatermark, non-funnel events no longer advance event
+    time here — a stream whose tail is pure noise traffic (signup /
+    error) will hold timeout emissions until the next funnel-typed
+    event arrives. Callers that need noise-driven watermark progress
+    must apply withWatermark upstream and pass the pre-watermarked
+    frame in (Spark keeps the earliest watermark definition)."""
     wm = (
         events.filter(F.col("event_type").isin(*FUNNEL_TYPES))
         .withWatermark("ts", watermark_delay)

@@ -58,16 +58,27 @@ class UVProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         last = self._last.get()[0] if self._last.exists() else None
-        out = []
         pdf = pd.concat(list(rows)).sort_values("ts")
-        for _, row in pdf.iterrows():
-            d = row["ts"].strftime("%Y-%m-%d")
-            if d != last:
-                out.append((int(user_id), d, row["ts"]))
-                last = d
-        self._last.update((last,))
-        if out:
-            yield pd.DataFrame(out, columns=["user_id", "dt", "first_ts"])
+        if not len(pdf):
+            self._last.update((last,))
+            return
+        # vectorized date-transition mask, mirroring uv_state._apply
+        import numpy as np
+
+        d = pdf["ts"].dt.strftime("%Y-%m-%d").to_numpy(dtype=object)
+        prev = np.empty_like(d)
+        prev[0] = last if last is not None else "\0"
+        prev[1:] = d[:-1]
+        sel = pdf.loc[d != prev]
+        self._last.update((str(d[-1]),))
+        if len(sel):
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(sel), int(user_id), dtype="int64"),
+                    "dt": sel["ts"].dt.strftime("%Y-%m-%d"),
+                    "first_ts": sel["ts"],
+                }
+            )
 
     def close(self) -> None:
         pass

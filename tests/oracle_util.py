@@ -14,16 +14,28 @@ import pandas as pd
 from gmall_flink_2022_spark.sources.io import TABLES
 
 
+# Bound the oracle's appetite (r11): an oracle whose intermediate
+# explodes at a big scale factor must FAIL ITS OWN TEST, not fill the
+# disk and take the Spark JVM down with it — at sf0.1 the pagerank
+# oracle's unrolled pair-graph SQL needed >80 GB of DuckDB temp and
+# crashed the whole sweep (the Spark side runs it in 4 s). Limits are
+# far above anything a healthy sf0.01/sf0.1 oracle uses. ONE list,
+# shared with tools/driver_sim.py so the two harnesses cannot drift
+# (r11 ADVICE).
+DUCKDB_LIMITS = (
+    "SET memory_limit='24GB'",
+    "SET max_temp_directory_size='30GB'",
+)
+
+
+def apply_duckdb_limits(con: duckdb.DuckDBPyConnection) -> None:
+    for stmt in DUCKDB_LIMITS:
+        con.execute(stmt)
+
+
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    # Bound the oracle's appetite (r11): an oracle whose intermediate
-    # explodes at a big scale factor must FAIL ITS OWN TEST, not fill
-    # the disk and take the Spark JVM down with it — at sf0.1 the
-    # pagerank oracle's unrolled pair-graph SQL needed >80 GB of DuckDB
-    # temp and crashed the whole sweep (the Spark side runs it in 4 s).
-    # Limits are far above anything a healthy sf0.01/sf0.1 oracle uses.
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET max_temp_directory_size='30GB'")
+    apply_duckdb_limits(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

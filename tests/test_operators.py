@@ -2952,7 +2952,7 @@ def test_normalize_text_unit_cases(spark):
     df = spark.createDataFrame(cases, "id long, raw string")
     got = {
         r["id"]: r["n"]
-        for r in T.normalize_text(df, "id", "raw", out_col="n").collect()
+        for r in T.normalize_text(df, "raw", out_col="n").collect()
     }
     assert got[0] == "Café x" and len(got[0]) == 6
     assert got[1] == "abcd"

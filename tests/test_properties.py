@@ -908,8 +908,8 @@ def test_normalize_text_matches_reference_and_idempotent(spark, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "id long, raw string"
     )
-    once = T.normalize_text(df, "id", "raw", out_col="n1")
-    twice = T.normalize_text(once, "id", "n1", out_col="n2")
+    once = T.normalize_text(df, "raw", out_col="n1")
+    twice = T.normalize_text(once, "n1", out_col="n2")
     out = {r["id"]: (r["raw"], r["n1"], r["n2"]) for r in twice.collect()}
     con = duckdb.connect()
     for i, t in enumerate(texts):

@@ -56,11 +56,12 @@ def main() -> None:
         .getOrCreate()
     )
     qs, osql = mod.queries(), mod.oracle_sql()
+    from tests.oracle_util import apply_duckdb_limits
+
     con = duckdb.connect()
     # bound the oracle side so a scale-exploding oracle fails ITS row,
-    # not the host (see tests/oracle_util.py::duckdb_conn, r11)
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET max_temp_directory_size='30GB'")
+    # not the host — limits shared with tests/oracle_util.py (r11 ADVICE)
+    apply_duckdb_limits(con)
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
