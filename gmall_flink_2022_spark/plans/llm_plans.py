@@ -5411,7 +5411,10 @@ _PSL_URL_CTE = """pudocs AS (SELECT doc_id,
 
 
 def _with_url_psl(d: DataFrame) -> DataFrame:
-    """Spark rendering of _PSL_URL_CTE (identical string arithmetic)."""
+    """Spark rendering of _PSL_URL_CTE (identical string arithmetic).
+    Like :func:`_with_url`, carries any extra columns the caller holds
+    (r12: the normalized stage-1 chain derives urls on the frame that
+    already carries the variant text, keeping the corpus scan single)."""
     rid = F.col("doc_id")
     m = (rid % 3).cast("string")
     host = (
@@ -5427,7 +5430,10 @@ def _with_url_psl(d: DataFrame) -> DataFrame:
     url = F.concat(
         F.lit("https://"), host, F.lit("/p/"), (rid % 20).cast("string")
     )
-    return d.select("doc_id", url.alias("url"))
+    assert "url" not in d.columns, (
+        "_with_url_psl: input already has a 'url' column"
+    )
+    return d.select("*", url.alias("url"))
 
 
 def _register_psl_entries() -> None:
@@ -5848,6 +5854,40 @@ _VARIANT_SQL = f"""(CASE CAST(doc_id % 4 AS INTEGER)
 END)"""
 
 
+def _norm_expr_sql(expr: str) -> str:
+    """DuckDB rendering of llm/text.py::normalize_text over ``expr`` —
+    strip -> nfc_normalize -> collapse -> trim, the NUL-safe order the
+    r11 hypothesis suite pinned down; generated from the same two class
+    constants as the Spark side so the engines cannot drift."""
+    return (
+        f"trim(regexp_replace(nfc_normalize(regexp_replace({expr}, "
+        f"'{text.NORM_CTRL_CLASS}', '', 'g')), '{_WS_CLASS_SQL}', ' ', 'g'))"
+    )
+
+
+def _variant_texts(d: DataFrame) -> DataFrame:
+    """Spark rendering of _VARIANT_SQL over a (doc_id, text) frame —
+    the byte-variant planting llm_normalize_dedup documents, shared
+    with the composed normalized stage-1 entries (r12)."""
+    rid = F.col("doc_id") % 4
+    body = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit("the shared canonical body number "),
+            (F.floor(F.col("doc_id") / 5) % 10).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    variant = (
+        # v0: decomposed pair; v1: precomposed; v2: NBSP separator;
+        # v3: tab + BEL + run-on spaces — all normalize identically
+        F.when(rid == 0, F.concat(F.lit("Cafe\u0301 intro "), body))
+        .when(rid == 1, F.concat(F.lit("Caf\u00e9 intro "), body))
+        .when(rid == 2, F.concat(F.lit("Caf\u00e9\u00a0intro "), body))
+        .otherwise(F.concat(F.lit("Caf\u00e9\tintro\x07  "), body))
+    )
+    return d.select("doc_id", variant.alias("vtext"))
+
+
 @register(
     "llm_normalize_dedup",
     oracle=f"""
@@ -5872,24 +5912,7 @@ END)"""
     tags=("llm", "text", "dedup"),
 )
 def llm_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    rid = F.col("doc_id") % 4
-    body = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.concat(
-            F.lit("the shared canonical body number "),
-            (F.floor(F.col("doc_id") / 5) % 10).cast("string"),
-        ),
-    ).otherwise(F.col("text"))
-    variant = (
-        # v0: decomposed pair; v1: precomposed; v2: NBSP separator;
-        # v3: tab + BEL + run-on spaces — all normalize identically
-        F.when(rid == 0, F.concat(F.lit("Cafe\u0301 intro "), body))
-        .when(rid == 1, F.concat(F.lit("Caf\u00e9 intro "), body))
-        .when(rid == 2, F.concat(F.lit("Caf\u00e9\u00a0intro "), body))
-        .otherwise(F.concat(F.lit("Caf\u00e9\tintro\x07  "), body))
-    )
-    base = d.select("doc_id", variant.alias("vtext"))
+    base = _variant_texts(_docs(spark, sf_dir))
     norm = text.normalize_text(base, "vtext", out_col="ntext")
     return norm.groupBy(F.md5(F.col("ntext")).alias("digest")).agg(
         F.min("doc_id").alias("keep_id"),
@@ -5993,3 +6016,157 @@ def llm_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom.join(F.broadcast(blocked), "domain", "left_anti").select(
         "doc_id", "domain"
     )
+
+
+# ================================================================ r12 births
+# --- stage 1 with stage-0 normalization composed (r11 VERDICT ask #2) -------
+# The crawl order production pipelines actually run: derive urls on the
+# SAME single corpus projection that carries the (byte-variant-planted)
+# text, normalize at stage 0, EXACT dedup keyed on the digest of the
+# NORMALIZED text — the step raw-md5 pipelines get wrong
+# (llm_normalize_dedup demonstrates the recovery in isolation; here it
+# runs inside the composed chain, collapsing ~20% of the corpus's
+# planted byte-variant family mass before any URL work) — then URL
+# keep-first dedup over the canonical survivors, then the deterministic
+# per-domain top-k. Digest-before-URL because this fixture's URL
+# universe is many-to-one: running URL dedup first would collapse the
+# families by URL accident and leave the digest stage nothing to prove.
+@register(
+    "llm_stage1_pipeline_norm",
+    oracle=f"""
+    WITH {_URL_DOCS_CTE},
+    vdocs AS (SELECT doc_id, {_VARIANT_SQL} AS vtext FROM documents),
+    norm AS (SELECT v.doc_id, u.url, {_norm_expr_sql("v.vtext")} AS ntext
+             FROM vdocs v JOIN udocs u USING (doc_id)),
+    dkept AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(ntext)),
+    s0 AS (SELECT n.* FROM norm n JOIN dkept USING (doc_id)),
+    kept AS (SELECT MIN(doc_id) AS doc_id
+             FROM (SELECT doc_id, {_NORM_SQL} AS nrm FROM s0)
+             GROUP BY nrm),
+    s2 AS (SELECT s.doc_id, s.url FROM s0 s JOIN kept k USING (doc_id)),
+    h AS (SELECT doc_id, {_HOST_SQL} AS host FROM s2),
+    dom AS (SELECT doc_id, {_DOMAIN_SQL} AS domain FROM h),
+    rk AS (SELECT doc_id AS id, domain,
+                  ROW_NUMBER() OVER (PARTITION BY domain
+                      ORDER BY {_u32_sql("doc_id")}, doc_id) AS rk
+           FROM dom)
+    SELECT id, domain, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= {_STAGE1_CAP}
+    """,
+    survey_ref="r11 VERDICT ask #2: stage-0 normalization COMPOSED into "
+    "the stage-1 chain (new entry; llm_stage1_pipeline's oracle stays "
+    "untouched) — normalize before any digest so byte-variant "
+    "renderings cannot defeat exact dedup, then normalized-digest "
+    "dedup, URL keep-first dedup, deterministic per-domain top-k. One "
+    "corpus projection feeds text AND url (plan-gated single scan); "
+    "the only Python is the one Arrow-batched NFC step",
+    tags=("llm", "url", "text", "dedup", "pipeline"),
+)
+def llm_stage1_pipeline_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _with_url(_variant_texts(_docs(spark, sf_dir)))
+    from pyspark.sql import Window
+
+    norm = text.normalize_text(base, "vtext", out_col="ntext").drop("vtext")
+    # keep-first stages as rank-1 windows, NOT agg + semi-join: the
+    # self-join shape would plan the corpus subtree (and the Arrow NFC
+    # step) twice; rank<=1 compiles to WindowGroupLimit on both sides
+    # of each exchange, so the corpus is scanned once, the UDF runs
+    # once, and every shuffle ships at most one row per group map-side.
+    wd = Window.partitionBy("__digest").orderBy(F.col("doc_id").asc())
+    s0 = (
+        norm.withColumn("__digest", F.md5(F.col("ntext")))
+        .withColumn("__rk", F.row_number().over(wd))
+        .filter(F.col("__rk") == 1)
+        .drop("__digest", "__rk", "ntext")
+    )
+    wu = Window.partitionBy("__nrm").orderBy(F.col("doc_id").asc())
+    s2 = (
+        s0.withColumn("__nrm", urls_mod.url_normalize(F.col("url")))
+        .withColumn("__rk", F.row_number().over(wu))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "url")
+    )
+    return urls_mod.domain_capped_topk(s2, "doc_id", "url", cap=_STAGE1_CAP)
+
+
+def _register_stage1_psl_norm() -> None:
+    from ..llm import psl
+
+    @register(
+        "llm_stage1_psl_norm",
+        # the fully-upgraded stage-1: stage-0 normalization AND the
+        # real-PSL registrable domain in ONE chain (r11 VERDICT asks
+        # #2 + #3) — normalized-digest dedup between the URL pass and
+        # the exact per-domain cap, domains grouped by the broadcast
+        # rule dim over the host universe the 14-pair literal
+        # mis-groups.
+        oracle=f"""
+        WITH {_PSL_URL_CTE},
+        vdocs AS (SELECT doc_id, {_VARIANT_SQL} AS vtext FROM documents),
+        norm AS (SELECT v.doc_id, u.url, {_norm_expr_sql("v.vtext")} AS ntext
+                 FROM vdocs v JOIN pudocs u USING (doc_id)),
+        dkept AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(ntext)),
+        s0 AS (SELECT n.* FROM norm n JOIN dkept USING (doc_id)),
+        kept AS (SELECT MIN(doc_id) AS doc_id
+                 FROM (SELECT doc_id, {_NORM_SQL} AS nrm FROM s0)
+                 GROUP BY nrm),
+        s2 AS (SELECT s.doc_id, s.url FROM s0 s JOIN kept k USING (doc_id)),
+        hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM s2),
+        {psl.psl_domain_sql("hosts").lstrip()},
+        rk AS (SELECT doc_id AS id, domain,
+                      ROW_NUMBER() OVER (PARTITION BY domain
+                          ORDER BY {_u32_sql("doc_id")}, doc_id) AS rk
+               FROM psldom)
+        SELECT id, domain, CAST(rk AS BIGINT) AS rk
+        FROM rk WHERE rk <= {_DOMAIN_CAP}
+        """,
+        survey_ref="r11 VERDICT asks #2+#3 composed: normalization AND "
+        "the PSL broadcast dim inside one stage-1 chain — stage-0 "
+        "normalize, normalized-digest dedup, URL keep-first dedup, "
+        "registrable domain via the rule dim (wildcard/exception "
+        "semantics), deterministic min(cap, n_d) top-k; plan keeps "
+        "every piece's shape (broadcast rule probes, WindowGroupLimit "
+        "both exchange sides, single Arrow NFC step)",
+        tags=("llm", "url", "text", "dedup", "pipeline", "dim"),
+    )
+    def llm_stage1_psl_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from ..llm.sampling import _u32
+
+        base = _with_url_psl(_variant_texts(_docs(spark, sf_dir)))
+        norm = text.normalize_text(base, "vtext", out_col="ntext").drop(
+            "vtext"
+        )
+        # rank-1 windows instead of agg + semi-join (see
+        # llm_stage1_pipeline_norm): single corpus scan, single Arrow
+        # NFC step, WindowGroupLimit on every keep-first exchange
+        wd = Window.partitionBy("__digest").orderBy(F.col("doc_id").asc())
+        s0 = (
+            norm.withColumn("__digest", F.md5(F.col("ntext")))
+            .withColumn("__rk", F.row_number().over(wd))
+            .filter(F.col("__rk") == 1)
+            .drop("__digest", "__rk", "ntext")
+        )
+        wu = Window.partitionBy("__nrm").orderBy(F.col("doc_id").asc())
+        s2 = (
+            s0.withColumn("__nrm", urls_mod.url_normalize(F.col("url")))
+            .withColumn("__rk", F.row_number().over(wu))
+            .filter(F.col("__rk") == 1)
+            .select("doc_id", "url")
+        )
+        h = s2.select("doc_id", urls_mod.host_of(F.col("url")).alias("host"))
+        dom = psl.registrable_domain_psl(
+            h, "host", psl.psl_rules_df(spark)
+        ).select(F.col("doc_id").alias("id"), "domain")
+        w = Window.partitionBy("domain").orderBy(
+            _u32(F.col("id")).asc(), F.col("id").asc()
+        )
+        return (
+            dom.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= _DOMAIN_CAP)
+            .select("id", "domain", "rk")
+        )
+
+
+_register_stage1_psl_norm()

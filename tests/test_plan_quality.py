@@ -762,3 +762,25 @@ def test_minhash_dup_rate_plan(spark, sf_dir):
     p = _plan(spark, sf_dir, "llm_minhash_dup_rate")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+# ------------------------------------------------------------------ r12
+
+def test_stage1_norm_plans(spark, sf_dir):
+    """The normalized stage-1 entries (r11 VERDICT asks #2+#3) are the
+    plan the ask names: the corpus is scanned exactly ONCE and the NFC
+    normalization runs as exactly ONE Arrow-batched step (keep-first
+    stages are rank-1 windows, not agg + semi-joins — a self-join would
+    plan the corpus subtree and the UDF twice); every keep-first
+    exchange carries WindowGroupLimit on BOTH sides (digest, norm-url,
+    domain cap = 3 pairs), the PSL rule probes broadcast, and nothing
+    sort-merges or row-loops."""
+    for name, n_bhj in (("llm_stage1_pipeline_norm", 0),
+                        ("llm_stage1_psl_norm", 3)):
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Location: InMemoryFileIndex") == 1, name
+        assert p.count(") ArrowEvalPython") == 1, name
+        assert "BatchEvalPython" not in p, name
+        assert "SortMergeJoin" not in p, name
+        assert p.count(") WindowGroupLimit") == 6, name
+        assert p.count(") BroadcastHashJoin") >= n_bhj, name
