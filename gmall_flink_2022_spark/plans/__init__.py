@@ -18,7 +18,83 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
-    # ROUND-11 WINDOW. The round-10 driver gate NEVER RAN — no
+    # ROUND-12 WINDOW (r11 VERDICT ask #1, standing policy: births ->
+    # never-driver-checked -> stalest cohort).
+    #   (a) the three r12 births: the normalized stage-1 chain (batch,
+    #       PSL twin, streaming ingest twin) — VERDICT asks #2+#3;
+    #   (b) the three late r11 births that sat below the full r11
+    #       window, never driver-checked (judge-verified green at
+    #       sf0.01 in the r11 session): llm_normalize_dedup,
+    #       llm_domain_blocklist_filter, stream_domain_blocklist;
+    #   (c) 44 of the 50-entry r6-green cohort (7 rounds stale — the
+    #       stalest; CORRECTNESS_r11 cleared the r5 cohort).
+    # Named slips (6, all sibling-covered, as VERDICT prescribes):
+    #   ads_gmv_month / ads_topn_per_brand (ads_gmv_by_date +
+    #   ads_top_brand twins in-window), dws_product_stats /
+    #   dws_province_stats (their _approx twins are r11-green),
+    #   dws_visitor_stats (judge-verified green at sf0.01 this r11
+    #   session; stream_visitor_stats_scale r11-green),
+    #   dws_keyword_stats (dws_keywords_sql_lateral r7-green +
+    #   stream_keyword_stats_cjk_scale r9-green ride the same code).
+    # --- (a) r12 births ---
+    "llm_stage1_pipeline_norm",
+    "llm_stage1_psl_norm",
+    "stream_llm_training_ingest_norm",
+    # --- (b) never-driver-checked late r11 births ---
+    "llm_normalize_dedup",
+    "llm_domain_blocklist_filter",
+    "stream_domain_blocklist",
+    # --- (c) the r6-green cohort, minus the 6 named slips ---
+    "dws_pricing_summary",
+    "dwd_log_split_page",
+    "dwm_unique_visit",
+    "dwm_user_jump",
+    "dwm_sessionize",
+    "dwm_order_wide",
+    "dwm_payment_wide",
+    "ads_gmv_by_date",
+    "ads_top_brand",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q13_cust_distribution",
+    "events_value_delta",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "set_intersect_buyers",
+    "ads_tm_reshape",
+    "events_asof_join",
+    "orders_range_band_join",
+    "dim_scd2_asof",
+    "scale_salted_agg",
+    "scale_salted_join",
+    "scalar_function_surface",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_decontaminate",
+    "llm_repetition",
+    "llm_pii_flags",
+    "llm_dedup_ngram_exact",
+    "stream_two_hop_eos",
+    "llm_dedup_incremental",
+    "stream_llm_dedup_incremental",
+    "llm_embed_dedup_incremental",
+    "llm_bpe_train",
+    "llm_quality_classifier",
+    "dws_funnel_conversion",
+    "dws_retention_cohorts",
+    "llm_dedup_editdist",
+    "llm_substring_dedup_removal",
+    "stream_events_sliding",
+    "stream_llm_gopher_filter",
+]
+
+_R11_WINDOW = [
+    # =====================================================================
+    # ROUND-11 WINDOW (cleared 50/50 green in CORRECTNESS_r11.json;
+    # kept for the ledger). The round-10 driver gate NEVER RAN — no
     # CORRECTNESS_r10.json / BENCH_r10.json / VERDICT r10 were delivered
     # (verified at r11 open: the newest driver artifacts are the r9 set).
     # So the r10 window (git: 4321d3a) was never driver-checked: the six

@@ -3058,6 +3058,132 @@ def _register_stream_training_ingest() -> None:
 _register_stream_training_ingest()
 
 
+def _register_stream_training_ingest_norm() -> None:
+    from .llm_plans import _INC_SPLIT_SQL, _norm_expr_sql
+    from .registry import REGISTRY as _R
+
+    # The SAME demo split, but every text is first DIRTIED with a
+    # byte-variant prefix that differs between the indexed corpus (NBSP
+    # separator) and the arrivals (tab + BEL + space) and then
+    # normalized — stage 0 fronted. Without normalization the planted
+    # exact replicas (id+100000) would be byte-DIFFERENT from their
+    # corpus originals and every exact-digest index hit would be lost;
+    # with it they collapse to identical canonical text and the chain
+    # behaves like the raw twin. Prefixes normalize to pure ASCII
+    # ('Intro: ') on purpose: the two engines' tokenizers disagree on
+    # non-ASCII letters (DuckDB splits on [^a-z0-9], Spark on \\p{L});
+    # NFC-specific recovery is covered by the batch entries
+    # (llm_normalize_dedup, llm_stage1_pipeline_norm), which never
+    # tokenize the normalized text.
+    _NORM_SPLIT_SQL = f"""
+    corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+    arrv0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+             UNION ALL
+             SELECT doc_id + 100000, text FROM corpus0 WHERE doc_id % 7 = 0
+             UNION ALL
+             SELECT doc_id + 200000, text || ' zz qq vv'
+             FROM corpus0 WHERE doc_id % 11 = 0),
+    corpus AS (SELECT doc_id,
+                      {_norm_expr_sql("'Intro:' || chr(160) || text")} AS text
+               FROM corpus0),
+    arrv AS (SELECT doc_id,
+                    {_norm_expr_sql("'Intro:' || chr(9) || chr(7) || ' ' || text")} AS text
+             FROM arrv0)"""
+
+    # splice the normalized split into the raw twin's oracle so the
+    # two-batch unroll body CANNOT drift between the entries
+    _base = _R["stream_llm_training_ingest"].oracle
+    assert _INC_SPLIT_SQL in _base, "ingest oracle refactor broke the splice"
+
+    @register(
+        "stream_llm_training_ingest_norm",
+        oracle=_base.replace(_INC_SPLIT_SQL, _NORM_SPLIT_SQL),
+        survey_ref="r11 VERDICT ask #2, streaming half: stage-0 "
+        "normalization composed into the live raw-to-shards ingest as "
+        "a NEW entry — the dedup index is built over NORMALIZED corpus "
+        "text and each arrival micro-batch normalizes in-stream "
+        "(row-local Arrow NFC + JVM regexps, before the keyed work) "
+        "ahead of URL keep-first, incremental index dedup, Gopher, "
+        "decontamination, idempotent shards. Load-bearing: corpus and "
+        "arrivals carry byte-DIFFERENT dirty prefixes, so every "
+        "exact-digest hit in the chain exists only because stage 0 "
+        "canonicalized both sides",
+        tags=("streaming", "llm", "pipeline", "incremental", "eos", "text"),
+    )
+    def stream_llm_training_ingest_norm(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..llm import incremental as inc
+        from ..llm import text as text_mod
+        from ..llm.ingest import foreach_batch_training_ingest
+        from ..sources.dim_store import DimStore
+        from ..streaming.eos import IdempotentBatchStore
+        from .llm_plans import _inc_corpus_arrivals, _with_url
+
+        corpus0, arrivals0 = _inc_corpus_arrivals(spark, sf_dir)
+        corpus = text_mod.normalize_text(
+            corpus0.select(
+                "doc_id",
+                F.concat(F.lit("Intro:\u00a0"), F.col("text")).alias("vtext"),
+            ),
+            "vtext",
+            out_col="text",
+        ).select("doc_id", "text")
+        adirty = arrivals0.select(
+            "doc_id",
+            F.concat(F.lit("Intro:\t\x07 "), F.col("text")).alias("vtext"),
+        )
+        arr = _with_url(adirty)  # (doc_id, vtext, url) — one projection
+        bench = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 13 == 0
+        ).select("doc_id", "text")
+        stage = tempfile.mkdtemp(prefix="gmall_ingestn_")
+        idx = DimStore(spark, tempfile.mkdtemp(prefix="gmall_ingestn_idx_"))
+        try:
+            inc.build_dedup_index(idx, corpus)
+            in_dir = os.path.join(stage, "in")
+            arr.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+                in_dir, mode="overwrite"
+            )
+            arr.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+                in_dir, mode="append"
+            )
+            shard_store = IdempotentBatchStore(
+                spark, os.path.join(stage, "shards")
+            )
+            sdf = (
+                spark.readStream.schema(arr.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            # stage 0 runs ON THE STREAM: the staged files carry the
+            # DIRTY variant text; normalization is part of the live
+            # chain, not a batch preprocess
+            sdf_norm = text_mod.normalize_text(
+                sdf, "vtext", out_col="text"
+            ).drop("vtext")
+            fn = foreach_batch_training_ingest(idx, shard_store, bench)
+            with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+                q = (
+                    sdf_norm.writeStream.foreachBatch(fn)
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", os.path.join(stage, "ck"))
+                    .start()
+                )
+                q.awaitTermination()
+            return (
+                shard_store.read_committed()
+                .select("doc_id", "shard", "n_tokens")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(idx.root, ignore_errors=True)
+
+
+_register_stream_training_ingest_norm()
+
+
 def _register_stream_topk() -> None:
     from .registry import REGISTRY as _R  # batch oracle verbatim
 

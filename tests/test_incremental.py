@@ -426,3 +426,44 @@ def test_training_ingest_batch_order_independent(spark):
         }
 
     assert run([b1, b2]) == run([b2, b1]) != set()
+
+
+def test_normalized_ingest_exact_hits_need_stage0(spark):
+    """r12: WHY stream_llm_training_ingest_norm fronts stage-0 — the
+    corpus is indexed with an NBSP-separated prefix, arrivals carry a
+    tab+BEL variant of the same canonical prefix. Raw bytes differ, so
+    WITHOUT normalization the replica is NOT an exact index hit; after
+    normalize_text both sides canonicalize to 'Intro: ...' and the
+    exact digest hit returns."""
+    from gmall_flink_2022_spark.llm import text as T
+
+    def dirty(rows, prefix):
+        return [(i, prefix + t) for i, t in rows]
+
+    raw_store = _store(spark)
+    inc.build_dedup_index(raw_store, _df(spark, dirty(CORPUS, "Intro:\u00a0")))
+    arrivals_raw = _df(spark, dirty([(10, CORPUS[0][1])], "Intro:\t\x07 "))
+    out = {
+        r["doc_id"]: r
+        for r in inc.incremental_dedup(raw_store, arrivals_raw).collect()
+    }
+    assert out[10]["dup_kind"] != "exact"  # byte-variant defeats raw digest
+
+    norm_store = _store(spark)
+    corpus_n = T.normalize_text(
+        _df(spark, dirty(CORPUS, "Intro:\u00a0")).withColumnRenamed(
+            "text", "vtext"
+        ),
+        "vtext",
+        out_col="text",
+    ).select("doc_id", "text")
+    inc.build_dedup_index(norm_store, corpus_n)
+    arrivals_n = T.normalize_text(
+        arrivals_raw.withColumnRenamed("text", "vtext"), "vtext",
+        out_col="text",
+    ).select("doc_id", "text")
+    out = {
+        r["doc_id"]: r
+        for r in inc.incremental_dedup(norm_store, arrivals_n).collect()
+    }
+    assert out[10]["dup_kind"] == "exact" and out[10]["match_id"] == 1
