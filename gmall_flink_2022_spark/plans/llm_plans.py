@@ -3436,35 +3436,22 @@ from ..llm.graph import PR_SCALE, pagerank  # noqa: E402
 _PR_ITERS = 5
 
 
-def _pr_oracle_iterations(n_iters: int) -> str:
-    blocks, prev = [], "pr0"
-    for t in range(1, n_iters + 1):
-        blocks.append(f"""
-    c{t} AS (
-        SELECT e.dst, SUM(p.pr // p.deg) AS sumc
-        FROM ed e JOIN {prev} p ON e.src = p.id
-        GROUP BY e.dst
-    ),
-    pr{t} AS (
-        SELECT p.id, p.deg, p.n,
-               CAST(({15 * PR_SCALE} // (100 * p.n))
-                    + ((85 * COALESCE(c.sumc, 0)) // 100) AS BIGINT) AS pr
-        FROM {prev} p LEFT JOIN c{t} c ON c.dst = p.id
-    )""")
-        prev = f"pr{t}"
-    return ",".join(blocks), prev
+def _pr_oracle_statements(n_iters: int) -> str:
+    """One CREATE TEMP TABLE per PageRank iteration (r11 VERDICT ask #5).
 
-
-_PR_BLOCKS, _PR_LAST = _pr_oracle_iterations(_PR_ITERS)
-
-
-@register(
-    "llm_pagerank_centrality",
-    # the near-dup pair CTE is the (exact) MinHash oracle from
-    # llm_dedup_minhash; PageRank itself is 5 unrolled fixed-point
-    # iterations — integer sums and floor divisions are engine-exact,
-    # see llm/graph.py docstring
-    oracle=f"""
+    The previous single-statement form unrolled the iterations as chained
+    CTEs over the near-dup pair CTE; DuckDB re-expanded the expensive
+    shingle self-join under each iteration and needed >80 GB of temp at
+    sf0.1.  Materializing the edge table ONCE and iterating over small
+    (id, deg, n, pr) temp tables keeps every statement trivially bounded,
+    so the voluntary 10x parity sweep can run this oracle too.  DuckDB's
+    Python execute() runs all ;-separated statements and fetches the
+    last SELECT; CREATE OR REPLACE makes re-runs on a shared connection
+    idempotent.
+    """
+    stmts = [
+        f"""
+    CREATE OR REPLACE TEMP TABLE pr_oracle_ed AS
     WITH {SHINGLE_CTE},
     sig AS (
         SELECT doc_id,
@@ -3492,19 +3479,43 @@ _PR_BLOCKS, _PR_LAST = _pr_oracle_iterations(_PR_ITERS)
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.4
-    ),
-    ed AS (
-        SELECT id_a AS src, id_b AS dst FROM pr
-        UNION
-        SELECT id_b, id_a FROM pr
-    ),
-    dg AS (SELECT src AS id, COUNT(*) AS deg FROM ed GROUP BY src),
-    nn AS (SELECT COUNT(*) AS n FROM dg),
-    pr0 AS (SELECT id, deg, n, CAST({PR_SCALE} // n AS BIGINT) AS pr
-            FROM dg CROSS JOIN nn),
-    {_PR_BLOCKS}
-    SELECT id, pr FROM {_PR_LAST}
-    """,
+    )
+    SELECT id_a AS src, id_b AS dst FROM pr
+    UNION
+    SELECT id_b, id_a FROM pr""",
+        f"""
+    CREATE OR REPLACE TEMP TABLE pr_oracle_s0 AS
+    WITH dg AS (SELECT src AS id, COUNT(*) AS deg FROM pr_oracle_ed GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM dg)
+    SELECT id, deg, n, CAST({PR_SCALE} // n AS BIGINT) AS pr
+    FROM dg CROSS JOIN nn""",
+    ]
+    for t in range(1, n_iters + 1):
+        stmts.append(f"""
+    CREATE OR REPLACE TEMP TABLE pr_oracle_s{t} AS
+    WITH c AS (
+        SELECT e.dst, SUM(p.pr // p.deg) AS sumc
+        FROM pr_oracle_ed e JOIN pr_oracle_s{t - 1} p ON e.src = p.id
+        GROUP BY e.dst
+    )
+    SELECT p.id, p.deg, p.n,
+           CAST(({15 * PR_SCALE} // (100 * p.n))
+                + ((85 * COALESCE(c.sumc, 0)) // 100) AS BIGINT) AS pr
+    FROM pr_oracle_s{t - 1} p LEFT JOIN c ON c.dst = p.id""")
+    stmts.append(f"""
+    SELECT id, pr FROM pr_oracle_s{n_iters}
+    """)
+    return ";".join(stmts)
+
+
+@register(
+    "llm_pagerank_centrality",
+    # the near-dup pair graph is the (exact) MinHash oracle from
+    # llm_dedup_minhash, materialized ONCE as a temp table; PageRank
+    # itself is 5 fixed-point iterations, one temp-table statement each
+    # — integer sums and floor divisions are engine-exact, see
+    # llm/graph.py docstring
+    oracle=_pr_oracle_statements(_PR_ITERS),
     survey_ref="extension: PageRank centrality over the near-dup graph "
     "(second iterative BSP algorithm beside dup_clusters' connected "
     "components; fixed-point integer arithmetic for engine-exact "
