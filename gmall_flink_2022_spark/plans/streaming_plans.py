@@ -2865,13 +2865,16 @@ def _register_stream_funnel() -> None:
         "ask #2): the min-ts chain is NON-COMMUTATIVE under late data "
         "(a late earlier view shifts the anchor and can validate a "
         "previously-rejected click), so the live form is a stateful "
-        "per-(user, day) operator (applyInPandasWithState, the "
-        "bounce-detector shape) holding the view anchor plus the "
-        "pruned pre-anchor click/purchase buffers — losslessly bounded "
-        "because anchors only tighten downward (see "
-        "streaming/funnel_state.py); each user-day emits once when the "
-        "watermark passes end-of-day, then the per-day report is one "
-        "tiny aggregate over settled user-grain rows",
+        "per-USER operator (applyInPandasWithState, the bounce-detector "
+        "shape) holding a day -> (view anchor + pruned pre-anchor "
+        "click/purchase buffers) map with manual day eviction — "
+        "losslessly bounded because anchors only tighten downward and "
+        "the map holds only watermark-pending days (see "
+        "streaming/funnel_state.py; per-user keying cuts the per-group "
+        "Python constant ~#active-days-fold, r11 VERDICT ask #4); each "
+        "user-day emits once when the watermark passes end-of-day, then "
+        "the per-day report is one tiny aggregate over settled "
+        "user-grain rows",
         tags=("streaming", "stateful", "ads", "serving"),
     )
     def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
