@@ -22,18 +22,23 @@ _DRIVER_WINDOW_FIRST = [
     # never-driver-checked -> stalest cohort).
     #   (a) the three r12 births: the normalized stage-1 chain (batch,
     #       PSL twin, streaming ingest twin) — VERDICT asks #2+#3;
-    #   (a') llm_pagerank_centrality — ENGINE unchanged, but its ORACLE
+    #   (a') changed-this-round, fronted per policy:
+    #       llm_pagerank_centrality — ENGINE unchanged, but its ORACLE
     #       was rewritten in r12 (VERDICT ask #5: iterative temp-table
     #       statements replace the unrolled CTE chain so the oracle is
-    #       feasible at sf0.1); changed-this-round fronts per policy.
-    #       Hand-verified hash-green at sf0.001 + sf0.01 + sf0.1;
+    #       feasible at sf0.1); hand-verified hash-green at sf0.001 +
+    #       sf0.01 + sf0.1.
+    #       stream_funnel_conversion — r12 changed its implementation
+    #       twice (vectorized fold, then per-USER keying with a
+    #       day-state map, VERDICT ask #4); oracle untouched,
+    #       hand-verified hash-green at sf0.001 + sf0.01 after each;
     #   (b) the three late r11 births that sat below the full r11
     #       window, never driver-checked (judge-verified green at
     #       sf0.01 in the r11 session): llm_normalize_dedup,
     #       llm_domain_blocklist_filter, stream_domain_blocklist;
-    #   (c) 43 of the 50-entry r6-green cohort (7 rounds stale — the
+    #   (c) 42 of the 50-entry r6-green cohort (7 rounds stale — the
     #       stalest; CORRECTNESS_r11 cleared the r5 cohort).
-    # Named slips (7, all sibling-covered, as VERDICT prescribes):
+    # Named slips (8, all sibling-covered, as VERDICT prescribes):
     #   ads_gmv_month / ads_topn_per_brand (ads_gmv_by_date +
     #   ads_top_brand twins in-window), dws_product_stats /
     #   dws_province_stats (their _approx twins are r11-green),
@@ -42,13 +47,18 @@ _DRIVER_WINDOW_FIRST = [
     #   dws_keyword_stats (dws_keywords_sql_lateral r7-green +
     #   stream_keyword_stats_cjk_scale r9-green ride the same code),
     #   stream_events_sliding (both twins dws_events_sliding +
-    #   stream_events_sliding_scale are r11-green on the same plan).
+    #   stream_events_sliding_scale are r11-green on the same plan),
+    #   dws_funnel_conversion (the ordered min-ts chain rides in-window
+    #   via stream_funnel_conversion; ads_funnel_conversion — the per-day
+    #   grain this entry globalizes — is r9-green and IS the streaming
+    #   twin's oracle).
     # --- (a) r12 births ---
     "llm_stage1_pipeline_norm",
     "llm_stage1_psl_norm",
     "stream_llm_training_ingest_norm",
-    # --- (a') oracle changed in r12 ---
+    # --- (a') changed in r12 ---
     "llm_pagerank_centrality",
+    "stream_funnel_conversion",
     # --- (b) never-driver-checked late r11 births ---
     "llm_normalize_dedup",
     "llm_domain_blocklist_filter",
@@ -92,7 +102,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_embed_dedup_incremental",
     "llm_bpe_train",
     "llm_quality_classifier",
-    "dws_funnel_conversion",
     "dws_retention_cohorts",
     "llm_dedup_editdist",
     "llm_substring_dedup_removal",
