@@ -476,6 +476,12 @@ def test_registry_wide_no_row_python(spark, sf_dir):
         # recovered-dedup entry runs the same chain before its digest agg
         "llm_text_normalize",
         "llm_normalize_dedup",
+        # r12: the normalized stage-1 compositions (VERDICT asks #2+#3)
+        # front the same one-Arrow-step NFC chain before their
+        # digest/URL/top-k stages; test_stage1_norm_* pin the corpus to
+        # a single scan and WindowGroupLimit placement
+        "llm_stage1_pipeline_norm",
+        "llm_stage1_psl_norm",
     }
     offenders, arrow_offenders = [], []
     for name, q in plans.REGISTRY.items():
