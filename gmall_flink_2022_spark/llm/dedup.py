@@ -868,22 +868,35 @@ def simhash_near_pairs(
         F.concat(F.lit(f"s{k}_"), F.substring("simhash", k * width + 1, width))
         for k in range(n_splits)
     ]
+    # Hamming distance must be CODEGEN arithmetic, not a higher-order
+    # expression (r12): the predicate runs inside the bucket self-join,
+    # once per CANDIDATE PAIR — a hot bucket (template page) makes that
+    # millions of evaluations, and split+zip_with+aggregate are
+    # interpreted per call (llm_dedup_editdist ground >25 min at sf0.1
+    # on a 1734-doc bucket). Pre-split the bit string into <=32-bit
+    # numeric chunks ONCE per row; per pair the distance is then
+    # bit_count(a^b) per chunk — same value, whole-stage-codegen fast,
+    # and 32-bit chunks keep 64-bit signatures inside a signed long.
+    n_chunks = (bits + 31) // 32
+    chunk_cols = [
+        F.conv(F.substring("simhash", k * 32 + 1, 32), 2, 10)
+        .cast("long")
+        .alias(f"_sc{k}")
+        for k in range(n_chunks)
+    ]
     parts = sig.select(
         "id",
-        "simhash",
+        *chunk_cols,
         F.explode(F.array(*slices)).alias("bucket"),
     )
     a = parts.alias("a")
     b = parts.alias("b")
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split(F.col("a.simhash"), ""),
-            F.split(F.col("b.simhash"), ""),
-            lambda x, y: (x != y).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = None
+    for k in range(n_chunks):
+        term = F.bit_count(
+            F.col(f"a._sc{k}").bitwiseXOR(F.col(f"b._sc{k}"))
+        )
+        hamming = term if hamming is None else hamming + term
     pairs = (
         a.join(
             b,
@@ -1380,10 +1393,15 @@ def edit_distance_pairs(
     signatures fall within ``max_hamming``.
 
     Scale: candidates are simhash-bucket collisions (linear generation);
-    the O(len_a * len_b) Levenshtein DP runs per CANDIDATE only. On a
-    production cluster pass Spark's thresholded ``levenshtein(l, r, k)``
-    to early-exit the DP; here the untruncated value is kept because the
-    oracle compares it exactly."""
+    the Levenshtein DP runs per CANDIDATE only, THRESHOLDED at
+    ``max_dist`` (r12): Spark's ``levenshtein(l, r, k)`` computes the
+    banded O((2k+1) * len) DP and returns -1 the moment the distance
+    provably exceeds k — on a template-heavy corpus most candidates are
+    far apart, so the early exit is the common path. Output-identical
+    to the untruncated form: a surviving pair's thresholded distance IS
+    its exact distance, and a -1 row is exactly a row the old
+    ``edit_dist <= max_dist`` filter dropped (the oracle's untruncated
+    SQL levenshtein agrees on every surviving row)."""
     cands = simhash_near_pairs(
         df, id_col, text_col, bits=bits, max_hamming=max_hamming, n_splits=n_splits
     )
@@ -1395,8 +1413,10 @@ def edit_distance_pairs(
         .join(
             t.select(F.col("_tid").alias("id_b"), F.col("_t").alias("_tb")), "id_b"
         )
-        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("long"))
-        .filter(F.col("edit_dist") <= max_dist)
+        .withColumn(
+            "edit_dist", F.levenshtein("_ta", "_tb", max_dist).cast("long")
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
         .select("id_a", "id_b", "edit_dist")
     )
 

@@ -31,14 +31,23 @@ _DRIVER_WINDOW_FIRST = [
     #       stream_funnel_conversion — r12 changed its implementation
     #       twice (vectorized fold, then per-USER keying with a
     #       day-state map, VERDICT ask #4); oracle untouched,
-    #       hand-verified hash-green at sf0.001 + sf0.01 after each;
+    #       hand-verified hash-green at sf0.001 + sf0.01 after each.
+    #       llm_dedup_simhash64 — r12 rewrote simhash_near_pairs'
+    #       hamming from interpreted zip_with to codegen chunked
+    #       bit_count (value-identical; the sf0.1 sweep exposed a
+    #       >25-min interpreted-expression grind) and thresholded the
+    #       editdist DP; this entry is the only 2-chunk (64-bit)
+    #       exerciser — the 1-chunk path rides in-window via
+    #       llm_dedup_editdist (slot below), and llm_dedup_simhash
+    #       shares THAT exact 16-bit path. All three hand-verified
+    #       hash-green at sf0.001 + sf0.01;
     #   (b) the three late r11 births that sat below the full r11
     #       window, never driver-checked (judge-verified green at
     #       sf0.01 in the r11 session): llm_normalize_dedup,
     #       llm_domain_blocklist_filter, stream_domain_blocklist;
-    #   (c) 42 of the 50-entry r6-green cohort (7 rounds stale — the
+    #   (c) 41 of the 50-entry r6-green cohort (7 rounds stale — the
     #       stalest; CORRECTNESS_r11 cleared the r5 cohort).
-    # Named slips (8, all sibling-covered, as VERDICT prescribes):
+    # Named slips (9, all sibling-covered, as VERDICT prescribes):
     #   ads_gmv_month / ads_topn_per_brand (ads_gmv_by_date +
     #   ads_top_brand twins in-window), dws_product_stats /
     #   dws_province_stats (their _approx twins are r11-green),
@@ -51,7 +60,10 @@ _DRIVER_WINDOW_FIRST = [
     #   dws_funnel_conversion (the ordered min-ts chain rides in-window
     #   via stream_funnel_conversion; ads_funnel_conversion — the per-day
     #   grain this entry globalizes — is r9-green and IS the streaming
-    #   twin's oracle).
+    #   twin's oracle),
+    #   set_intersect_buyers (set_intersect_all_buyers +
+    #   set_except_all_buyers are r7-green on the same INTERSECT/EXCEPT
+    #   rendering; set_except_buyers r7-green).
     # --- (a) r12 births ---
     "llm_stage1_pipeline_norm",
     "llm_stage1_psl_norm",
@@ -59,11 +71,12 @@ _DRIVER_WINDOW_FIRST = [
     # --- (a') changed in r12 ---
     "llm_pagerank_centrality",
     "stream_funnel_conversion",
+    "llm_dedup_simhash64",
     # --- (b) never-driver-checked late r11 births ---
     "llm_normalize_dedup",
     "llm_domain_blocklist_filter",
     "stream_domain_blocklist",
-    # --- (c) the r6-green cohort, minus the 7 named slips ---
+    # --- (c) the r6-green cohort, minus the 9 named slips ---
     "dws_pricing_summary",
     "dwd_log_split_page",
     "dwm_unique_visit",
@@ -82,7 +95,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
     "tpch_q22_global_sales_opportunity",
-    "set_intersect_buyers",
     "ads_tm_reshape",
     "events_asof_join",
     "orders_range_band_join",
