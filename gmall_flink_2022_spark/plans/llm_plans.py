@@ -710,6 +710,9 @@ _HAMMING = " + ".join(
     "THEN 1 ELSE 0 END)"
     for i in range(_SBITS)
 )
+# char subset for the editdist oracle's exact bag-distance lower bound
+# (levenshtein >= L1/2 over ANY subset — see the oracle comment)
+_BAG_CHARS = ", ".join(f"'{c}'" for c in "abcdefghijklmnopqrstuvwxyz0123456789 ")
 
 
 @register(
@@ -4050,15 +4053,48 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             'R' || substr(simhash, {_SBITS // 2 + 1}, {_SBITS // 2})
         ]) AS bucket
         FROM sig
+    ),
+    -- dedup the two-slice double hits BEFORE the DP (edit_dist is
+    -- functionally determined by the pair, so DISTINCT here == the old
+    -- post-join DISTINCT), then pre-prune with two EXACT lower bounds:
+    -- levenshtein >= |len_a - len_b|, and levenshtein >= L1/2 where L1
+    -- is the character-bag distance over any char subset (each edit op
+    -- moves the bag by at most 2; a subset only weakens the bound, so
+    -- both prunes are value-preserving). DuckDB has no thresholded DP —
+    -- without these the sf0.1 oracle pays the full O(len^2) on ~3M
+    -- mostly-far-apart candidates twice (filter + projection) and runs
+    -- for ~an hour; with them the DP touches survivors-plus-near-misses
+    cd AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM parts a
+        JOIN parts b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE {_HAMMING} <= 3
+    ),
+    freq AS (
+        SELECT doc_id, length(text) AS ln,
+               list_transform([{_BAG_CHARS}],
+                              c -> length(text) - length(replace(text, c, ''))
+               ) AS fv
+        FROM corpus
+    ),
+    pruned AS (
+        SELECT cd.id_a, cd.id_b
+        FROM cd
+        JOIN freq fa ON fa.doc_id = cd.id_a
+        JOIN freq fb ON fb.doc_id = cd.id_b
+        WHERE abs(fa.ln - fb.ln) <= 64
+          AND list_reduce(list_transform(list_zip(fa.fv, fb.fv),
+                                         p -> abs(p[1] - p[2])),
+                          (x, y) -> x + y) <= 128
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+        FROM pruned
+        JOIN corpus ta ON ta.doc_id = pruned.id_a
+        JOIN corpus tb ON tb.doc_id = pruned.id_b
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
-    FROM parts a
-    JOIN parts b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    JOIN corpus ta ON ta.doc_id = a.doc_id
-    JOIN corpus tb ON tb.doc_id = b.doc_id
-    WHERE {_HAMMING} <= 3
-      AND levenshtein(ta.text, tb.text) <= 64
+    SELECT id_a, id_b, edit_dist FROM scored WHERE edit_dist <= 64
     """,
     survey_ref="extension: edit-distance (Levenshtein) near-dup — the "
     "character-level dedup modality; simhash-blocked candidates, exact "
