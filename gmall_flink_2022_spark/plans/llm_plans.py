@@ -2311,14 +2311,28 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                     ELSE CAST([] AS VARCHAR[]) END AS grams
         FROM tk
+    ),
+    -- per-gram counts via UNNEST + GROUP BY, not the nested
+    -- list_filter-per-distinct-gram lambda (r12: that form is
+    -- O(distinct x total) per doc with an interpreted-lambda constant
+    -- — 318 s at sf0.1 vs seconds here; values identical: n_grams =
+    -- SUM(c), dup fraction from COUNT(*) distinct grams, modal share
+    -- from MAX(c))
+    cnt AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(grams) AS gram FROM g)
+        GROUP BY doc_id, gram
+    ),
+    agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               COUNT(*) AS n_distinct, MAX(c) AS max_c
+        FROM cnt GROUP BY doc_id
     )
-    SELECT doc_id AS id, len(grams) AS n_grams,
-           CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-             / CAST(len(grams) AS DOUBLE) AS dup_gram_frac,
-           CAST(list_max(list_transform(list_distinct(grams),
-                    g2 -> len(list_filter(grams, x -> x = g2)))) AS DOUBLE)
-             / CAST(len(grams) AS DOUBLE) AS top_gram_share
-    FROM g WHERE len(grams) > 0
+    SELECT doc_id AS id, n_grams,
+           CAST(n_grams - n_distinct AS DOUBLE)
+             / CAST(n_grams AS DOUBLE) AS dup_gram_frac,
+           CAST(max_c AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_share
+    FROM agg WHERE n_grams > 0
     """,
     survey_ref="extension: Gopher-style within-doc repetition signals "
     "(duplicate n-gram fraction, modal n-gram share) — boilerplate filter",
