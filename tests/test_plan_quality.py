@@ -790,3 +790,22 @@ def test_stage1_norm_plans(spark, sf_dir):
         assert "SortMergeJoin" not in p, name
         assert p.count(") WindowGroupLimit") == 6, name
         assert p.count(") BroadcastHashJoin") >= n_bhj, name
+
+
+def test_simhash_hamming_is_codegen_arithmetic(spark, sf_dir):
+    """r12: the hamming predicate runs inside the bucket self-join once
+    per CANDIDATE PAIR — it must stay whole-stage-codegen arithmetic
+    (bit_count over pre-split numeric chunks), never an interpreted
+    higher-order expression (split + zip_with + aggregate ground >25
+    minutes on a template-hot bucket at sf0.1). Checks both the 1-chunk
+    (16-bit) and 2-chunk (64-bit) decompositions."""
+    for name in ("llm_dedup_simhash", "llm_dedup_simhash64"):
+        p = _plan(spark, sf_dir, name)
+        assert "bit_count" in p, f"{name}: chunked bit_count hamming missing"
+        # the scan-side tokenizer legitimately uses list_filter (a
+        # per-ROW lambda, O(corpus)); the banned construct is the
+        # per-PAIR zip_with fold in the join region
+        assert "zip_with" not in p, (
+            f"{name}: the interpreted zip_with hamming is back in the "
+            "pair plan"
+        )

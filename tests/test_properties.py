@@ -926,3 +926,40 @@ def test_normalize_text_matches_reference_and_idempotent(spark, texts):
         s = re.sub("[\x00-\x1f\x7f]", "", t)
         duck = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
         assert duck == unicodedata.normalize("NFC", s), repr(t)
+
+
+_daymap_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=40000),  # epoch day
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=10**15)),
+        st.lists(st.integers(min_value=0, max_value=10**15), max_size=8),
+        st.lists(st.integers(min_value=0, max_value=10**15), max_size=8),
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_daymap_strategy)
+def test_funnel_daymap_codec_roundtrip(daymap):
+    """r12 per-user keying: the day -> (tv, clicks, purch) state map is
+    flattened into parallel + offset arrays for the Arrow state schema
+    (streaming/funnel_state.py). An off-by-one in the offset arrays
+    would silently splice one day's buffer into its neighbor — the
+    round-trip must reproduce the map exactly (tv None <-> the -1
+    sentinel included), for any number of days and any buffer shapes,
+    including empty buffers between non-empty ones."""
+    from gmall_flink_2022_spark.streaming.funnel_state import (
+        _decode_daymap,
+        _encode_daymap,
+    )
+
+    got = _decode_daymap(_encode_daymap(daymap))
+    want = {
+        d: (tv, list(cl), list(pu)) for d, (tv, cl, pu) in daymap.items()
+    }
+    assert got == want
+    # offsets invariant: both offset arrays carry len(days)+1 entries
+    days, tvs, cf, co, pf, po = _encode_daymap(daymap)
+    assert len(co) == len(days) + 1 and len(po) == len(days) + 1
+    assert co[-1] == len(cf) and po[-1] == len(pf)
