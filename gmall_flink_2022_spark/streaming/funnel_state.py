@@ -25,13 +25,29 @@ lever: ``applyInPandasWithState`` pays a fixed Python cost per GROUP
 per batch (pandas frame construction, state (de)serialization), and a
 clickstream has ~#active-days more user-day groups than user groups
 (27x on the synthetic events). The state is a day -> (tv, clicks,
-purch) map with MANUAL day eviction: the key's event-time timeout is
-armed at the EARLIEST pending day's end-of-day + delay, and each
-firing emits-and-evicts every settled day, then re-arms for the rest.
-Emission timing is unchanged from the per-(user, day) form — a day's
-row still appears exactly when the watermark passes its end-of-day +
-delay, because the timeout can never be armed LATER than any pending
-day's deadline.
+purch) map with MANUAL day eviction: BOTH branches split the map at
+the watermark — the timeout branch when a quiet key's deadline fires,
+and the DATA branch on every batch that touches the key (r12 ADVICE:
+Spark never invokes the timed-out path for a key that has new data in
+the same batch, so a user with data in every batch would otherwise
+defer its settled days indefinitely — and a final batch that both
+feeds the user and advances the watermark past a deadline would drop
+that day's row entirely). With the data-branch split, a day's row
+appears in the first batch whose INPUT watermark has passed its
+end-of-day + delay, exactly as the per-(user, day) keying emitted it:
+for a quiet user that is the timeout firing; for a hot user the data
+branch emits it in the same trigger the old per-day key's timeout
+would have fired. The split is safe in the data branch because rows
+older than the watermark are engine-dropped before the operator, so
+the incoming batch can never contain events for a day the CURRENT
+watermark has settled.
+
+Checkpoint compatibility: r12 changed both the grouping key
+(user, day) -> (user) and STATE_SCHEMA (scalar anchors -> flattened
+day map), so a checkpoint written by the pre-r12 operator is NOT
+resumable here — restart stream_funnel_conversion from a fresh
+checkpoint directory (r12 ADVICE note; state-schema migration is out
+of scope for this repo).
 
 Bounded-state argument: per user the map holds only days the watermark
 has not yet settled (bounded by the watermark horizon in days), and
@@ -232,13 +248,28 @@ def _make_apply(timeout_delay: dt.timedelta):
             sl = slice(int(bounds[k]), int(bounds[k + 1]))
             tv, clicks, purch = daymap.get(int(d), (None, [], []))
             daymap[int(d)] = _fold_arrays(tv, clicks, purch, us_s[sl], et_s[sl])
-        state.update(_encode_daymap(daymap))
-        state.setTimeoutTimestamp(
-            max(
-                min(daymap) * _MS_PER_DAY + _MS_PER_DAY + delay_ms,
-                wm_ms + 1,
+        # split at the watermark HERE too (r12 ADVICE): a key with data
+        # in this batch never gets its timeout invoked this trigger, so
+        # settled days must emit-and-evict from the data branch or a hot
+        # user defers (and a watermark-advancing final batch loses) them.
+        # Safe: this batch's rows all carry ts >= wm_ms (late rows are
+        # engine-dropped), so none belong to a day settled by wm_ms.
+        out, daymap = _settled_rows(user_id, daymap, wm_ms, delay_ms)
+        if daymap:
+            state.update(_encode_daymap(daymap))
+            state.setTimeoutTimestamp(
+                max(
+                    min(daymap) * _MS_PER_DAY + _MS_PER_DAY + delay_ms,
+                    wm_ms + 1,
+                )
             )
-        )
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "dt", "reached_click", "reached_purchase"],
+            )
 
     return apply
 

@@ -773,3 +773,73 @@ def test_stream_funnel_checkpoint_resume(spark, tmp_path):
     # chain was pre-anchor state from run 1; user 2's buffered rejected
     # click was resurrected by the run-2 late view
     assert rows == {1: (True, True), 2: (True, False)}
+
+
+def test_stream_funnel_hot_user_data_branch_emission(spark, tmp_path):
+    """r12 ADVICE (medium): Spark never invokes the timeout branch for
+    a key that has new data in the same batch, so a HOT user — data in
+    every batch — must emit-and-evict its settled days from the DATA
+    branch, in the exact trigger whose input watermark passes the
+    day's deadline (the per-(user, day) emission timing). Scenario:
+    user 1's day-1 funnel arrives in batch 1 alongside a day-2 event
+    from another user (which advances the watermark past day 1's
+    deadline); batch 2 — the LAST batch — delivers MORE user-1 data.
+    The day-1 row must appear IN batch 2 (batch_id 1), not in a
+    trailing timeout batch and not never."""
+    import datetime as dt
+    import time
+
+    from gmall_flink_2022_spark.streaming.funnel_state import funnel_stateful
+    from gmall_flink_2022_spark.streaming.runner import (
+        DEFAULT_STATE_PARTITIONS,
+        _pinned_shuffle_partitions,
+    )
+
+    schema = "user_id long, ts timestamp, event_type string"
+    in_dir = str(tmp_path / "in")
+    batch1 = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 5, 1, 9, 0), "view"),
+            (1, dt.datetime(2024, 5, 1, 9, 30), "click"),
+            # watermark driver: by batch 2 the wm is 05-02 12:00 - 1s,
+            # past day 1's end-of-day + 1s deadline
+            (99, dt.datetime(2024, 5, 2, 12, 0), "view"),
+        ],
+        schema,
+    )
+    # user 1 is HOT: more data in the final batch (a new pending day 2,
+    # whose deadline never settles — it must NOT emit)
+    batch2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 5, 2, 13, 0), "view")], schema
+    )
+    batch1.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    time.sleep(1.2)
+    batch2.coalesce(1).write.parquet(in_dir, mode="append")
+    sdf = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = funnel_stateful(sdf, watermark_delay="1 seconds")
+    emitted: list[tuple[int, tuple]] = []
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            emitted.append(
+                (batch_id, (r["user_id"], r["dt"], r["reached_click"],
+                            r["reached_purchase"]))
+            )
+
+    with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    # exactly the settled day-1 row, emitted in batch 2's data branch —
+    # pre-fix, the hot key's settled day either lingered into a trailing
+    # timeout batch or (no trailing batch) was lost entirely
+    assert emitted == [(1, (1, "2024-05-01", True, False))]
