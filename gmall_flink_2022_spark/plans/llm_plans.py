@@ -714,6 +714,13 @@ _HAMMING = " + ".join(
 # (levenshtein >= L1/2 over ANY subset — see the oracle comment)
 _BAG_CHARS = ", ".join(f"'{c}'" for c in "abcdefghijklmnopqrstuvwxyz0123456789 ")
 
+# the editdist family's single distance threshold (r12 ADVICE): every
+# prune literal derives from THIS constant — the length bound uses
+# {_ED_MAX} (lev >= |len diff|) and the char-bag bound {2 * _ED_MAX}
+# (lev >= L1/2) — so a future threshold change cannot silently leave a
+# prune behind and drop valid oracle rows.
+_ED_MAX = 64
+
 
 @register(
     "llm_dedup_simhash",
@@ -4048,11 +4055,25 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus = the paragraph-planted near-dup corpus (exact copies ->
     # edit 0, prefix copies -> edit = tail length); candidates via the
     # 16-bit simhash shards, verification = exact levenshtein on both
-    # engines (same classic DP, same integers)
+    # engines (same classic DP, same integers). Structured as
+    # ;-separated temp-table statements (the pagerank-oracle pattern,
+    # r13): materializing the pruned candidate table before the DP lets
+    # DuckDB run the levenshtein projection as a parallel scan instead
+    # of a serial CTE pipeline — sf0.1 oracle wall 641.6 s -> ~150 s,
+    # output identical. (The r12 VERDICT's suggested q-gram-bag bound
+    # was measured first and does NOT prune here: the synthetic corpus
+    # is word salad from a ~45-word vocabulary, so full-bigram bag L1
+    # exceeds 4*d for only ~11% of candidates — and subset bigrams,
+    # char bags and PassJoin segment pigeonholes for 0% — because the
+    # true distance comes from word ORDER, which bag statistics cannot
+    # see. The wall is the DP itself; parallelism is the lever.)
     oracle=f"""
-    WITH {_PARA_CORPUS_SQL},
-    tok AS (
-        SELECT DISTINCT doc_id, UNNEST({TOKS}) AS token FROM corpus
+    CREATE OR REPLACE TEMP TABLE ed_oracle_corpus AS
+    WITH {_PARA_CORPUS_SQL}
+    SELECT doc_id, text FROM corpus;
+    CREATE OR REPLACE TEMP TABLE ed_oracle_pruned AS
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST({TOKS}) AS token FROM ed_oracle_corpus
     ),
     hs AS (SELECT doc_id, md5(token) AS h FROM tok),
     votes AS (
@@ -4076,8 +4097,8 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- moves the bag by at most 2; a subset only weakens the bound, so
     -- both prunes are value-preserving). DuckDB has no thresholded DP —
     -- without these the sf0.1 oracle pays the full O(len^2) on ~3M
-    -- mostly-far-apart candidates twice (filter + projection) and runs
-    -- for ~an hour; with them the DP touches survivors-plus-near-misses
+    -- mostly-far-apart candidates and runs for ~an hour; with them the
+    -- DP touches survivors-plus-near-misses
     cd AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM parts a
@@ -4089,26 +4110,23 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform([{_BAG_CHARS}],
                               c -> length(text) - length(replace(text, c, ''))
                ) AS fv
-        FROM corpus
-    ),
-    pruned AS (
-        SELECT cd.id_a, cd.id_b
-        FROM cd
-        JOIN freq fa ON fa.doc_id = cd.id_a
-        JOIN freq fb ON fb.doc_id = cd.id_b
-        WHERE abs(fa.ln - fb.ln) <= 64
-          AND list_reduce(list_transform(list_zip(fa.fv, fb.fv),
-                                         p -> abs(p[1] - p[2])),
-                          (x, y) -> x + y) <= 128
-    ),
-    scored AS (
+        FROM ed_oracle_corpus
+    )
+    SELECT cd.id_a, cd.id_b
+    FROM cd
+    JOIN freq fa ON fa.doc_id = cd.id_a
+    JOIN freq fb ON fb.doc_id = cd.id_b
+    WHERE abs(fa.ln - fb.ln) <= {_ED_MAX}
+      AND list_reduce(list_transform(list_zip(fa.fv, fb.fv),
+                                     p -> abs(p[1] - p[2])),
+                      (x, y) -> x + y) <= {2 * _ED_MAX};
+    SELECT id_a, id_b, edit_dist FROM (
         SELECT id_a, id_b,
                CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
-        FROM pruned
-        JOIN corpus ta ON ta.doc_id = pruned.id_a
-        JOIN corpus tb ON tb.doc_id = pruned.id_b
-    )
-    SELECT id_a, id_b, edit_dist FROM scored WHERE edit_dist <= 64
+        FROM ed_oracle_pruned p
+        JOIN ed_oracle_corpus ta ON ta.doc_id = p.id_a
+        JOIN ed_oracle_corpus tb ON tb.doc_id = p.id_b
+    ) WHERE edit_dist <= {_ED_MAX}
     """,
     survey_ref="extension: edit-distance (Levenshtein) near-dup — the "
     "character-level dedup modality; simhash-blocked candidates, exact "
@@ -4117,7 +4135,7 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(
-        _para_corpus(spark, sf_dir), "doc_id", "text", max_dist=64
+        _para_corpus(spark, sf_dir), "doc_id", "text", max_dist=_ED_MAX
     )
 
 
