@@ -3187,6 +3187,83 @@ def _register_stream_training_ingest_norm() -> None:
 _register_stream_training_ingest_norm()
 
 
+def _register_stream_stage1_psl_norm() -> None:
+    from .registry import REGISTRY as _R  # batch oracle verbatim
+
+    @register(
+        "stream_llm_stage1_psl_norm",
+        oracle=_R["llm_stage1_psl_norm"].oracle,
+        survey_ref="r12 VERDICT ask #3: the fully-composed stage-1 "
+        "chain (stage-0 normalize -> normalized-digest dedup -> URL "
+        "keep-first -> real-PSL domain cap) as ONE live streaming "
+        "query — the PSL rule dim rides the stream as a stream-static "
+        "broadcast join (the reference's S11 cache-aside shape, "
+        "utils/DimUtil.java:12-44, rendered as Spark's per-batch "
+        "broadcast re-read: SURVEY §4) over its richest dim, applied "
+        "row-local BEFORE the keyed state so each micro-batch "
+        "normalizes, derives its domain, and folds into the digest "
+        "keep-first (update-mode min-struct state, one narrow row per "
+        "distinct digest — bounded). The URL keep-first and the "
+        "per-domain cap are scored post-settle because both depend on "
+        "the FINAL winner set (stream_domain_mix_psl's "
+        "rate-dependent-decision pattern)",
+        tags=("streaming", "llm", "url", "text", "dedup", "pipeline",
+              "dim"),
+    )
+    def stream_llm_stage1_psl_norm(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        from ..llm import psl, urls
+        from ..llm import text as text_mod
+        from ..llm.sampling import _u32
+        from .llm_plans import _DOMAIN_CAP, _variant_texts, _with_url_psl
+
+        d = read_stream_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        base = _with_url_psl(_variant_texts(d))
+        norm = text_mod.normalize_text(base, "vtext", out_col="ntext").drop(
+            "vtext"
+        )
+        h = norm.withColumn("host", urls.host_of(F.col("url")))
+        dom = psl.registrable_domain_psl(h, "host", psl.psl_rules_df(spark))
+        # digest keep-first as commutative update-mode state: min over
+        # (doc_id, norm-url, domain) structs IS min-doc_id-wins, and the
+        # winner carries its OWN url/domain — exactly the batch chain's
+        # s0 semantics under any arrival order
+        st = dom.select(
+            F.md5(F.col("ntext")).alias("_k"),
+            F.struct(
+                F.col("doc_id"),
+                urls.url_normalize(F.col("url")).alias("nrm"),
+                F.col("domain"),
+            ).alias("w"),
+        )
+        agg = st.groupBy("_k").agg(F.min("w").alias("w"))
+        settled = _run_update_upsert(agg, _uniq("s1psln")).select(
+            "w.doc_id", "w.nrm", "w.domain"
+        )
+        wu = Window.partitionBy("nrm").orderBy(F.col("doc_id").asc())
+        s2 = (
+            settled.withColumn("__rk", F.row_number().over(wu))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("doc_id").alias("id"), "domain")
+        )
+        w = Window.partitionBy("domain").orderBy(
+            _u32(F.col("id")).asc(), F.col("id").asc()
+        )
+        return (
+            s2.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= _DOMAIN_CAP)
+            .select("id", "domain", "rk")
+        )
+
+
+_register_stream_stage1_psl_norm()
+
+
 def _register_stream_topk() -> None:
     from .registry import REGISTRY as _R  # batch oracle verbatim
 
