@@ -55,3 +55,73 @@ def test_driver_window_names_resolve_and_fill():
     assert len(win) == 50, len(win)
     # and the registry iteration order actually fronts them
     assert list(plans.REGISTRY)[: len(win)] == win
+
+
+def test_staleness_ledger_bounded():
+    """r12 VERDICT ask #5: the rotation policy ('births -> never-checked
+    -> stalest cohort', plans/__init__.py) was executed by hand each
+    round and audited by a judge reading CORRECTNESS_r*.json; this test
+    mechanizes the ledger invariant so a perennially-slipped cohort
+    fails the suite instead of surviving as a footnote. Invariants:
+
+    - every registry entry with a driver row is green within K=6 rounds
+      of the NEWEST correctness artifact (green = hash row, or the
+      documented weaker rows-only row for oracle-less entries);
+    - no entry's latest appearance may be a failure (a regression must
+      be fixed or the entry removed, never left red in the ledger);
+    - entries the driver has NEVER checked (this round's births) must
+      sit inside the upcoming 50-slot window, or they would stay
+      unchecked forever.
+
+    K=6 is calibrated to the registry/window ratio (~253/50): clearing
+    the stalest cohort every round keeps max staleness at exactly K, so
+    any single skipped rotation trips this test."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    assert files, "no correctness history next to the repo root"
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, tuple[int, bool]] = {}
+    rounds = []
+    for f in files:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(rnd)
+        for name, row in json.load(open(f)).items():
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+            prev = last_seen.get(name, (0, True))
+            if rnd >= prev[0]:
+                last_seen[name] = (rnd, green)
+    newest = max(rounds)
+    K = 6
+    stale = sorted(
+        n
+        for n in plans.REGISTRY
+        if n in last_green and newest - last_green[n] > K
+    )
+    assert stale == [], (
+        f"cohort exceeded staleness K={K} vs r{newest}: {stale} — front "
+        "them in plans._DRIVER_WINDOW_FIRST"
+    )
+    red = sorted(
+        n
+        for n in plans.REGISTRY
+        if n in last_seen and not last_seen[n][1]
+    )
+    assert red == [], f"latest driver row is a FAILURE: {red}"
+    order = list(plans.REGISTRY)
+    never = [
+        n for n in plans.REGISTRY if n not in last_green and n in order[50:]
+    ]
+    assert never == [], (
+        f"never-driver-checked entries below slot 50: {never} — add them "
+        "to plans._DRIVER_WINDOW_FIRST"
+    )
