@@ -734,12 +734,20 @@ def minhash_lsh_pairs_from_shingles(
     num_hashes: int = 8,
     bands: int = 2,
     threshold: float = 0.4,
+    bucket_block_cap: int = 1024,
 ) -> DataFrame:
     """Same contract as :func:`minhash_lsh_pairs` over a precomputed
     (id, shingle) table — lets composed pipelines (curation) materialize
     shingles once and share them between signature generation and
     exact-Jaccard verification instead of re-scanning + re-tokenizing
-    the corpus per stage."""
+    the corpus per stage.
+
+    ``bucket_block_cap`` (r13): the band-bucket self-join is the same
+    hot-key shape the 16-bit simhash had — a boilerplate-heavy corpus
+    drops a large doc family into ONE band bucket, and that one join
+    key then carries O(n^2) candidate pairs. Buckets above the cap are
+    subdivided block-matrix style (:func:`_bucket_block_cells`);
+    output-identical, worst key bounded at cap^2 pairs."""
     rows = num_hashes // bands
     # one aggregation computes both the signature and the set size — the
     # shuffle key is the same, so a separate sizes pass would be a second
@@ -757,14 +765,21 @@ def minhash_lsh_pairs_from_shingles(
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bucket")
     ).distinct()
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    left, right = _bucket_block_cells(buckets, bucket_block_cap)
+    a = left.alias("a")
+    b = right.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._i") == F.col("b._i"))
+            & (F.col("a._j") == F.col("b._j"))
+            & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .distinct()
     )
     # exact-Jaccard verification restricted to the candidate pairs — the

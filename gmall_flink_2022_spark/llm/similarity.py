@@ -216,25 +216,43 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     threshold: float = 0.9,
+    bucket_block_cap: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse buckets
     (IVF-style: the bucket column bounds the pair space; at scale the
-    bucket is a k-means cell id)."""
-    a = embs.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
+    bucket is a k-means cell id).
+
+    ``bucket_block_cap`` (r13): a dominant k-means cell is the REALISTIC
+    hot-bucket case (cluster sizes are power-law on web corpora), and
+    the per-pair cosine is far heavier than the simhash bit_count —
+    buckets above the cap are subdivided block-matrix style
+    (dedup._bucket_block_cells), so the worst join key is bounded at
+    cap^2 cosines; output-identical by construction."""
+    from .dedup import _bucket_block_cells
+
+    parts = embs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
         F.col(bucket_col).alias("bucket"),
     )
-    b = embs.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        F.col(bucket_col).alias("b_bucket"),
-    )
+    left, right = _bucket_block_cells(parts, bucket_block_cap)
+    a = left.alias("a")
+    b = right.alias("b")
     return (
-        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._i") == F.col("b._i"))
+            & (F.col("a._j") == F.col("b._j"))
+            & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "bucket", "sim")
     )
 
 

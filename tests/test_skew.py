@@ -267,3 +267,38 @@ def test_simhash_hot_bucket_block_subdivision(spark):
         ).collect()
     }
     assert tight == loose and len(tight) >= 60 * 59 // 2
+
+
+def test_minhash_and_embedding_bucket_joins_cap_independent(spark):
+    """r13: the block-matrix de-skew extends to the OTHER bucket
+    self-joins — MinHash band buckets (a boilerplate family lands in
+    one band bucket) and embedding cells (k-means cluster sizes are
+    power-law). Same contract as the simhash gate: a forcing cap must
+    not change the output."""
+    from gmall_flink_2022_spark.llm.dedup import minhash_lsh_pairs_from_shingles, shingles
+    from gmall_flink_2022_spark.llm.similarity import embedding_near_dups
+
+    docs = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(40)]
+    docs += [(100 + i, f"rare doc {i} with tokens alpha{i} beta{i} gamma{i} delta{i}") for i in range(10)]
+    sh = shingles(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "doc_id", "text", n=3,
+    )
+    mh = lambda cap: {  # noqa: E731
+        tuple(r)
+        for r in minhash_lsh_pairs_from_shingles(
+            sh, bucket_block_cap=cap
+        ).collect()
+    }
+    tight, loose = mh(4), mh(1_000_000)
+    assert tight == loose and len(tight) >= 40 * 39 // 2
+
+    embs = [(i, [1.0, 0.0, float(i % 3) * 1e-4], "hot") for i in range(30)]
+    embs += [(100 + i, [0.0, 1.0, float(i)], f"c{i}") for i in range(5)]
+    edf = spark.createDataFrame(embs, "vec_id long, embedding array<float>, label string")
+    nd = lambda cap: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["bucket"], round(r["sim"], 9))
+        for r in embedding_near_dups(edf, bucket_block_cap=cap).collect()
+    }
+    t2, l2 = nd(7), nd(1_000_000)
+    assert t2 == l2 and len(t2) >= 30 * 29 // 2
