@@ -809,3 +809,38 @@ def test_simhash_hamming_is_codegen_arithmetic(spark, sf_dir):
             f"{name}: the interpreted zip_with hamming is back in the "
             "pair plan"
         )
+
+
+def test_stream_stage1_psl_norm_live_chain_plan(spark, sf_dir):
+    """r13: stream_llm_stage1_psl_norm's LIVE chain (the part that runs
+    per micro-batch, before the keyed settle) must keep the batch
+    twin's plan shape ON THE STREAM: the PSL rule-dim probes are
+    broadcast joins (the reference's S11 cache-aside rendered
+    stream-static), the one Python stage is the single Arrow NFC step,
+    and nothing row-loops. The registry fn runs the job to completion
+    and returns the settled batch frame, so this test rebuilds the
+    pre-agg chain exactly as the entry does and explains it unstarted."""
+    import contextlib
+    import io
+
+    from gmall_flink_2022_spark.llm import psl, urls
+    from gmall_flink_2022_spark.llm import text as text_mod
+    from gmall_flink_2022_spark.plans.llm_plans import (
+        _variant_texts,
+        _with_url_psl,
+    )
+    from gmall_flink_2022_spark.sources.io import read_stream_table
+
+    d = read_stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _with_url_psl(_variant_texts(d))
+    norm = text_mod.normalize_text(base, "vtext", out_col="ntext").drop("vtext")
+    h = norm.withColumn("host", urls.host_of(F.col("url")))
+    dom = psl.registrable_domain_psl(h, "host", psl.psl_rules_df(spark))
+    assert dom.isStreaming
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dom.explain("formatted")
+    p = buf.getvalue()
+    assert p.count(") BroadcastHashJoin") >= 3, "PSL probes must broadcast"
+    assert p.count(") ArrowEvalPython") == 1, "exactly one Arrow NFC stage"
+    assert "BatchEvalPython" not in p, "no row-at-a-time Python"
