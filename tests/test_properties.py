@@ -963,3 +963,67 @@ def test_funnel_daymap_codec_roundtrip(daymap):
     days, tvs, cf, co, pf, po = _encode_daymap(daymap)
     assert len(co) == len(days) + 1 and len(po) == len(days) + 1
     assert co[-1] == len(cf) and po[-1] == len(pf)
+
+
+# (id, bucket) memberships: few buckets so collisions and hot buckets are
+# common; ids may appear in several buckets (the multi-slice case)
+bucket_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # id
+        st.integers(min_value=0, max_value=3),   # bucket (hot by design)
+    ),
+    min_size=1,
+    max_size=80,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(bucket_rows, st.integers(min_value=1, max_value=9))
+def test_bucket_block_cells_pairset_identity(spark, rows, cap):
+    """r13: the block-matrix de-skew is output-IDENTICAL for any bucket
+    multiplicity and any cap — every unordered same-bucket pair appears
+    in exactly one cell, and no cell side exceeds the cap."""
+    from gmall_flink_2022_spark.llm.dedup import _bucket_block_cells
+
+    parts = spark.createDataFrame(rows, "id long, bucket int")
+    left, right = _bucket_block_cells(parts, cap)
+    joined = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._i") == F.col("b._i"))
+            & (F.col("a._j") == F.col("b._j"))
+            & (
+                (F.col("a._i") < F.col("a._j"))
+                | (F.col("a.id") < F.col("b.id"))
+            ),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("x"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("y"),
+            F.col("a.bucket").alias("bkt"),
+        )
+        .collect()
+    )
+    got = [(r["x"], r["y"], r["bkt"]) for r in joined]
+    assert len(got) == len(set(got)), "a pair landed in two cells"
+    by_bucket: dict[int, list[int]] = {}
+    for i, b in rows:
+        by_bucket.setdefault(b, []).append(i)
+    want = {
+        (min(x, y), max(x, y), b)
+        for b, ids in by_bucket.items()
+        for xi, x in enumerate(ids)
+        for y in ids[xi + 1 :]
+    }
+    assert set(got) == want
+    for side in (left, right):
+        mx = (
+            side.groupBy("bucket", "_i", "_j")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert mx <= cap
