@@ -14,6 +14,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 N = int(os.environ.get("DRIVER_SIM_N", "50"))
+SKIP = int(os.environ.get("DRIVER_SIM_SKIP", "0"))
+
+
+def _release_session_state(spark) -> None:
+    """Drop per-entry session residue between entries (r13): a long
+    sweep accumulates persisted frames + localCheckpoint blocks from
+    every prior entry in the ONE local-mode JVM — at sf0.1 the
+    registry-wide sweep OOMed a default-heap driver at entry ~172 on
+    residue alone. The real driver gate runs 50 entries and never hits
+    this; the tool clears anyway so sweeps measure entries, not
+    accumulation. (localCheckpoint RDDs are unreferenced after each
+    toPandas — clearing the cache and asking for a GC cycle lets the
+    ContextCleaner drop their blocks.)"""
+    try:
+        spark.catalog.clearCache()
+        from gmall_flink_2022_spark.llm import cachereg
+
+        cachereg.release_all()
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — cleanup is best-effort
+        pass
 
 
 def canon_rows(pdf) -> list[tuple]:
@@ -67,12 +88,13 @@ def main() -> None:
         "documents embeddings"
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    names = list(qs)[:N]
+    names = list(qs)[SKIP : SKIP + N]
     bad = []
     for i, name in enumerate(names, 1):
         t0 = time.perf_counter()
         try:
             g = qs[name](spark, SF).toPandas()
+            _release_session_state(spark)
             if name in osql:
                 w = con.execute(osql[name]).fetchdf()
                 ok = sorted(g.columns) == sorted(w.columns) and canon_rows(
@@ -84,6 +106,7 @@ def main() -> None:
                 ok = True
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             status, ok = f"ERR {type(e).__name__}: {e}", False
+            _release_session_state(spark)
         dt = time.perf_counter() - t0
         print(f"[{i:2d}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
         if not ok:
