@@ -74,6 +74,15 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # a real heap for 10x sweeps (r13): at sf0.1 the HLL-per-group
+        # entries (stream_product_stats_scale: ~600k (day, partkey)
+        # groups x a ~4 KB sketch) legitimately need multi-GB streaming
+        # state — the documented bounded-per-group trade, sized for real
+        # executors, not the 1g JVM default this tool inherited
+        .config(
+            "spark.driver.memory",
+            os.environ.get("DRIVER_SIM_MEM", "16g"),
+        )
         .getOrCreate()
     )
     qs, osql = mod.queries(), mod.oracle_sql()
