@@ -529,16 +529,27 @@ def embedding_near_dups_lsh(
     bucketed = e.select(
         "id", "vec", F.explode(_table_buckets(F.col("vec"), tables)).alias("bucket")
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # cell-keyed self-join (r13, shared hot-bucket de-skew — see
+    # dedup._bucket_block_cells): a dominant direction in the corpus
+    # concentrates vectors in one table bucket; the cell join bounds
+    # every key at cap^2 candidate pairs, output-identical. vec_a/vec_b
+    # need not follow the id normalization — cosine is symmetric.
+    from .dedup import _bucket_block_cells
+
+    left, right = _bucket_block_cells(bucketed, 1024)
+    a, b = left.alias("a"), right.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._i") == F.col("b._i"))
+            & (F.col("a._j") == F.col("b._j"))
+            & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
         )
         .select(
-            F.col("a.id").alias("id_a"),
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
             F.col("a.vec").alias("vec_a"),
-            F.col("b.id").alias("id_b"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
             F.col("b.vec").alias("vec_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
