@@ -88,6 +88,11 @@ _DRIVER_WINDOW_FIRST = [
     #   stream_llm_dup_clusters_incremental in-window ride the same
     #   star-CC + index lifecycle, and the entry was voluntarily
     #   verified green at sf0.01 AND sf0.1 this round).
+    # Late-r13 non-fronted change (front in r14): llm_dedup_embed_lsh's
+    # bucket self-join moved to the shared block-cell de-skew after the
+    # window filled; hand-verified hash-green at sf0.01 AND sf0.1
+    # post-change (both exceed the driver's gate scale), and
+    # llm_dedup_embed in-window rides the same _bucket_block_cells.
     # --- (a) r13 birth ---
     "stream_llm_stage1_psl_norm",
     # --- (a') changed in r13 ---
