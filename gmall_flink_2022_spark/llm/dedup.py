@@ -765,21 +765,11 @@ def minhash_lsh_pairs_from_shingles(
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bucket")
     ).distinct()
-    left, right = _bucket_block_cells(buckets, bucket_block_cap)
-    a = left.alias("a")
-    b = right.alias("b")
+    # cell-keyed self-join (hot-band de-skew, shared helper — see
+    # _cell_self_join); distinct() collapses multi-band collisions
     cands = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._i") == F.col("b._i"))
-            & (F.col("a._j") == F.col("b._j"))
-            & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
-        )
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-        )
+        _cell_self_join(buckets, bucket_block_cap)
+        .select("id_a", "id_b")
         .distinct()
     )
     # exact-Jaccard verification restricted to the candidate pairs — the
@@ -875,7 +865,19 @@ def _bucket_block_cells(parts: DataFrame, cap: int):
     (left, right) frames carrying every ``parts`` column plus the cell
     key ``(bucket, _i, _j)``; join them on the cell key with the
     diagonal predicate ``(_i < _j) OR (left.id < right.id)`` and
-    normalize ids with least/greatest."""
+    normalize ids with least/greatest — or use :func:`_cell_self_join`,
+    which packages exactly that join once for every call site.
+
+    PRECONDITION (r13 ADVICE): ``(id, bucket)`` pairs must be UNIQUE in
+    ``parts``. If the same id appeared twice in one bucket, its two
+    copies could land in different blocks and an off-diagonal cell's
+    ``_i < _j`` arm would admit the self-pair (X, X). Every caller
+    guarantees uniqueness structurally — ``distinct()`` on the
+    membership frame (MinHash), slice-/table-prefixed bucket keys over
+    one row per id (SimHash, hyperplane LSH), or one row per id
+    (embedding cells) — and the hypothesis gate generates unique
+    memberships to match. A new caller that can't guarantee it must
+    ``distinct()`` first."""
     from pyspark.sql import Window as W
 
     wb = W.partitionBy("bucket")
@@ -900,6 +902,45 @@ def _bucket_block_cells(parts: DataFrame, cap: int):
         F.col("_g").alias("_j"),
     )
     return left, right
+
+
+def _cell_self_join(parts: DataFrame, cap: int) -> DataFrame:
+    """The cell-keyed bucket self-join, factored (r13 VERDICT: the join
+    predicate + least/greatest normalization was hand-copied at FOUR
+    sites — MinHash bands, SimHash slices, embedding cells, hyperplane
+    LSH tables — so an edit that fixed one copy and missed another
+    would silently change output; all four now route here, and the
+    pair-set-identity hypothesis gate covers this exact composition).
+
+    ``parts`` must carry ``id``, ``bucket`` (UNIQUE together — see the
+    precondition on :func:`_bucket_block_cells`) plus any payload
+    columns. Emits one row per unordered same-bucket pair: ``id_a`` /
+    ``id_b`` (least/greatest-normalized) and, for every payload column
+    ``c``, ``c_a`` / ``c_b`` carrying the two sides' values. NOTE the
+    payload orientation follows the JOIN sides, not the id
+    normalization (``c_a`` may belong to ``id_b`` when the right row
+    sorts first) — fine for every current caller because their per-pair
+    predicates (XOR bit_count, cosine) are symmetric; an asymmetric
+    predicate would need to re-orient on ``id_a = c_a``'s id. ``bucket``
+    is the left side's (equal on both by the join key). Callers add
+    their own ``distinct()``/``dropDuplicates`` when ids meet through
+    several buckets (multi-slice / multi-band / multi-table)."""
+    left, right = _bucket_block_cells(parts, cap)
+    a, b = left.alias("a"), right.alias("b")
+    payload = [c for c in parts.columns if c not in ("id", "bucket")]
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._i") == F.col("b._i"))
+        & (F.col("a._j") == F.col("b._j"))
+        & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
+    ).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        F.col("a.bucket").alias("bucket"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload],
+    )
 
 
 def simhash_near_pairs(
@@ -971,31 +1012,20 @@ def simhash_near_pairs(
         *chunk_cols,
         F.explode(F.array(*slices)).alias("bucket"),
     )
-    left, right = _bucket_block_cells(parts, bucket_block_cap)
-    a = left.alias("a")
-    b = right.alias("b")
+    # cell-keyed self-join, not the raw bucket (hot-bucket de-skew —
+    # see _cell_self_join / _bucket_block_cells); the XOR distance is
+    # symmetric so the helper's join-side payload orientation is fine.
+    # distinct() collapses pairs agreeing on several slices.
+    joined = _cell_self_join(parts, bucket_block_cap)
     hamming = None
     for k in range(n_chunks):
         term = F.bit_count(
-            F.col(f"a._sc{k}").bitwiseXOR(F.col(f"b._sc{k}"))
+            F.col(f"_sc{k}_a").bitwiseXOR(F.col(f"_sc{k}_b"))
         )
         hamming = term if hamming is None else hamming + term
-    # join on the block CELL, not the raw bucket (hot-bucket de-skew —
-    # see _bucket_block_cells): off-diagonal cells hold disjoint row
-    # sets so every cross pair is new; diagonal cells order by id. The
-    # pair set is exactly the naive bucket join's.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._i") == F.col("b._i"))
-            & (F.col("a._j") == F.col("b._j"))
-            & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
-        )
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            hamming.cast("long").alias("hamming"),
+        joined.select(
+            "id_a", "id_b", hamming.cast("long").alias("hamming")
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -228,29 +228,23 @@ def embedding_near_dups(
     buckets above the cap are subdivided block-matrix style
     (dedup._bucket_block_cells), so the worst join key is bounded at
     cap^2 cosines; output-identical by construction."""
-    from .dedup import _bucket_block_cells
+    from .dedup import _cell_self_join
 
     parts = embs.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.col(bucket_col).alias("bucket"),
     )
-    left, right = _bucket_block_cells(parts, bucket_block_cap)
-    a = left.alias("a")
-    b = right.alias("b")
+    # cosine is symmetric, so the helper's join-side payload
+    # orientation needs no re-orienting; one bucket per id means no
+    # cross-bucket duplicates to drop
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._i") == F.col("b._i"))
-            & (F.col("a._j") == F.col("b._j"))
-            & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
-        )
+        _cell_self_join(parts, bucket_block_cap)
         .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            F.col("a.bucket").alias("bucket"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"),
+            "id_a",
+            "id_b",
+            "bucket",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -461,6 +455,7 @@ def embedding_near_dups_lsh(
     n_tables: int = 8,
     seed: int = 42,
     pre_dedup: bool | str = "auto",
+    bucket_block_cap: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with LSH candidate blocking —
     no side-channel bucket column (cf. :func:`embedding_near_dups`,
@@ -486,7 +481,12 @@ def embedding_near_dups_lsh(
     growth on a 10x corpus whose replicas share vectors — bucket joins
     and cosine verification were quadratic in duplicate-family size.
     With pre-dedup the heavy path sees only unique vectors; only the
-    final (output-sized) expansion scales with family size."""
+    final (output-sized) expansion scales with family size.
+
+    ``bucket_block_cap`` (r13 ADVICE: was hardcoded at 1024, unlike the
+    three sibling bucket self-joins): buckets hotter than the cap are
+    subdivided block-matrix style — see dedup._cell_self_join; the
+    cap-independence gate forces a tiny cap to prove output identity."""
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -530,28 +530,16 @@ def embedding_near_dups_lsh(
         "id", "vec", F.explode(_table_buckets(F.col("vec"), tables)).alias("bucket")
     )
     # cell-keyed self-join (r13, shared hot-bucket de-skew — see
-    # dedup._bucket_block_cells): a dominant direction in the corpus
+    # dedup._cell_self_join): a dominant direction in the corpus
     # concentrates vectors in one table bucket; the cell join bounds
-    # every key at cap^2 candidate pairs, output-identical. vec_a/vec_b
-    # need not follow the id normalization — cosine is symmetric.
-    from .dedup import _bucket_block_cells
+    # every key at bucket_block_cap^2 candidate pairs, output-identical.
+    # vec_a/vec_b need not follow the id normalization — cosine is
+    # symmetric; dropDuplicates collapses multi-table collisions.
+    from .dedup import _cell_self_join
 
-    left, right = _bucket_block_cells(bucketed, 1024)
-    a, b = left.alias("a"), right.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._i") == F.col("b._i"))
-            & (F.col("a._j") == F.col("b._j"))
-            & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
-        )
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.col("a.vec").alias("vec_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            F.col("b.vec").alias("vec_b"),
-        )
+        _cell_self_join(bucketed, bucket_block_cap)
+        .select("id_a", "vec_a", "id_b", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     rep_pairs = (

@@ -370,23 +370,24 @@ def _local_heavy_emit(
     gate asserts — this frame's physical plan must be exchange-free)."""
     import pandas as pd  # noqa: PLC0415 — executor-side dependency
 
-    from .dedup import _estimated_scan_partitions
-
     toks = df.select(F.explode(_toks_or_empty(text_col)).alias("token"))
-    # shared scan-partition estimator, NOT toks.rdd.getNumPartitions()
-    # (r12 VERDICT nit): touching .rdd finalizes the physical plan
-    # without AQE — harmless on this exchange-free frame, but the repo
-    # has one documented way to size per-partition thresholds. Taking
-    # the MAX with defaultParallelism keeps the pigeonhole recall
-    # guarantee one-sided: overestimating the partition count only
-    # LOWERS the local threshold (extra candidates for the exact stage
-    # to reject); underestimating could drop a real heavy hitter. The
-    # frame is exchange-free by plan gate, so actual partitions = scan
-    # splits <= max(estimate, defaultParallelism).
-    n_parts = max(
-        _estimated_scan_partitions(df) or 1,
-        df.sparkSession.sparkContext.defaultParallelism,
-    )
+    # EXACT partition count, deliberately NOT the shared scan estimator
+    # (r13 ADVICE, reversing the r12 nit fix): the pigeonhole bound is
+    # recall-critical and strictly one-sided in the WRONG direction for
+    # an underestimate — thresh = min_count // n_parts only guarantees
+    # no-miss when n_parts >= the actual partition count, and the
+    # estimator CAN undercount actual splits (remote-store files are
+    # costed at openCostInBytes only, and greedy bin-packing
+    # fragmentation can exceed ceil(total/maxSplitBytes)), which would
+    # silently drop a real heavy hitter spread across partitions.
+    # Touching .rdd finalizes the physical plan without AQE — harmless
+    # on THIS frame (scan -> project/explode, exchange-free by the plan
+    # gate below, so there is nothing for AQE to re-plan), and the
+    # count it returns is the count mapInPandas actually runs with.
+    # Overestimation elsewhere is safe (lower threshold = extra
+    # candidates for the exact stage to reject); underestimation is
+    # not, so exact wins here.
+    n_parts = max(1, toks.rdd.getNumPartitions())
     thresh = max(1, min_count // n_parts)
 
     def emit(batches):

@@ -218,25 +218,17 @@ def test_simhash_hot_bucket_block_subdivision(spark):
             .first()[0]
         )
         assert mx <= cap, f"{name} cell exceeds cap: {mx}"
-    # output identity vs the naive bucket join (pure-python reference)
-    a = left.alias("a")
-    b = right.alias("b")
-    got = {
+    # output identity vs the naive bucket join (pure-python reference),
+    # through the SHARED join helper every call site uses (r14: the
+    # predicate lives in _cell_self_join, not in hand copies)
+    from gmall_flink_2022_spark.llm.dedup import _cell_self_join
+
+    got = [
         (r["id_a"], r["id_b"])
-        for r in a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._i") == F.col("b._i"))
-            & (F.col("a._j") == F.col("b._j"))
-            & ((F.col("a._i") < F.col("a._j")) | (F.col("a.id") < F.col("b.id"))),
-        )
-        .select(
-            F.least("a.id", "b.id").alias("id_a"),
-            F.greatest("a.id", "b.id").alias("id_b"),
-        )
-        .collect()
-    }
+        for r in _cell_self_join(parts, cap).select("id_a", "id_b").collect()
+    ]
     assert len(got) == len(set(got))  # no pair lands in two cells
+    got = set(got)
     by_bucket: dict[str, list[int]] = {}
     for i, bkt, _ in rows:
         by_bucket.setdefault(bkt, []).append(i)
@@ -302,3 +294,21 @@ def test_minhash_and_embedding_bucket_joins_cap_independent(spark):
     }
     t2, l2 = nd(7), nd(1_000_000)
     assert t2 == l2 and len(t2) >= 30 * 29 // 2
+
+    # r14 (r13 ADVICE): the hyperplane-LSH join's cap is now a parameter
+    # like its three siblings — force-subdivide it and prove identity.
+    # Distinct vectors so the pre-dedup collapse can't hide the join.
+    from gmall_flink_2022_spark.llm.similarity import embedding_near_dups_lsh
+
+    lembs = [(i, [1.0, 0.0, float(i) * 1e-4]) for i in range(30)]
+    lembs += [(100 + i, [0.0, 1.0, float(i + 1)]) for i in range(5)]
+    ldf = spark.createDataFrame(lembs, "vec_id long, embedding array<float>")
+    lsh = lambda cap: {  # noqa: E731
+        (r["id_a"], r["id_b"], round(r["sim"], 9))
+        for r in embedding_near_dups_lsh(
+            ldf, dim=3, n_planes=4, n_tables=4,
+            pre_dedup=False, bucket_block_cap=cap,
+        ).collect()
+    }
+    t3, l3 = lsh(5), lsh(1_000_000)
+    assert t3 == l3 and len(t3) >= 30 * 29 // 2

@@ -12,7 +12,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.driver_sim import SF, canon_rows  # noqa: E402
+from tools.driver_sim import (  # noqa: E402
+    SF,
+    _release_session_state,
+    canon_rows,
+)
 
 
 def main(names: list[str]) -> None:
@@ -27,6 +31,13 @@ def main(names: list[str]) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # same heap + per-entry residue release as driver_sim (r13
+        # ADVICE: a long explicit list at SPARK_GRAFT_TEST_SF=sf0.1 hit
+        # the same cached-frame/localCheckpoint OOM driver_sim fixed)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("DRIVER_SIM_MEM", "16g"),
+        )
         .getOrCreate()
     )
     qs, osql = mod.queries(), mod.oracle_sql()
@@ -46,6 +57,7 @@ def main(names: list[str]) -> None:
         t0 = time.perf_counter()
         try:
             g = qs[name](spark, SF).toPandas()
+            _release_session_state(spark)
             if name in osql:
                 w = con.execute(osql[name]).fetchdf()
                 ok = sorted(g.columns) == sorted(w.columns) and canon_rows(
@@ -57,6 +69,7 @@ def main(names: list[str]) -> None:
                 ok = True
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             status, ok = f"ERR {type(e).__name__}: {e}", False
+            _release_session_state(spark)
         dt = time.perf_counter() - t0
         print(f"[{i:2d}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
         if not ok:

@@ -2,10 +2,19 @@
 """Driver-gate simulation: run the FIRST-50 registry window the way the
 round driver does (vanilla session, sf0.01, DuckDB oracle side-by-side,
 sorted-column value hash) and report per-entry status. De-risks the
-round's CORRECTNESS artifact before the real driver runs."""
+round's CORRECTNESS artifact before the real driver runs.
+
+``DRIVER_SIM_OUT=SWEEP_r14.json`` (r13 VERDICT ask #3) additionally
+writes the sweep as a committable artifact — per-entry status + wall at
+the sweep SF — so registry-wide sweeps (``DRIVER_SIM_N=254``) leave a
+verifiable record instead of commit-message prose, and oracle walls
+(editdist, simhash) can be tracked across rounds. With DRIVER_SIM_SKIP
+resume, an existing artifact is MERGED (re-run entries overwrite their
+rows; others are kept) so a multi-run sweep accumulates one file."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -15,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 N = int(os.environ.get("DRIVER_SIM_N", "50"))
 SKIP = int(os.environ.get("DRIVER_SIM_SKIP", "0"))
+OUT = os.environ.get("DRIVER_SIM_OUT", "")
 
 
 def _release_session_state(spark) -> None:
@@ -99,6 +109,9 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     names = list(qs)[SKIP : SKIP + N]
     bad = []
+    sweep: dict[str, dict] = {}
+    if OUT and os.path.exists(OUT):
+        sweep = json.load(open(OUT)).get("entries", {})
     for i, name in enumerate(names, 1):
         t0 = time.perf_counter()
         try:
@@ -120,6 +133,13 @@ def main() -> None:
         print(f"[{i:2d}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
         if not ok:
             bad.append(name)
+        sweep[name] = {"status": status, "ok": ok, "wall_sec": round(dt, 2)}
+        if OUT:  # write-through so a crash/OOM keeps the partial sweep
+            json.dump(
+                {"sf": SF, "skip": SKIP, "n": N, "entries": sweep},
+                open(OUT, "w"),
+                indent=1,
+            )
     print("\nFAILED:" if bad else "\nALL GREEN", bad if bad else "")
     sys.exit(1 if bad else 0)
 
