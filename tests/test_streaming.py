@@ -843,3 +843,204 @@ def test_stream_funnel_hot_user_data_branch_emission(spark, tmp_path):
     # pre-fix, the hot key's settled day either lingered into a trailing
     # timeout batch or (no trailing batch) was lost entirely
     assert emitted == [(1, (1, "2024-05-01", True, False))]
+
+
+def test_stream_bounce_hot_key_data_branch_emission(spark, tmp_path):
+    """r13 VERDICT ask #5: bounce_state.py's 'safe by design' was prose
+    only — the funnel was also believed safe until its hot-key
+    starvation surfaced (r12 ADVICE), so bounce gets the same
+    batch-id-pinned behavior test. Spark never invokes the timeout
+    branch for a key with data in the same batch, so a HOT mid — data
+    in every batch — must have its expired pending entry resolved in
+    the DATA branch, in the exact trigger that delivers the successor
+    (reference W6, dwm/UserJumpDetailApp.java:54-104: an entry whose
+    strict successor arrives after the gap is a bounce). Scenario:
+    user 1's entry lands in batch 1 (pending, deadline ts+10s)
+    alongside a watermark driver that pushes the watermark past the
+    deadline; batch 2 delivers MORE user-1 data after the gap — the
+    bounce must appear IN batch 2 (batch_id 1), resolved by the data
+    branch, not deferred to a timeout that would never fire for a key
+    with same-batch data. A final sentinel batch (watermark to 2030)
+    then proves the resolved state is gone: nothing re-emits."""
+    import datetime as dt
+    import time
+
+    from gmall_flink_2022_spark.streaming.bounce_state import (
+        bounce_detect_stateful,
+    )
+    from gmall_flink_2022_spark.streaming.runner import (
+        DEFAULT_STATE_PARTITIONS,
+        _pinned_shuffle_partitions,
+    )
+
+    schema = "user_id long, event_id long, ts timestamp, is_entry boolean"
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    in_dir = str(tmp_path / "in")
+    batch1 = spark.createDataFrame(
+        [
+            (1, 10, t0, True),  # pending entry; deadline 10:00:10
+            # watermark driver: wm after batch 1 = 10:00:19 > deadline
+            (99, 90, t0 + dt.timedelta(seconds=20), False),
+        ],
+        schema,
+    )
+    # user 1 is HOT: its successor arrives in batch 2, after the gap —
+    # the entry's fate is decided by DATA, in this exact trigger
+    batch2 = spark.createDataFrame(
+        [(1, 11, t0 + dt.timedelta(seconds=30), False)], schema
+    )
+    sentinel = spark.createDataFrame(
+        [(99, 91, dt.datetime(2030, 1, 1), False)], schema
+    )
+    batch1.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    time.sleep(1.2)
+    batch2.coalesce(1).write.parquet(in_dir, mode="append")
+    time.sleep(1.2)
+    sentinel.coalesce(1).write.parquet(in_dir, mode="append")
+    sdf = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = bounce_detect_stateful(sdf, gap_seconds=10, watermark_delay="1 seconds")
+    emitted: list[tuple[int, tuple]] = []
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            emitted.append((batch_id, (r["user_id"], r["event_id"], r["ts"])))
+
+    with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    # exactly one bounce — user 1's batch-1 entry — emitted in batch 2
+    # (the trigger that delivered its post-gap successor), never in the
+    # sentinel batch: a deferred-to-timeout implementation would emit at
+    # batch_id 2 (or starve the key entirely while data keeps arriving)
+    assert emitted == [(1, (1, 10, t0))]
+
+
+def test_stream_stage1_psl_norm_checkpoint_resume(spark, sf_dir, tmp_path):
+    """r13 VERDICT ask #4: the composed stage-1 chain
+    (stream_llm_stage1_psl_norm) crosses a RESTART — min-struct digest
+    state + an idempotent keyed-upsert store + a stream-static PSL
+    broadcast is exactly the composition where double-apply bugs live.
+    Mirrors test_stream_funnel_checkpoint_resume: run 1 consumes only
+    batch 1 and is stopped; run 2 restarts from the checkpoint with
+    batch 2 appended. Asserts (a) run 2 does NOT re-apply batch 1 (the
+    checkpoint's file-source log must skip it — a re-apply means the
+    restart replayed committed work into the store), and (b) the settled
+    table, scored post-settle like the live entry, matches the batch
+    entry llm_stage1_psl_norm exactly. The even/odd doc split plants
+    cross-batch digest collisions (the %5==0 canonical bodies), so the
+    min-struct state MUST survive the restart for the winners to be
+    right."""
+    from pyspark.sql import Window
+
+    from gmall_flink_2022_spark import plans
+    from gmall_flink_2022_spark.llm import psl, urls
+    from gmall_flink_2022_spark.llm import text as text_mod
+    from gmall_flink_2022_spark.llm.sampling import _u32
+    from gmall_flink_2022_spark.plans.llm_plans import (
+        _DOMAIN_CAP,
+        _variant_texts,
+        _with_url_psl,
+    )
+    from gmall_flink_2022_spark.sources.dim_store import DimStore
+    from gmall_flink_2022_spark.sources.io import read_table
+    from gmall_flink_2022_spark.streaming.runner import (
+        DEFAULT_STATE_PARTITIONS,
+        _pinned_shuffle_partitions,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _with_url_psl(_variant_texts(docs))  # (doc_id, vtext, url)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    store = DimStore(spark, str(tmp_path / "store"))
+    table = "s1psln_resume"
+
+    def run() -> list[int]:
+        """One availableNow pass of the live chain's streaming half,
+        recording which batch ids the upsert store APPLIED."""
+        sdf = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        norm = text_mod.normalize_text(sdf, "vtext", out_col="ntext").drop(
+            "vtext"
+        )
+        h = norm.withColumn("host", urls.host_of(F.col("url")))
+        dom = psl.registrable_domain_psl(h, "host", psl.psl_rules_df(spark))
+        st = dom.select(
+            F.md5(F.col("ntext")).alias("_k"),
+            F.struct(
+                F.col("doc_id"),
+                urls.url_normalize(F.col("url")).alias("nrm"),
+                F.col("domain"),
+            ).alias("w"),
+        )
+        agg = st.groupBy("_k").agg(F.min("w").alias("w"))
+        applied: list[int] = []
+
+        def upsert(batch, batch_id):
+            applied.append(batch_id)
+            store.upsert(table, batch, pk="_k")
+
+        with _pinned_shuffle_partitions(spark, DEFAULT_STATE_PARTITIONS):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(upsert)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        return applied
+
+    base.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir, mode="overwrite"
+    )
+    assert run() == [0]  # run 1: batch 1 only, then the query STOPS
+
+    base.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    # restart from the checkpoint: ONLY the new file may be applied —
+    # [0, 1] here means the restart re-applied committed batch 1 into
+    # the store (the double-apply this test exists to catch)
+    assert run() == [1]
+
+    # post-settle scoring, verbatim from the live entry
+    settled = store.read(table).select("w.doc_id", "w.nrm", "w.domain")
+    wu = Window.partitionBy("nrm").orderBy(F.col("doc_id").asc())
+    s2 = (
+        settled.withColumn("__rk", F.row_number().over(wu))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("doc_id").alias("id"), "domain")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        _u32(F.col("id")).asc(), F.col("id").asc()
+    )
+    got = sorted(
+        map(
+            tuple,
+            s2.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= _DOMAIN_CAP)
+            .select("id", "domain", "rk")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            plans.REGISTRY["llm_stage1_psl_norm"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
