@@ -18,7 +18,127 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
-    # ROUND-13 WINDOW (r12 VERDICT ask #1, standing policy: births ->
+    # ROUND-14 WINDOW (r13 VERDICT ask #1, standing policy: births ->
+    # never-checked -> stalest cohort; the staleness ledger test
+    # enforces the rotation mechanically, and as of r14 it also credits
+    # committed SWEEP_r*.json artifacts at >= the driver's gate scale).
+    #   (a') changed in r14 (no births this round), fronted per policy:
+    #       llm_dedup_embed_lsh — the VERDICT's named front (its bucket
+    #       join moved to the shared de-skew AFTER the r13 window
+    #       filled) AND r14 exposed bucket_block_cap + routed it through
+    #       the factored _cell_self_join helper.
+    #       llm_dedup_minhash — its band-bucket join changed in r13
+    #       after its last driver row (r12-green) and again in r14
+    #       (helper factoring).
+    #       llm_dedup_simhash64 — the 2-chunk signature payload through
+    #       the new helper (the widest payload shape the factoring
+    #       carries). The OTHER factoring/ADVICE riders are sibling-
+    #       covered in-window and hand-verified green at sf0.01 this
+    #       round (tools/check_entries, all 11 riders OK): llm_dedup_
+    #       simhash rides the identical 1-chunk path as simhash64;
+    #       llm_dedup_embed + llm_dedup_embed_planted +
+    #       llm_dedup_embed_lsh_contract ride embedding cell joins
+    #       (planted + contract ARE in-window below via the r8 cohort);
+    #       llm_dedup_editdist rides simhash-blocked candidates;
+    #       llm_knn_ivf_contract's floor arithmetic change is
+    #       value-identical at the current query count (20 == 20) and
+    #       the entry was r13-green; llm_token_cms_heavy(_scale) ride
+    #       the sketch.py exact-partition-count fix (_scale is
+    #       in-window below).
+    #   (b) the 12 r7-green slips named in the r13 window (they hit the
+    #       staleness wall K=6 at r14 — the ledger test makes a miss a
+    #       suite failure);
+    #   (c) 35 of the 48-entry r8-green cohort (the stalest after (b)),
+    #       oldest-first policy, prioritizing the two entries that ride
+    #       r14-changed code (llm_dedup_embed_planted,
+    #       llm_token_cms_heavy_scale) and dws_uv_hll (VERDICT ask #6
+    #       sf1 cell).
+    # Named slips (13, all sibling-covered; they front r15 and the
+    # registry-wide SWEEP_r14 artifact re-verifies them this round):
+    #   dwd_db_route (stream_db_route r9-green is the same routed-split
+    #   path live; dwd_cdc_materialize in-window shares sources/cdc.py),
+    #   ads_rollup_revenue (ads_cube_revenue r11-green, same
+    #   grouping-sets rendering family),
+    #   ads_pivot_linestatus (ads_tm_reshape r12-green, same pivot),
+    #   dwd_anti_idle_customers (dwd_semi_active_customers r13-green,
+    #   same anti/semi-join rendering),
+    #   dws_session_window_native (stream_session_window r13-green,
+    #   same session_window),
+    #   ads_user_decay_score (stream_user_decay_score in-window, same
+    #   decay math),
+    #   dq_check_rules_lineitem (dq_profile_orders in-window, same dq
+    #   module),
+    #   dws_keyword_stats_windowed (dws_keyword_stats r13-green +
+    #   dws_keywords_sql_lateral r13-green share the tokenize+agg),
+    #   llm_substring_dedup (llm_substring_dedup_removal r12-green,
+    #   same positional k-gram spans core),
+    #   llm_fingerprint (llm_fingerprint_rolling + _winnow r11-green),
+    #   llm_lm_perplexity (stream_llm_lm_perplexity in-window, same
+    #   quantized-log2 LM scoring),
+    #   llm_pii_redact (stream_llm_pii_redact in-window, same regexes;
+    #   llm_pii_flags r12-green),
+    #   llm_dsir_select_gumbel (llm_dsir_weights in-window +
+    #   llm_dsir_select r13-green share the weight path).
+    # --- (a') changed in r14 / late r13 ---
+    "llm_dedup_embed_lsh",
+    "llm_dedup_minhash",
+    "llm_dedup_simhash64",
+    # --- (b) the 12 r7-green slips (ledger-enforced) ---
+    "dws_keyword_stats_cjk",
+    "llm_corpus_curation",
+    "llm_decontaminate_bloom",
+    "llm_dup_clusters",
+    "llm_dup_clusters_vacuum",
+    "llm_pq_codes",
+    "llm_rare_token_score",
+    "llm_sequence_pack",
+    "set_intersect_all_buyers",
+    "stream_payment_wide_outer",
+    "stream_stats_upsert_sink",
+    "stream_uv_dropdup_ttl",
+    # --- (c) 35 of the 48-entry r8-green cohort ---
+    "dwd_cdc_materialize",
+    "ads_attribution_linear",
+    "dq_profile_orders",
+    "udf_surface_token_count",
+    "llm_dedup_prefix_jaccard",
+    "llm_dedup_embed_planted",
+    "llm_token_stats",
+    "llm_quality_score",
+    "llm_dsir_weights",
+    "llm_knn_lsh_contract",
+    "llm_dedup_embed_lsh_contract",
+    "llm_chunk_overlap",
+    "llm_mixture_sample",
+    "llm_shuffle_order",
+    "llm_semdedup_contract",
+    "llm_boilerplate_strip",
+    "llm_token_cms_heavy_scale",
+    "llm_bpe_apply",
+    "llm_bpe_train_sampled",
+    "dws_uv_hll",
+    "dws_uv_hll_estimate",
+    "dws_daily_uv_hll",
+    "dws_daily_uv_hll_estimate",
+    "ads_price_quantile_sketch",
+    "ads_brand_price_quantiles",
+    "llm_contamination_report",
+    "stream_mm_features",
+    "stream_llm_rare_token_score",
+    "stream_llm_dsir_score",
+    "stream_uv_hll",
+    "stream_value_histogram",
+    "stream_daily_uv_hll",
+    "stream_llm_pii_redact",
+    "stream_llm_lm_perplexity",
+    "stream_user_decay_score",
+]
+
+_R13_WINDOW = [
+    # =====================================================================
+    # ROUND-13 WINDOW (cleared 50/50 green in CORRECTNESS_r13.json;
+    # kept for the ledger). Original rationale:
+    # (r12 VERDICT ask #1, standing policy: births ->
     # never-checked -> stalest cohort; staleness ledger now enforced
     # MECHANICALLY by tests/test_oracle_parity.py::
     # test_staleness_ledger_bounded — r12 VERDICT ask #5).
