@@ -238,9 +238,23 @@ def repetition_stats(
     """Gopher-style within-document repetition signals (Rae et al. 2021
     §A1.1: documents dominated by repeated n-grams are boilerplate):
     per doc, the fraction of duplicate n-grams and the share of the
-    single most frequent n-gram. All array expressions inside codegen;
-    ratios are single double divisions of exact integer counts. Docs
-    with fewer than n tokens report 0 grams and null ratios."""
+    single most frequent n-gram.
+
+    r14 restructure (the engine-side twin of the r12 ORACLE fix): the
+    modal-gram count used to be a per-row
+    ``array_max(transform(array_distinct(g), x -> size(filter(g, ...))))``
+    — O(distinct x total) per document under INTERPRETED higher-order
+    lambdas, measured 318 s at sf0.1 while the restructured DuckDB
+    oracle ran the identical values in 0.5 s. Same cure as the oracle:
+    explode -> count per (doc, gram) -> per-doc aggregate. One
+    map-side-combined shuffle keyed (doc, gram) in whole-stage codegen;
+    values are identical by construction (n_grams = SUM(c), distinct =
+    COUNT(*), modal = MAX(c)). ``explode_outer`` keeps empty-gram docs
+    (fewer than n tokens) as a null-gram row, so they still report
+    0 grams and null ratios without a second corpus scan. At 100 TB the
+    keyed shuffle with partial aggregation beats quadratic per-doc CPU
+    by construction — the old form's "stays a narrow map" was the wrong
+    trade at every scale."""
     toks = tokenize_col(text_col)
     grams = F.when(
         F.size(toks) >= n,
@@ -249,24 +263,30 @@ def repetition_stats(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    # occurrences of the modal gram: max over distinct grams of the
-    # count of equal entries (quadratic in DISTINCT grams per doc — fine
-    # per-document; stays a narrow map corpus-wide)
-    top_ct = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    ex = df.select(F.col(id_col).alias("id"), grams.alias("_g")).select(
+        "id", F.explode_outer("_g").alias("_gram")
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        total.cast("long").alias("n_grams"),
-        (
-            (total - distinct).cast("double") / total.cast("double")
+    cnt = ex.groupBy("id", "_gram").agg(F.count(F.lit(1)).alias("_c"))
+    real = F.col("_gram").isNotNull()
+    agg = cnt.groupBy("id").agg(
+        F.sum(F.when(real, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_grams"),
+        F.count(F.when(real, F.lit(1))).alias("_nd"),
+        F.max(F.when(real, F.col("_c"))).alias("_mx"),
+    )
+    total = F.col("n_grams")
+    # try_divide: 0-gram docs keep their documented null ratios under
+    # ANSI instead of a divide-by-zero error
+    return agg.select(
+        "id",
+        total.alias("n_grams"),
+        F.try_divide(
+            (total - F.col("_nd")).cast("double"), total.cast("double")
         ).alias("dup_gram_frac"),
-        (top_ct.cast("double") / total.cast("double")).alias("top_gram_share"),
+        F.try_divide(
+            F.col("_mx").cast("double"), total.cast("double")
+        ).alias("top_gram_share"),
     )
 
 

@@ -45,16 +45,31 @@ _DRIVER_WINDOW_FIRST = [
     #       the entry was r13-green; llm_token_cms_heavy(_scale) ride
     #       the sketch.py exact-partition-count fix (_scale is
     #       in-window below).
+    #       LATE-r14 changes, all fronted or already in-window:
+    #       llm_repetition — its engine side kept the O(distinct x
+    #       total) interpreted modal-gram lambda the r12 ORACLE fix
+    #       removed (measured 317.6 s Spark vs 0.5 s oracle at sf0.1);
+    #       restructured to the same explode -> (doc, gram) count ->
+    #       per-doc agg shape, 325 -> 13.8 s, hash-green at sf0.001 +
+    #       sf0.01 + sf0.1 post-change. Swapped in for llm_shuffle_order
+    #       (slip #14 below).
+    #       llm_semdedup_contract + llm_dedup_embed_lsh_contract
+    #       (both ALREADY in the (c) block below) — their exact
+    #       all-pairs ground-truth side moved to
+    #       similarity.exact_cosine_pairs (blocked-GEMM candidates +
+    #       exact expression verify, output-identical by construction
+    #       and gate-tested): 662 -> 150.6 s and 240 -> 56.7 s at
+    #       sf0.1, hash-green at all three SFs post-change.
     #   (b) the 12 r7-green slips named in the r13 window (they hit the
     #       staleness wall K=6 at r14 — the ledger test makes a miss a
     #       suite failure);
-    #   (c) 35 of the 48-entry r8-green cohort (the stalest after (b)),
+    #   (c) 34 of the 48-entry r8-green cohort (the stalest after (b)),
     #       oldest-first policy, prioritizing the two entries that ride
     #       r14-changed code (llm_dedup_embed_planted,
     #       llm_token_cms_heavy_scale) and dws_uv_hll (VERDICT ask #6
     #       sf1 cell).
-    # Named slips (13, all sibling-covered; they front r15 and the
-    # registry-wide SWEEP_r14 artifact re-verifies them this round):
+    # Named slips (14, all sibling-covered; they front r15 and the
+    # registry-wide SWEEP_r14 artifacts re-verify them this round):
     #   dwd_db_route (stream_db_route r9-green is the same routed-split
     #   path live; dwd_cdc_materialize in-window shares sources/cdc.py),
     #   ads_rollup_revenue (ads_cube_revenue r11-green, same
@@ -78,11 +93,16 @@ _DRIVER_WINDOW_FIRST = [
     #   llm_pii_redact (stream_llm_pii_redact in-window, same regexes;
     #   llm_pii_flags r12-green),
     #   llm_dsir_select_gumbel (llm_dsir_weights in-window +
-    #   llm_dsir_select r13-green share the weight path).
+    #   llm_dsir_select r13-green share the weight path),
+    #   llm_shuffle_order (displaced by the late-r14-changed
+    #   llm_repetition; llm_sample_hash r11-green rides the same
+    #   deterministic _u32 hash-order machinery, and the entry is
+    #   sweep-green at sf0.01 AND sf0.1 this round).
     # --- (a') changed in r14 / late r13 ---
     "llm_dedup_embed_lsh",
     "llm_dedup_minhash",
     "llm_dedup_simhash64",
+    "llm_repetition",
     # --- (b) the 12 r7-green slips (ledger-enforced) ---
     "dws_keyword_stats_cjk",
     "llm_corpus_curation",
@@ -96,7 +116,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_payment_wide_outer",
     "stream_stats_upsert_sink",
     "stream_uv_dropdup_ttl",
-    # --- (c) 35 of the 48-entry r8-green cohort ---
+    # --- (c) 34 of the 48-entry r8-green cohort ---
     "dwd_cdc_materialize",
     "ads_attribution_linear",
     "dq_profile_orders",
@@ -110,7 +130,6 @@ _DRIVER_WINDOW_FIRST = [
     "llm_dedup_embed_lsh_contract",
     "llm_chunk_overlap",
     "llm_mixture_sample",
-    "llm_shuffle_order",
     "llm_semdedup_contract",
     "llm_boilerplate_strip",
     "llm_token_cms_heavy_scale",

@@ -312,3 +312,51 @@ def test_minhash_and_embedding_bucket_joins_cap_independent(spark):
     }
     t3, l3 = lsh(5), lsh(1_000_000)
     assert t3 == l3 and len(t3) >= 30 * 29 // 2
+
+
+def test_exact_cosine_pairs_matches_naive_expression_join(spark):
+    """r14: the contract entries' exact all-pairs ground truth moved
+    from a raw quadratic expression join (228-254 s at sf0.1) to
+    blocked-GEMM candidates + exact expression verify
+    (similarity.exact_cosine_pairs). The accepted pair set must be
+    IDENTICAL to the naive join's for any input — the GEMM stage is a
+    one-sided prefilter (threshold - 1e-6), the verify stage reapplies
+    the exact sequential-fold cosine. Fixture stresses the contract:
+    near-threshold sims on BOTH sides of 0.9, exact-threshold-ish
+    geometry, zero-norm vectors (null sim -> dropped on both paths),
+    and a block size of 2 forcing many multi-block GEMM cells."""
+    import math
+
+    from gmall_flink_2022_spark.llm.similarity import (
+        cosine,
+        exact_cosine_pairs,
+    )
+
+    rows = []
+    # a fan of unit vectors at controlled angles from [1, 0]: pairs
+    # straddle the 0.9 threshold densely (cos of angle differences)
+    for i in range(12):
+        ang = i * 0.06
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.0]))
+    rows.append((100, [0.0, 0.0, 0.0]))  # zero-norm: null sim, dropped
+    rows.append((101, [2.0, 0.0, 0.0]))  # colinear with id 0: sim 1.0
+    edf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = edf.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = edf.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .collect()
+    }
+    for blk in (2, 1024):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in exact_cosine_pairs(
+                edf, "vec_id", "embedding", threshold=0.9, block=blk
+            ).collect()
+        }
+        assert got == naive, (blk, got ^ naive)
+    # sanity: the fixture actually exercises both sides of the bar
+    assert naive and len(naive) < 12 * 13 // 2
