@@ -109,8 +109,6 @@ def exact_cosine_pairs(
     the contract-verification harness, not the production dedup path;
     production near-dup runs the LSH/cell operators this function
     grades."""
-    import pandas as pd
-
     eps = 1e-6
     src = embs.select(
         F.col(id_col).cast("long").alias("id"),
@@ -133,34 +131,25 @@ def exact_cosine_pairs(
     thr = float(threshold) - eps
 
     def gemm(pdf_iter):
-        import numpy as np  # noqa: PLC0415 — executor-side
+        import pandas as pd  # noqa: PLC0415 — executor-side
 
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
-                ia, ib = row["items_a"], row["items_b"]
-                ids_a = np.asarray([x["id"] for x in ia], dtype=np.int64)
-                A = np.asarray([x["vec"] for x in ia], dtype=np.float64)
-                ids_b = np.asarray([x["id"] for x in ib], dtype=np.int64)
-                B = np.asarray([x["vec"] for x in ib], dtype=np.float64)
-                na = np.linalg.norm(A, axis=1)
-                nbn = np.linalg.norm(B, axis=1)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = (A @ B.T) / np.outer(na, nbn)
-                if row["g_a"] == row["g_b"]:
-                    # strict upper triangle by POSITION: each unordered
-                    # within-block pair once (ids normalized below)
-                    S[np.tril_indices_from(S)] = -np.inf
-                i, j = np.nonzero(S >= thr)  # NaN (zero-norm) never passes
-                if len(i):
-                    pa, pb = ids_a[i], ids_b[j]
-                    yield pd.DataFrame(
-                        {
-                            "id_a": np.minimum(pa, pb),
-                            "id_b": np.maximum(pa, pb),
-                        }
-                    )
+                pa, pb = _gemm_cell_pairs(
+                    row["items_a"],
+                    row["items_b"],
+                    row["g_a"] == row["g_b"],
+                    thr,
+                )
+                if len(pa):
+                    yield pd.DataFrame({"id_a": pa, "id_b": pb})
 
-    cands = cells.mapInPandas(gemm, "id_a long, id_b long")
+    # distinct() is insurance, not load-bearing: blocks are disjoint by
+    # hash and the id-based diagonal mask emits each within-block pair
+    # once, so the candidate stream is already duplicate-free — but the
+    # exactness contract here warrants a cheap belt-and-braces shuffle
+    # over the (small) candidate set (r14 ADVICE).
+    cands = cells.mapInPandas(gemm, "id_a long, id_b long").distinct()
     va = src.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"))
     vb = src.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"))
     return (
@@ -169,6 +158,39 @@ def exact_cosine_pairs(
         .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def _gemm_cell_pairs(ia, ib, same_block: bool, thr: float):
+    """One GEMM cell of :func:`exact_cosine_pairs`: items are
+    ``{id, vec}`` structs (any Arrow row shape with mapping access);
+    returns the cell's candidate pairs as (id_a, id_b) int64 arrays,
+    id_a < id_b.
+
+    The diagonal (same-block) mask compares IDS, not positions
+    (r14 ADVICE, high): ``items_a`` and ``items_b`` come from two
+    independent evaluations of a ``collect_list`` aggregate whose
+    post-shuffle order Spark does not guarantee, so a positional
+    ``tril_indices`` mask could silently drop real pairs (both
+    orientations masked), emit self-pairs id_a == id_b (cosine 1.0 —
+    the naive ``id_a < id_b`` join never emits these), or duplicate
+    pairs when the two orders diverge. ``ids_a >= ids_b`` keeps exactly
+    the id_a < id_b entries of the similarity matrix whatever order
+    either side arrived in, and kills self-pairs by construction."""
+    import numpy as np  # noqa: PLC0415 — executor-side
+
+    ids_a = np.asarray([x["id"] for x in ia], dtype=np.int64)
+    A = np.asarray([x["vec"] for x in ia], dtype=np.float64)
+    ids_b = np.asarray([x["id"] for x in ib], dtype=np.int64)
+    B = np.asarray([x["vec"] for x in ib], dtype=np.float64)
+    na = np.linalg.norm(A, axis=1)
+    nbn = np.linalg.norm(B, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = (A @ B.T) / np.outer(na, nbn)
+    if same_block:
+        S[ids_a[:, None] >= ids_b[None, :]] = -np.inf
+    i, j = np.nonzero(S >= thr)  # NaN (zero-norm) never passes
+    pa, pb = ids_a[i], ids_b[j]
+    return np.minimum(pa, pb), np.maximum(pa, pb)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

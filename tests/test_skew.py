@@ -360,3 +360,41 @@ def test_exact_cosine_pairs_matches_naive_expression_join(spark):
         assert got == naive, (blk, got ^ naive)
     # sanity: the fixture actually exercises both sides of the bar
     assert naive and len(naive) < 12 * 13 // 2
+
+
+def test_gemm_cell_pairs_diagonal_mask_is_order_independent():
+    """r14 ADVICE (high): exact_cosine_pairs' same-block diagonal mask
+    used tril_indices — a POSITIONAL mask assuming items_a/items_b
+    share ordering. They come from two independent evaluations of a
+    collect_list aggregate whose post-shuffle order Spark does not
+    guarantee; with ib reversed relative to ia the positional mask
+    (a) emits SELF-pairs (position (0, n-1) holds (id0, id0) when ib is
+    ia reversed), (b) duplicates real pairs, and (c) drops real pairs
+    whose both orientations land in the masked triangle. The kernel now
+    masks by ID comparison; this test feeds every relative ordering of
+    a 4-item block and demands the exact unordered-pair set each time.
+    (Fails on the r14 tril_indices kernel: reversed order yields
+    {(1,1)…} self-pairs and misses (2,3) among others.)"""
+    from itertools import permutations
+
+    from gmall_flink_2022_spark.llm.similarity import _gemm_cell_pairs
+
+    items = [
+        {"id": 1, "vec": [1.0, 0.0]},
+        {"id": 2, "vec": [1.0, 0.01]},
+        {"id": 3, "vec": [1.0, 0.02]},
+        {"id": 4, "vec": [1.0, 0.03]},
+    ]  # all pairwise sims ~1.0 — every unordered pair must surface
+    want = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    for pb in permutations(items):
+        pa_ids, pb_ids = _gemm_cell_pairs(items, list(pb), True, 0.9)
+        got = sorted(zip(pa_ids.tolist(), pb_ids.tolist()))
+        assert got == sorted(want), (pb, got)  # exact: no dups, no selfs
+
+    # cross-block cells (same_block=False) keep every passing pair,
+    # min/max-normalized, whatever the orders
+    other = [{"id": 10, "vec": [1.0, 0.0]}, {"id": 11, "vec": [0.0, 1.0]}]
+    for po in permutations(other):
+        pa_ids, pb_ids = _gemm_cell_pairs(items, list(po), False, 0.9)
+        got = set(zip(pa_ids.tolist(), pb_ids.tolist()))
+        assert got == {(1, 10), (2, 10), (3, 10), (4, 10)}, got
