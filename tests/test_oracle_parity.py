@@ -84,7 +84,24 @@ def test_staleness_ledger_bounded():
     do not reset staleness). This is what keeps the ledger honest when
     the 50-slot window can't cover the due cohorts by itself: a slip is
     allowed to ride a sweep green ONLY because that sweep is now a
-    committed, per-entry artifact a judge can replay."""
+    committed, per-entry artifact a judge can replay.
+
+    r15 hardening (r14 VERDICT ask #2 + ADVICE):
+
+    - SECOND bound on DRIVER rows only, K_driver=12: sweeps are
+      builder-generated evidence; CORRECTNESS_r*.json is the one
+      artifact the builder cannot author. However many sweep greens an
+      entry rides, it must still earn a driver-window row within
+      K_driver rounds, so the independent signal keeps cycling through
+      the whole registry (50/round x 12 rounds >> 254 entries).
+    - a sweep row's scale must POSITIVELY match a gate scale
+      (sf0.01/sf0.1/sf1) — a missing/malformed sf no longer slips past
+      an sf0.001-exclusion check; rows carry per-row sf since r15
+      (mixed-SF resume laundering), older single-SF artifacts fall
+      back to the file-level field.
+    - same-round precedence: an entry is RED if ANY artifact from its
+      newest round reports it red — a green sweep can no longer mask a
+      red driver row from the same round (or vice versa)."""
     import glob
     import json
     import os
@@ -93,8 +110,8 @@ def test_staleness_ledger_bounded():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     assert files, "no correctness history next to the repo root"
-    last_green: dict[str, int] = {}
-    last_seen: dict[str, tuple[int, bool]] = {}
+    # appearances: name -> list of (round, green, is_driver)
+    apps: dict[str, list[tuple[int, bool, bool]]] = {}
     rounds = []
     for f in files:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
@@ -104,45 +121,96 @@ def test_staleness_ledger_bounded():
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             )
-            if green:
-                last_green[name] = max(last_green.get(name, 0), rnd)
-            prev = last_seen.get(name, (0, True))
-            if rnd >= prev[0]:
-                last_seen[name] = (rnd, green)
+            apps.setdefault(name, []).append((rnd, green, True))
     newest = max(rounds)  # window pressure keys off DRIVER artifacts
+    gate_scale = re.compile(r"sf(0\.01|0\.1|1)/?$")
     for f in glob.glob(os.path.join(repo, "SWEEP_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         sweep = json.load(open(f))
-        # gate scale or above only: sf0.01 / sf0.1 / sf1 — not sf0.001
-        if re.search(r"sf0\.001(?:/|$)", sweep.get("sf", "")):
-            continue
         for name, row in sweep.get("entries", {}).items():
-            if row.get("ok") is True:
-                last_green[name] = max(last_green.get(name, 0), rnd)
-            prev = last_seen.get(name, (0, True))
-            if rnd >= prev[0]:
-                last_seen[name] = (rnd, bool(row.get("ok")))
+            sf = str(row.get("sf", sweep.get("sf", "")))
+            if not gate_scale.search(sf):
+                continue  # sub-gate, absent, or malformed scale: no credit
+            apps.setdefault(name, []).append(
+                (rnd, row.get("ok") is True, False)
+            )
+    last_green = {
+        n: max((r for r, g, _ in rows if g), default=0)
+        for n, rows in apps.items()
+    }
     K = 6
     stale = sorted(
         n
         for n in plans.REGISTRY
-        if n in last_green and newest - last_green[n] > K
+        if last_green.get(n, 0) > 0 and newest - last_green[n] > K
     )
     assert stale == [], (
         f"cohort exceeded staleness K={K} vs r{newest}: {stale} — front "
         "them in plans._DRIVER_WINDOW_FIRST"
     )
-    red = sorted(
+    K_driver = 12
+    last_driver_green = {
+        n: max((r for r, g, drv in rows if g and drv), default=0)
+        for n, rows in apps.items()
+    }
+    driver_stale = sorted(
         n
         for n in plans.REGISTRY
-        if n in last_seen and not last_seen[n][1]
+        if last_driver_green.get(n, 0) > 0
+        and newest - last_driver_green[n] > K_driver
     )
-    assert red == [], f"latest driver row is a FAILURE: {red}"
+    assert driver_stale == [], (
+        f"entries riding sweep credit past K_driver={K_driver} driver "
+        f"rounds vs r{newest}: {driver_stale} — sweeps are builder "
+        "evidence; front them in plans._DRIVER_WINDOW_FIRST"
+    )
+    red = sorted(
+        n
+        for n, rows in apps.items()
+        if n in plans.REGISTRY
+        and any(
+            not g for r, g, _ in rows if r == max(r2 for r2, _, _ in rows)
+        )
+    )
+    assert red == [], f"a newest-round artifact reports a FAILURE: {red}"
     order = list(plans.REGISTRY)
     never = [
-        n for n in plans.REGISTRY if n not in last_green and n in order[50:]
+        n
+        for n in plans.REGISTRY
+        if last_driver_green.get(n, 0) == 0 and n in order[50:]
     ]
     assert never == [], (
         f"never-driver-checked entries below slot 50: {never} — add them "
         "to plans._DRIVER_WINDOW_FIRST"
     )
+
+
+def test_driver_sim_merge_refuses_mixed_sf(tmp_path):
+    """r14 ADVICE (medium): DRIVER_SIM_OUT resume-merge used to keep old
+    entries but stamp the file's single top-level 'sf' with the current
+    run's SF — relabeling prior rows' scale, which the staleness ledger
+    converts into gate-scale credit. The merge now refuses a different
+    SF outright and backfills per-row sf on same-SF resumes."""
+    import json
+
+    import pytest
+
+    from tools.driver_sim import load_merged_sweep
+
+    art = tmp_path / "SWEEP_test.json"
+    art.write_text(
+        json.dumps(
+            {
+                "sf": "/root/testdata/sf0.001",
+                "entries": {"q1": {"status": "OK", "ok": True, "wall_sec": 1}},
+            }
+        )
+    )
+    with pytest.raises(SystemExit, match="refusing to merge"):
+        load_merged_sweep(str(art), "/root/testdata/sf0.01")
+    # same SF (trailing slash tolerated): merge allowed, per-row sf
+    # backfilled from the file-level field for pre-r15 rows
+    merged = load_merged_sweep(str(art), "/root/testdata/sf0.001/")
+    assert merged["q1"]["sf"] == "/root/testdata/sf0.001"
+    # no artifact yet: clean start
+    assert load_merged_sweep(str(tmp_path / "nope.json"), "x") == {}

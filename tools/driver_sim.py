@@ -5,12 +5,13 @@ sorted-column value hash) and report per-entry status. De-risks the
 round's CORRECTNESS artifact before the real driver runs.
 
 ``DRIVER_SIM_OUT=SWEEP_r14.json`` (r13 VERDICT ask #3) additionally
-writes the sweep as a committable artifact — per-entry status + wall at
-the sweep SF — so registry-wide sweeps (``DRIVER_SIM_N=254``) leave a
+writes the sweep as a committable artifact — per-entry status + wall +
+scale — so registry-wide sweeps (``DRIVER_SIM_N=254``) leave a
 verifiable record instead of commit-message prose, and oracle walls
 (editdist, simhash) can be tracked across rounds. With DRIVER_SIM_SKIP
 resume, an existing artifact is MERGED (re-run entries overwrite their
-rows; others are kept) so a multi-run sweep accumulates one file."""
+rows; others are kept) so a multi-run sweep accumulates one file —
+but only at the SAME SF (see :func:`load_merged_sweep`)."""
 
 from __future__ import annotations
 
@@ -25,6 +26,31 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 N = int(os.environ.get("DRIVER_SIM_N", "50"))
 SKIP = int(os.environ.get("DRIVER_SIM_SKIP", "0"))
 OUT = os.environ.get("DRIVER_SIM_OUT", "")
+
+
+def load_merged_sweep(out_path: str, sf: str) -> dict[str, dict]:
+    """Resume-merge guard (r14 ADVICE, medium): the old merge kept prior
+    entries but stamped the file's single top-level ``sf`` with the
+    CURRENT run's SF — silently relabeling prior rows' scale, and the
+    staleness ledger grants gate-scale credit from exactly that field.
+    Now (a) every row carries its own ``sf`` (the ledger filters
+    per-row) and (b) resuming into an artifact recorded at a DIFFERENT
+    SF is refused outright instead of laundering mixed-scale rows."""
+    if not (out_path and os.path.exists(out_path)):
+        return {}
+    prev = json.load(open(out_path))
+    prev_sf = prev.get("sf", "")
+    if prev_sf and prev_sf.rstrip("/") != sf.rstrip("/"):
+        raise SystemExit(
+            f"refusing to merge into {out_path}: it was recorded at "
+            f"sf={prev_sf!r} but this run is sf={sf!r} — a mixed-SF "
+            "artifact would mislabel prior rows' scale; use a new "
+            "DRIVER_SIM_OUT path"
+        )
+    entries = prev.get("entries", {})
+    for row in entries.values():  # pre-r15 rows: backfill from top-level
+        row.setdefault("sf", prev_sf)
+    return entries
 
 
 def _release_session_state(spark) -> None:
@@ -109,9 +135,7 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     names = list(qs)[SKIP : SKIP + N]
     bad = []
-    sweep: dict[str, dict] = {}
-    if OUT and os.path.exists(OUT):
-        sweep = json.load(open(OUT)).get("entries", {})
+    sweep = load_merged_sweep(OUT, SF)
     for i, name in enumerate(names, 1):
         t0 = time.perf_counter()
         try:
@@ -133,7 +157,12 @@ def main() -> None:
         print(f"[{i:2d}/{len(names)}] {name}: {status} ({dt:.1f}s)", flush=True)
         if not ok:
             bad.append(name)
-        sweep[name] = {"status": status, "ok": ok, "wall_sec": round(dt, 2)}
+        sweep[name] = {
+            "status": status,
+            "ok": ok,
+            "wall_sec": round(dt, 2),
+            "sf": SF,  # per-row scale: merge-proof ledger credit (r14 ADVICE)
+        }
         if OUT:  # write-through so a crash/OOM keeps the partial sweep
             json.dump(
                 {"sf": SF, "skip": SKIP, "n": N, "entries": sweep},
