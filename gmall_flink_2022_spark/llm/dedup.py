@@ -904,7 +904,9 @@ def _bucket_block_cells(parts: DataFrame, cap: int):
     return left, right
 
 
-def _cell_self_join(parts: DataFrame, cap: int) -> DataFrame:
+def _cell_self_join(
+    parts: DataFrame, cap: int, symmetric: bool = True
+) -> DataFrame:
     """The cell-keyed bucket self-join, factored (r13 VERDICT: the join
     predicate + least/greatest normalization was hand-copied at FOUR
     sites — MinHash bands, SimHash slices, embedding cells, hyperplane
@@ -916,18 +918,43 @@ def _cell_self_join(parts: DataFrame, cap: int) -> DataFrame:
     precondition on :func:`_bucket_block_cells`) plus any payload
     columns. Emits one row per unordered same-bucket pair: ``id_a`` /
     ``id_b`` (least/greatest-normalized) and, for every payload column
-    ``c``, ``c_a`` / ``c_b`` carrying the two sides' values. NOTE the
+    ``c``, ``c_a`` / ``c_b`` carrying the two sides' values.
+
+    ``symmetric`` (default True — the r14 plan, byte-identical): the
     payload orientation follows the JOIN sides, not the id
     normalization (``c_a`` may belong to ``id_b`` when the right row
     sorts first) — fine for every current caller because their per-pair
-    predicates (XOR bit_count, cosine) are symmetric; an asymmetric
-    predicate would need to re-orient on ``id_a = c_a``'s id. ``bucket``
+    predicates (XOR bit_count, cosine) are symmetric. A caller with an
+    ASYMMETRIC per-pair predicate must pass ``symmetric=False`` (r14
+    VERDICT nit #2: nothing but a docstring guarded this), which
+    re-orients every payload so ``c_a`` always belongs to ``id_a`` via
+    a per-column conditional — two extra codegen CASEs per payload
+    column on the (bounded) candidate pairs, no extra shuffle. ``bucket``
     is the left side's (equal on both by the join key). Callers add
     their own ``distinct()``/``dropDuplicates`` when ids meet through
     several buckets (multi-slice / multi-band / multi-table)."""
     left, right = _bucket_block_cells(parts, cap)
     a, b = left.alias("a"), right.alias("b")
     payload = [c for c in parts.columns if c not in ("id", "bucket")]
+    if symmetric:
+        pay_a = [F.col(f"a.{c}").alias(f"{c}_a") for c in payload]
+        pay_b = [F.col(f"b.{c}").alias(f"{c}_b") for c in payload]
+    else:
+        # pair ids are distinct (diagonal excludes self-pairs), so
+        # a.id < b.id orients exactly one way per pair
+        a_first = F.col("a.id") < F.col("b.id")
+        pay_a = [
+            F.when(a_first, F.col(f"a.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(f"{c}_a")
+            for c in payload
+        ]
+        pay_b = [
+            F.when(a_first, F.col(f"b.{c}"))
+            .otherwise(F.col(f"a.{c}"))
+            .alias(f"{c}_b")
+            for c in payload
+        ]
     return a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -938,8 +965,8 @@ def _cell_self_join(parts: DataFrame, cap: int) -> DataFrame:
         F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
         F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
         F.col("a.bucket").alias("bucket"),
-        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload],
-        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload],
+        *pay_a,
+        *pay_b,
     )
 
 

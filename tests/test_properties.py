@@ -1016,3 +1016,33 @@ def test_bucket_block_cells_pairset_identity(spark, rows, cap):
             .first()[0]
         )
         assert mx <= cap
+
+
+@settings(max_examples=6, deadline=None)
+@given(bucket_rows, st.integers(min_value=1, max_value=9))
+def test_cell_self_join_asymmetric_reorients_payload(spark, rows, cap):
+    """r14 VERDICT nit #2: _cell_self_join's payload orientation follows
+    the JOIN sides — fine for the four symmetric-predicate callers, but
+    nothing stopped a future asymmetric-predicate caller from reading
+    c_a as id_a's value. symmetric=False now re-orients per pair; with
+    payload == id the invariant is directly checkable: c_a must ALWAYS
+    equal id_a (and c_b equal id_b), for any bucket multiplicity and
+    any cap. The default (symmetric=True) plan emits the same pair set
+    with {c_a, c_b} == {id_a, id_b} per row but no orientation promise
+    — both facts asserted so a regression in either mode trips."""
+    from gmall_flink_2022_spark.llm.dedup import _cell_self_join
+
+    parts = spark.createDataFrame(
+        [(i, b, i) for i, b in rows], "id long, bucket int, pay long"
+    )
+    orient = _cell_self_join(parts, cap, symmetric=False).collect()
+    assert all(
+        r["pay_a"] == r["id_a"] and r["pay_b"] == r["id_b"] for r in orient
+    )
+    default = _cell_self_join(parts, cap).collect()
+    assert all(
+        {r["pay_a"], r["pay_b"]} == {r["id_a"], r["id_b"]} for r in default
+    )
+    # same pair set either way
+    key = lambda rs: sorted((r["id_a"], r["id_b"], r["bucket"]) for r in rs)  # noqa: E731
+    assert key(orient) == key(default)
