@@ -18,7 +18,119 @@ from . import tpch_shapes  # noqa: F401  (registers TPC-H batch-3 shape queries)
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
     # =====================================================================
-    # ROUND-14 WINDOW (r13 VERDICT ask #1, standing policy: births ->
+    # ROUND-15 WINDOW (r14 VERDICT ask #1, standing policy: births ->
+    # never-checked -> stalest cohort; the ledger test enforces the
+    # rotation mechanically — since r15 with a SECOND, driver-row-only
+    # bound K_driver=12 (r14 VERDICT ask #2) so sweep credit can never
+    # let an entry evade the driver window indefinitely).
+    #   (a') changed in r15 (no births): llm_semdedup_contract +
+    #       llm_dedup_embed_lsh_contract — their exact ground-truth side
+    #       (similarity.exact_cosine_pairs) replaced the positional
+    #       tril_indices diagonal mask with an id-comparison mask (r14
+    #       ADVICE high: collect_list order is not guaranteed across the
+    #       two join sides; positions could drop/duplicate/self-pair)
+    #       plus a distinct() insurance shuffle. Output-identical on
+    #       aligned orders, but a semantic-risk change -> fronted. The
+    #       other exact_cosine_pairs consumers are these two entries
+    #       only (grep-verified). _cell_self_join gained a symmetric
+    #       flag defaulting to the r14 plan (byte-identical default
+    #       path); its riders were all r14-driver-green and both r15
+    #       sweeps re-verify them.
+    #   (b) the 14 r8-green slips named in the r14 window comment (they
+    #       are the stalest driver cohort, 7 rounds by r15 — the K=6
+    #       sweep-credited bound is satisfied by SWEEP_r14* but the
+    #       rotation policy fronts them regardless, and K_driver makes
+    #       a future such slip finite by construction);
+    #   (c) 34 of the 48-entry r9-green cohort (next-stalest), registry
+    #       order (oldest-first within the cohort).
+    # Named slips (14 — the r9-green cohort's tail, all stream twins
+    # with their batch/stream siblings in-window or recently green, and
+    # all sweep-green at sf0.01 AND sf0.1 in the committed r14+r15
+    # artifacts; they front r16 with the rest of the r9 cohort):
+    #   stats_store_idempotent_upsert (stream_stats_upsert_sink
+    #   r14-green, same idempotent stats store),
+    #   stream_order_enrich_scale (stream_order_enrich r13-green, same
+    #   topology; dwm_order_wide r12-green is the batch core),
+    #   stream_session_window_scale (stream_session_window r13-green;
+    #   dws_session_window_native in-window r15),
+    #   stream_two_hop_scale (stream_two_hop_eos r12-green, same
+    #   two-hop EOS topology),
+    #   stream_keyword_stats_cjk_scale (dws_keyword_stats_cjk r14-green
+    #   + stream_keyword_stats_cjk r13-green, same FMM segmentation),
+    #   stream_db_route (dwd_db_route in-window r15, same routed
+    #   split live),
+    #   stream_cdc_materialize (dwd_cdc_materialize r14-green, same
+    #   changelog materialization),
+    #   stream_brand_price_quantiles (ads_brand_price_quantiles
+    #   r14-green, same quantile sketch),
+    #   stream_attribution_linear (ads_attribution_linear r14-green),
+    #   stream_llm_contamination_report (llm_contamination_report
+    #   r14-green, same 13-gram core),
+    #   stream_events_value_outliers (events_value_outliers in-window
+    #   r15),
+    #   llm_url_dedup_stream (llm_url_dedup in-window r15),
+    #   stream_domain_mix (llm_domain_mix in-window r15),
+    #   stream_retention_cohorts (ads_retention_cohorts in-window r15).
+    # --- (a') changed in r15 ---
+    "llm_semdedup_contract",
+    "llm_dedup_embed_lsh_contract",
+    # --- (b) the 14 r8-green slips (stalest driver cohort) ---
+    "dwd_db_route",
+    "ads_rollup_revenue",
+    "ads_pivot_linestatus",
+    "dwd_anti_idle_customers",
+    "dws_session_window_native",
+    "ads_user_decay_score",
+    "dq_check_rules_lineitem",
+    "dws_keyword_stats_windowed",
+    "llm_substring_dedup",
+    "llm_fingerprint",
+    "llm_lm_perplexity",
+    "llm_pii_redact",
+    "llm_dsir_select_gumbel",
+    "llm_shuffle_order",
+    # --- (c) 34 of the 48-entry r9-green cohort, registry order ---
+    "dq_referential_orphans",
+    "dq_profile_orders_approx",
+    "ads_grouping_sets_revenue",
+    "events_trailing_24h",
+    "ads_brand_price_trend",
+    "events_value_outliers",
+    "ads_qty_discount_corr",
+    "ads_revenue_gini",
+    "dws_top_daily_paths",
+    "ads_funnel_conversion",
+    "ads_retention_cohorts",
+    "llm_knn_lsh",
+    "llm_knn_ivf",
+    "llm_lang_id",
+    "llm_dup_graph_triangles",
+    "mm_media_features",
+    "mm_frame_sample",
+    "llm_lm_perplexity_sampled",
+    "llm_dedup_paragraph",
+    "llm_gopher_filter",
+    "llm_bm25_topk",
+    "llm_training_shards",
+    "llm_curation_ccnet",
+    "llm_dup_graph_kcore",
+    "llm_lm_ppl_buckets",
+    "llm_dup_cluster_audit",
+    "ads_price_winsorized",
+    "llm_host_extract",
+    "llm_url_dedup",
+    "llm_domain_mix",
+    "llm_domain_balanced_sample",
+    "llm_stage1_pipeline",
+    "llm_domain_quality",
+    "llm_training_shards_full",
+]
+
+_R14_WINDOW = [
+    # =====================================================================
+    # ROUND-14 WINDOW (cleared 50/50 green in CORRECTNESS_r14.json;
+    # kept for the ledger). Original rationale:
+    # (r13 VERDICT ask #1, standing policy: births ->
     # never-checked -> stalest cohort; the staleness ledger test
     # enforces the rotation mechanically, and as of r14 it also credits
     # committed SWEEP_r*.json artifacts at >= the driver's gate scale).
