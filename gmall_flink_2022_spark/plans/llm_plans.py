@@ -2344,6 +2344,11 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="extension: Gopher-style within-doc repetition signals "
     "(duplicate n-gram fraction, modal n-gram share) — boilerplate filter",
     tags=("llm", "text", "quality"),
+    # In the bench set since r15 (r14 VERDICT ask #4): the r14
+    # explode -> (doc, gram) count -> per-doc agg restructure (325 ->
+    # 13.8 s at sf0.1) was the round's biggest engine fix — a
+    # regression must surface as a bench ratio, not a sweep wall.
+    bench=True,
 )
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(_docs(spark, sf_dir), "doc_id", "text").filter(
@@ -2951,19 +2956,27 @@ def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact side: full transitive closure over exactly-verified pairs at
     # the same threshold on the planted corpus; SemDeDup's cell blocking
     # can only LOSE pairs, so precision is structural (TRUE) and recall
-    # is bounded below
+    # is bounded below. Structured as ;-separated temp-table statements
+    # (the pagerank/editdist-oracle pattern; r14 VERDICT ask #3 — the
+    # last all-pairs CTE oracle): materializing aug WITH per-row norms
+    # before the quadratic scan lets DuckDB parallelize the pair
+    # projection instead of serializing it inside the recursive-CTE
+    # pipeline, and computes each row's norm once instead of once per
+    # pair — measured 69.6 s -> 18.5 s at sf0.1, output identical
+    # (same dot/norm arithmetic on the same rows, just reused).
     oracle=f"""
-    WITH RECURSIVE {_AUG_CTE},
-    pr AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-        WHERE {_dot("a.embedding", "b.embedding")}
-                 / ({_norm("a.embedding")} * {_norm("b.embedding")}) >= 0.9
-    ),
+    CREATE OR REPLACE TEMP TABLE sd_oracle_aug AS
+    WITH {_AUG_CTE}
+    SELECT vec_id, embedding, {_norm("embedding")} AS nrm FROM aug;
+    CREATE OR REPLACE TEMP TABLE sd_oracle_pr AS
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sd_oracle_aug a JOIN sd_oracle_aug b ON a.vec_id < b.vec_id
+    WHERE {_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.9;
+    WITH RECURSIVE
     e AS (
-        SELECT id_a AS src, id_b AS dst FROM pr
+        SELECT id_a AS src, id_b AS dst FROM sd_oracle_pr
         UNION
-        SELECT id_b, id_a FROM pr
+        SELECT id_b, id_a FROM sd_oracle_pr
     ),
     reach(id, lbl) AS (
         SELECT DISTINCT src, src FROM e
@@ -4023,11 +4036,13 @@ _SHARD_RATES_SQL = (
     "corpus: 600 raw -> 336 curated+decontaminated -> 161 after the "
     "mixture gate; packed rows = the non-empty 161",
     tags=("llm", "pipeline", "layout"),
-    # NOT in the bench set: ~90%% of its cost is curate_full, which the
-    # bench already times as llm_curation_pipeline_full — benching both
-    # would double-count the heaviest pipeline. 10x behavior recorded in
-    # BENCH_sf1_spotcheck.json instead (ratio 1.0).
-    bench=False,
+    # In the bench set since r15 (r14 VERDICT ask #4: the heaviest
+    # composed pipeline deserves round-over-round tracking, not just
+    # sweep walls). Caveat kept from the pre-r15 exclusion: ~90% of its
+    # cost is curate_full, which the bench also times as
+    # llm_curation_pipeline_full — the HEADLINE TOTAL double-counts
+    # that stage; per-query ratios are the signal, as always.
+    bench=True,
 )
 def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
