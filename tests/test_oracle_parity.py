@@ -101,13 +101,52 @@ def test_staleness_ledger_bounded():
       back to the file-level field.
     - same-round precedence: an entry is RED if ANY artifact from its
       newest round reports it red — a green sweep can no longer mask a
-      red driver row from the same round (or vice versa)."""
+      red driver row from the same round (or vice versa);
+    - (review hardening, r15 close) sweep rounds are CLAMPED to the
+      driver frontier + 1 so a high-numbered sweep file cannot reset
+      staleness or out-round driver rows; a red DRIVER row is cleared
+      only by a newer DRIVER green; and red sweep rows count as blame
+      at ANY scale (the gate-scale filter withholds credit, never
+      blame)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    v = _ledger_verdicts(repo, list(plans.REGISTRY))
+    newest = v["newest"]
+    assert v["stale"] == [], (
+        f"cohort exceeded staleness K=6 vs r{newest}: {v['stale']} — "
+        "front them in plans._DRIVER_WINDOW_FIRST"
+    )
+    assert v["driver_stale"] == [], (
+        f"entries riding sweep credit past K_driver=12 driver rounds vs "
+        f"r{newest}: {v['driver_stale']} — sweeps are builder evidence; "
+        "front them in plans._DRIVER_WINDOW_FIRST"
+    )
+    assert v["red"] == [], (
+        f"a newest-round artifact reports a FAILURE: {v['red']}"
+    )
+    assert v["driver_red"] == [], (
+        f"latest DRIVER row is a FAILURE (sweeps cannot clear it): "
+        f"{v['driver_red']}"
+    )
+    order = list(plans.REGISTRY)
+    never = [n for n in v["never_driver_green"] if n in order[50:]]
+    assert never == [], (
+        f"never-driver-checked entries below slot 50: {never} — add them "
+        "to plans._DRIVER_WINDOW_FIRST"
+    )
+
+
+def _ledger_verdicts(repo: str, registry: list[str]) -> dict:
+    """The ledger computation, pure over a directory of
+    CORRECTNESS_r*.json / SWEEP_r*.json artifacts — factored out so the
+    adversarial-fixture test below can exercise the trust rules on
+    synthetic histories, not just the (always-green) real one."""
     import glob
     import json
     import os
     import re
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     assert files, "no correctness history next to the repo root"
     # appearances: name -> list of (round, green, is_driver)
@@ -126,63 +165,187 @@ def test_staleness_ledger_bounded():
     gate_scale = re.compile(r"sf(0\.01|0\.1|1)/?$")
     for f in glob.glob(os.path.join(repo, "SWEEP_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        # sweep filenames are builder-chosen: CLAMP their round to the
+        # driver frontier + 1 (the legitimate "this round's sweep ran
+        # before this round's driver" lead) so a high-numbered sweep
+        # can neither reset staleness arbitrarily far forward nor
+        # out-round a red driver row (review finding, r15)
+        rnd = min(rnd, newest + 1)
         sweep = json.load(open(f))
         for name, row in sweep.get("entries", {}).items():
             sf = str(row.get("sf", sweep.get("sf", "")))
-            if not gate_scale.search(sf):
-                continue  # sub-gate, absent, or malformed scale: no credit
-            apps.setdefault(name, []).append(
-                (rnd, row.get("ok") is True, False)
-            )
+            ok = row.get("ok") is True
+            gate = bool(gate_scale.search(sf))
+            if ok and not gate:
+                continue  # green below gate scale: no credit
+            # red rows count as blame at ANY scale — a committed sweep
+            # failure must fail the ledger even if its sf is sub-gate,
+            # absent, or malformed (review finding, r15: the scale
+            # filter granted 'no blame' along with 'no credit')
+            apps.setdefault(name, []).append((rnd, ok and gate, False))
     last_green = {
         n: max((r for r, g, _ in rows if g), default=0)
         for n, rows in apps.items()
     }
-    K = 6
-    stale = sorted(
-        n
-        for n in plans.REGISTRY
-        if last_green.get(n, 0) > 0 and newest - last_green[n] > K
-    )
-    assert stale == [], (
-        f"cohort exceeded staleness K={K} vs r{newest}: {stale} — front "
-        "them in plans._DRIVER_WINDOW_FIRST"
-    )
-    K_driver = 12
     last_driver_green = {
         n: max((r for r, g, drv in rows if g and drv), default=0)
         for n, rows in apps.items()
     }
-    driver_stale = sorted(
-        n
-        for n in plans.REGISTRY
-        if last_driver_green.get(n, 0) > 0
-        and newest - last_driver_green[n] > K_driver
+    K, K_driver = 6, 12
+    return {
+        "newest": newest,
+        "stale": sorted(
+            n
+            for n in registry
+            if last_green.get(n, 0) > 0 and newest - last_green[n] > K
+        ),
+        "driver_stale": sorted(
+            n
+            for n in registry
+            if last_driver_green.get(n, 0) > 0
+            and newest - last_driver_green[n] > K_driver
+        ),
+        "red": sorted(
+            n
+            for n, rows in apps.items()
+            if n in registry
+            and any(
+                not g
+                for r, g, _ in rows
+                if r == max(r2 for r2, _, _ in rows)
+            )
+        ),
+        # a red DRIVER row is cleared only by a NEWER DRIVER green —
+        # never by a sweep (review finding, r15: builder-authored
+        # evidence must not out-round the stream the builder can't
+        # write)
+        "driver_red": sorted(
+            n
+            for n, rows in apps.items()
+            if n in registry
+            and any(
+                drv and not g
+                for r, g, drv in rows
+                if r == max((r2 for r2, _, d2 in rows if d2), default=-1)
+            )
+        ),
+        "never_driver_green": sorted(
+            n for n in registry if last_driver_green.get(n, 0) == 0
+        ),
+    }
+
+
+def test_ledger_trust_rules_on_adversarial_histories(tmp_path):
+    """Executable versions of the r15 review findings: each scenario
+    writes a synthetic artifact history and asserts the ledger verdicts
+    catch it. These are the trust rules a judge relies on — they must
+    be demonstrated failing-first on fixtures, not just argued."""
+    import json
+
+    def write(dirname, files):
+        d = tmp_path / dirname
+        d.mkdir()
+        for fname, payload in files.items():
+            (d / fname).write_text(json.dumps(payload))
+        return str(d)
+
+    G = {"hash_match": True}
+    R = {"hash_match": False}
+    sw = lambda entries, sf="/root/testdata/sf0.01": {  # noqa: E731
+        "sf": sf,
+        "entries": {
+            k: {"ok": ok, "sf": sf} for k, ok in entries.items()
+        },
+    }
+
+    # 1. A green sweep numbered ABOVE the newest driver round must not
+    #    clear a red driver row (sweep-out-rounds-driver laundering)
+    repo = write(
+        "outround",
+        {
+            "CORRECTNESS_r14.json": {"q": R},
+            "SWEEP_r99.json": sw({"q": True}),
+        },
     )
-    assert driver_stale == [], (
-        f"entries riding sweep credit past K_driver={K_driver} driver "
-        f"rounds vs r{newest}: {driver_stale} — sweeps are builder "
-        "evidence; front them in plans._DRIVER_WINDOW_FIRST"
+    v = _ledger_verdicts(repo, ["q"])
+    assert v["driver_red"] == ["q"]
+
+    # 2. A high-numbered all-green sweep must not reset K=6 staleness:
+    #    round clamps to driver frontier + 1
+    repo = write(
+        "staleness",
+        {
+            "CORRECTNESS_r01.json": {"q": G},
+            "CORRECTNESS_r14.json": {"other": G},
+            "SWEEP_r99.json": sw({"q": True}),
+        },
     )
-    red = sorted(
-        n
-        for n, rows in apps.items()
-        if n in plans.REGISTRY
-        and any(
-            not g for r, g, _ in rows if r == max(r2 for r2, _, _ in rows)
+    v = _ledger_verdicts(repo, ["q", "other"])
+    # without the clamp last_green would be 99 and q would look fresh
+    # forever; with it the sweep credits at 15 (stale == []), while
+    # the DRIVER bound still sees the r1 row: 14 - 1 > K_driver trips
+    # regardless of how the sweep is numbered
+    assert v["newest"] == 14 and v["stale"] == []
+    assert v["driver_stale"] == ["q"]
+    repo = write(
+        "driver_staleness",
+        {
+            "CORRECTNESS_r01.json": {"q": G},
+            "CORRECTNESS_r14.json": {"q": G, "other": G},
+            "CORRECTNESS_r27.json": {"other": G},
+            "SWEEP_r27.json": sw({"q": True}),
+        },
+    )
+    v = _ledger_verdicts(repo, ["q", "other"])
+    assert v["driver_stale"] == ["q"] and v["stale"] == []
+
+    # 3. A red sweep row is blame at ANY scale — sub-gate, absent, or
+    #    malformed sf must not hide a committed failure
+    for sf in ("/root/testdata/sf0.001", "", "sf10", "not-a-scale"):
+        repo = write(
+            f"redscale_{abs(hash(sf))}",
+            {
+                "CORRECTNESS_r14.json": {"q": G},
+                "SWEEP_r15.json": sw({"q": False}, sf=sf),
+            },
         )
+        v = _ledger_verdicts(repo, ["q"])
+        assert v["red"] == ["q"], sf
+        # ...while a GREEN row at the same non-gate scale earns nothing
+        repo = write(
+            f"greenscale_{abs(hash(sf))}",
+            {
+                "CORRECTNESS_r07.json": {"q": G},
+                "CORRECTNESS_r14.json": {"other": G},
+                "SWEEP_r15.json": sw({"q": True}, sf=sf),
+            },
+        )
+        v = _ledger_verdicts(repo, ["q", "other"])
+        assert v["stale"] == ["q"], sf  # no credit: still r7-stale
+
+    # 4. Same-round precedence: red driver + green sweep in one round
+    repo = write(
+        "sameround",
+        {
+            "CORRECTNESS_r14.json": {"q": R},
+            "SWEEP_r14.json": sw({"q": True}),
+        },
     )
-    assert red == [], f"a newest-round artifact reports a FAILURE: {red}"
-    order = list(plans.REGISTRY)
-    never = [
-        n
-        for n in plans.REGISTRY
-        if last_driver_green.get(n, 0) == 0 and n in order[50:]
-    ]
-    assert never == [], (
-        f"never-driver-checked entries below slot 50: {never} — add them "
-        "to plans._DRIVER_WINDOW_FIRST"
+    v = _ledger_verdicts(repo, ["q"])
+    assert v["red"] == ["q"] and v["driver_red"] == ["q"]
+
+    # 5. The legitimate lead IS allowed: this round's sweep (frontier
+    #    + 1) credits staleness before this round's driver artifact
+    #    lands — the real repo's steady state
+    repo = write(
+        "legit_lead",
+        {
+            "CORRECTNESS_r14.json": {"q": G},
+            "SWEEP_r15.json": sw({"q": True}),
+        },
     )
+    v = _ledger_verdicts(repo, ["q"])
+    assert v["red"] == [] == v["driver_red"] == v["stale"]
 
 
 def test_driver_sim_merge_refuses_mixed_sf(tmp_path):
@@ -214,3 +377,16 @@ def test_driver_sim_merge_refuses_mixed_sf(tmp_path):
     assert merged["q1"]["sf"] == "/root/testdata/sf0.001"
     # no artifact yet: clean start
     assert load_merged_sweep(str(tmp_path / "nope.json"), "x") == {}
+    # entries but NO top-level sf (hand-edited/truncated artifact):
+    # same-SF cannot be proven, so the merge must refuse rather than
+    # backfill rows with an empty scale (review finding, r15)
+    bad = tmp_path / "SWEEP_nosf.json"
+    bad.write_text(
+        json.dumps({"entries": {"q1": {"status": "OK", "ok": True}}})
+    )
+    with pytest.raises(SystemExit, match="no top-level 'sf'"):
+        load_merged_sweep(str(bad), "/root/testdata/sf0.01")
+    # empty artifact without sf: nothing to mislabel, clean start
+    empty = tmp_path / "SWEEP_empty.json"
+    empty.write_text(json.dumps({"entries": {}}))
+    assert load_merged_sweep(str(empty), "/root/testdata/sf0.01") == {}

@@ -40,6 +40,15 @@ def load_merged_sweep(out_path: str, sf: str) -> dict[str, dict]:
         return {}
     prev = json.load(open(out_path))
     prev_sf = prev.get("sf", "")
+    entries = prev.get("entries", {})
+    if entries and not prev_sf:
+        # unknown prior scale (hand-edited/truncated artifact): same-SF
+        # cannot be proven, so refusing is the only non-laundering move
+        raise SystemExit(
+            f"refusing to merge into {out_path}: it has entries but no "
+            "top-level 'sf', so the prior rows' scale is unknown; use a "
+            "new DRIVER_SIM_OUT path"
+        )
     if prev_sf and prev_sf.rstrip("/") != sf.rstrip("/"):
         raise SystemExit(
             f"refusing to merge into {out_path}: it was recorded at "
@@ -47,7 +56,6 @@ def load_merged_sweep(out_path: str, sf: str) -> dict[str, dict]:
             "artifact would mislabel prior rows' scale; use a new "
             "DRIVER_SIM_OUT path"
         )
-    entries = prev.get("entries", {})
     for row in entries.values():  # pre-r15 rows: backfill from top-level
         row.setdefault("sf", prev_sf)
     return entries
