@@ -547,7 +547,7 @@ def incremental_embed_dedup(
     ``near`` = best cosine >= threshold among LSH bucket collisions,
     else ``new``. Same arrival-broadcast discipline as the text path —
     the index streams, never shuffles."""
-    from .similarity import cosine
+    from .similarity import gated_exact_sim
 
     idx = store.read(EMB_TABLE)
     arr = arrivals.select(
@@ -579,8 +579,16 @@ def incremental_embed_dedup(
         ),
         "c_id",
     )
+    # r16: vectorized one-sided prefilter gating the exact fold — same
+    # candidates+verify discipline as embedding_near_dups (see
+    # similarity.gated_exact_sim for the bound AND for why the gate must
+    # be one expression: a separate exact filter gets pushed below the
+    # Python node into the join); the emitted sim stays the oracle-exact
+    # sequential fold, evaluated on survivors only
     scored = pairs.select(
-        "a_id", "c_id", cosine(F.col("a_vec"), F.col("c_vec")).alias("sim")
+        "a_id",
+        "c_id",
+        gated_exact_sim(F.col("a_vec"), F.col("c_vec"), threshold).alias("sim"),
     ).filter(F.col("sim") >= threshold)
     # max sim, ties to smallest corpus id — min(struct(-sim, c_id)) so
     # the id column stays type-generic (negating the id would break

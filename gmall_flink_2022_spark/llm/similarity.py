@@ -35,6 +35,100 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot, na * nb)
 
 
+# one-sided prefilter slack for cosine_hat (see its docstring): numpy's
+# float64 error vs the sequential fold is ~dim ulps (<1e-13 at dim 64),
+# so 1e-6 is a >6-order-of-magnitude safety margin — same bound the
+# blocked-GEMM candidate stage of exact_cosine_pairs documents.
+_HAT_EPS = 1e-6
+
+
+def cosine_hat(a: Column, b: Column) -> Column:
+    """Arrow-vectorized APPROXIMATE cosine — the candidate-PREFILTER
+    twin of :func:`cosine` (r16 optimization; guide §4.2: one numpy
+    batch op per Arrow batch replaces THREE interpreted higher-order
+    folds per pair — the r15-measured 41.7 s / ~1.0 M-pair verify grind
+    at sf0.1).
+
+    One-sided-bound contract: ``cosine_hat(a, b) >= t - _HAT_EPS`` keeps
+    EVERY pair the exact predicate ``cosine(a, b) >= t`` accepts, plus
+    at most a hairline band of extras that the exact verify then drops —
+    numpy's dot/norm accumulation differs from the sequential expression
+    fold by at most ~dim ulps of the partial sums (<< 1e-6 on the
+    normalized quantity; see exact_cosine_pairs' GEMM stage for the same
+    argument and precedent). NEVER a substitute for :func:`cosine` in an
+    output column: emitted ``sim`` values must stay the oracle-exact
+    sequential fold.
+
+    Null rows, ragged pairs and zero-norm vectors yield NaN, which never
+    passes a ``>=`` predicate — exactly the rows the exact fold nulls
+    out (try_divide / null-propagating zip_with), so the prefilter
+    cannot resurrect them."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import shape
+    from pyspark.sql.functions import pandas_udf
+
+    def hat(va, vb):
+        n = len(va)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        try:
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in va])
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
+        except (TypeError, ValueError):
+            # null / ragged rows in this batch: per-row fallback (rare —
+            # the fast path handles any batch of uniform-dim pairs)
+            out = np.full(n, np.nan, dtype=np.float64)
+            for i, (x, y) in enumerate(zip(va, vb)):
+                if x is None or y is None:
+                    continue
+                try:
+                    xa = np.asarray(x, dtype=np.float64)
+                    ya = np.asarray(y, dtype=np.float64)
+                except (TypeError, ValueError):
+                    continue
+                if xa.shape != ya.shape or xa.ndim != 1:
+                    continue
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[i] = (xa @ ya) / (
+                        np.linalg.norm(xa) * np.linalg.norm(ya)
+                    )
+            return pd.Series(out)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+        return pd.Series(s)
+
+    # real class objects, not strings (same reason as _table_buckets):
+    # `from __future__ import annotations` stringifies inline hints,
+    # which pandas_udf's type inference rejects
+    hat.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return pandas_udf(hat, "double")(a, b)
+
+
+def gated_exact_sim(va: Column, vb: Column, threshold: float) -> Column:
+    """The oracle-exact cosine, evaluated ONLY where the vectorized
+    prefilter passes: ``CASE WHEN cosine_hat >= t - eps THEN cosine END``
+    (NULL otherwise, which no ``>=`` predicate accepts).
+
+    Why a single gated expression instead of two stacked filters: a
+    bare ``filter(cosine(...) >= t)`` above the prefilter is a
+    deterministic JVM predicate that Catalyst happily pushes BELOW the
+    ArrowEvalPython node — measured at r16 open, it lands inside the
+    bucket join as a join condition and the interpreted fold runs on
+    every candidate pair anyway (the prefilter then costs Arrow
+    transfer for nothing; plan C == plan D at ~25 s). Referencing the
+    UDF output column inside the exact expression makes that pushdown
+    impossible — the fold stays above the Python node and CASE WHEN
+    short-circuits it per row, so only prefilter survivors (~2 k of
+    ~1 M at sf0.1) pay the three-fold evaluation. ``filter(col >= t)``
+    on the result keeps exactly the pairs the ungated
+    ``cosine(...) >= t`` accepts, by the one-sided `_HAT_EPS` bound."""
+    return F.when(
+        cosine_hat(va, vb) >= F.lit(float(threshold) - _HAT_EPS),
+        cosine(va, vb),
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -364,14 +458,22 @@ def embedding_near_dups(
     )
     # cosine is symmetric, so the helper's join-side payload
     # orientation needs no re-orienting; one bucket per id means no
-    # cross-bucket duplicates to drop
+    # cross-bucket duplicates to drop.
+    # r16: candidates+verify INSIDE the operator — the gated expression
+    # (see :func:`gated_exact_sim`) runs the vectorized cosine_hat
+    # prefilter on every candidate pair (~1.0 M at sf0.1) and the exact
+    # sequential-fold cosine only on its survivors (~2 k); output
+    # identical by the one-sided bound, and the emitted `sim` is still
+    # the oracle-exact fold.
     return (
         _cell_self_join(parts, bucket_block_cap)
         .select(
             "id_a",
             "id_b",
             "bucket",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("sim"),
+            gated_exact_sim(
+                F.col("vec_a"), F.col("vec_b"), threshold
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -664,9 +766,19 @@ def embedding_near_dups_lsh(
     # symmetric; dropDuplicates collapses multi-table collisions.
     from .dedup import _cell_self_join
 
+    # r16: the cosine_hat prefilter runs BEFORE dropDuplicates — it is a
+    # deterministic symmetric function of the (identical-per-pair)
+    # vectors, so every multi-table copy of a pair passes or fails
+    # together and the surviving pair set is unchanged; filtering first
+    # also means only survivors' vectors cross the dedup exchange
+    # (guide §2.3: shuffle fewer bytes).
     cands = (
         _cell_self_join(bucketed, bucket_block_cap)
         .select("id_a", "vec_a", "id_b", "vec_b")
+        .filter(
+            cosine_hat(F.col("vec_a"), F.col("vec_b"))
+            >= F.lit(float(threshold) - _HAT_EPS)
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     rep_pairs = (
