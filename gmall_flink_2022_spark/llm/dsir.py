@@ -53,10 +53,12 @@ def _ilog2(x: Column) -> Column:
     return (F.length(F.bin(x)) - 1).cast("long")
 
 
-def _grams(text_col: str) -> Column:
+def _grams_of(toks: Column) -> Column:
     """Unigram + bigram feature grams as one array<string> (the paper's
-    hashed n-gram features). NULL/empty text -> empty array."""
-    toks = _toks_or_empty(text_col)
+    hashed n-gram features) over a MATERIALIZED token-array column —
+    capturing a raw tokenizer expression inside the slice lambda
+    re-tokenizes per gram position (the shingles()/lm._bigrams r16
+    inlining trap), so callers go through :func:`_with_grams`."""
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -65,6 +67,18 @@ def _grams(text_col: str) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(toks, bigrams)
+
+
+def _with_grams(df: DataFrame, text_col: str, *keep: Column) -> DataFrame:
+    """(keep..., gram) rows: tokenize ONCE into a bound column, then
+    explode the unigram+bigram grams (r16 — the pre-projection keeps the
+    tokenizer out of the interpreted gram lambda). NULL/empty text ->
+    no rows (explode of the empty array)."""
+    pre = df.select(*keep, _toks_or_empty(text_col).alias("__toks"))
+    return pre.select(
+        *[c for c in pre.columns if c != "__toks"],
+        F.explode(_grams_of(F.col("__toks"))).alias("gram"),
+    )
 
 
 def _bucket(gram: Column, n_buckets: int, seed: str) -> Column:
@@ -80,7 +94,7 @@ def feature_counts(
     """Hashed-feature occurrence counts: (bucket, cnt) — at most
     ``n_buckets`` rows regardless of corpus size (map-side combine
     collapses each task to B rows before the tiny shuffle)."""
-    g = df.select(F.explode(_grams(text_col)).alias("gram"))
+    g = _with_grams(df, text_col)
     return (
         g.select(_bucket(F.col("gram"), n_buckets, seed).alias("bucket"))
         .groupBy("bucket")
@@ -136,9 +150,9 @@ def dsir_score(
     BROADCASTS; the only doc-sized shuffle is the per-id aggregation.
     Docs with no grams (NULL/empty/one-token-only text still yields its
     unigrams; truly empty -> none) score (0, 0) — fail-closed."""
-    occ = docs.select(
-        F.col(id_col).alias("id"), F.explode(_grams(text_col)).alias("gram")
-    ).select("id", _bucket(F.col("gram"), n_buckets, seed).alias("bucket"))
+    occ = _with_grams(docs, text_col, F.col(id_col).alias("id")).select(
+        "id", _bucket(F.col("gram"), n_buckets, seed).alias("bucket")
+    )
     scored = (
         occ.join(F.broadcast(weights.select("bucket", "w")), "bucket")
         .groupBy("id")

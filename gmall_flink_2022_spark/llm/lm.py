@@ -59,8 +59,21 @@ def _qlog2(x: Column) -> Column:
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) rows — one per adjacent token pair, document order
-    irrelevant (the cost model is position-free)."""
-    toks = _toks_or_empty(text_col)
+    irrelevant (the cost model is position-free).
+
+    r16: the token array is materialized in its own projection BEFORE
+    the pair-building lambda. ``element_at(toks, i)`` with ``toks`` the
+    raw tokenizer EXPRESSION inlines that expression into the lambda
+    body, and higher-order lambdas evaluate interpreted with no common-
+    subexpression elimination — the full tokenizer regex re-ran per
+    element, twice per bigram (O(len^2) regex work per document;
+    measured 9.2 s -> 0.5 s at sf0.1 for this explode alone, guide §1
+    empirical loop). Projecting first makes ``toks`` a bound attribute,
+    evaluated once per row."""
+    pre = df.select(
+        F.col(id_col).alias("id"), _toks_or_empty(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -71,7 +84,7 @@ def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    return df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg")).select(
+    return pre.select("id", F.explode(pairs).alias("bg")).select(
         "id", "bg.w1", "bg.w2"
     )
 

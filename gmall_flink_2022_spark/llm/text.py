@@ -255,7 +255,13 @@ def repetition_stats(
     keyed shuffle with partial aggregation beats quadratic per-doc CPU
     by construction — the old form's "stays a narrow map" was the wrong
     trade at every scale."""
-    toks = tokenize_col(text_col)
+    # r16: token array materialized before the gram lambda (the
+    # shingles()/lm._bigrams inlining trap — a raw tokenizer expression
+    # inside the lambda re-tokenizes per gram position)
+    pre = df.select(
+        F.col(id_col).alias("id"), tokenize_col(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -263,7 +269,7 @@ def repetition_stats(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col).alias("id"), grams.alias("_g")).select(
+    ex = pre.select("id", grams.alias("_g")).select(
         "id", F.explode_outer("_g").alias("_gram")
     )
     cnt = ex.groupBy("id", "_gram").agg(F.count(F.lit(1)).alias("_c"))
@@ -503,7 +509,15 @@ def quality_classifier(
     NULL text coalesces to the empty token array (fail closed, same as
     empty docs).
     """
-    toks = _toks_or_empty(text_col)
+    # r16: token array materialized in a first projection (the
+    # shingles()/lm._bigrams inlining trap — element_at over the raw
+    # tokenizer expression re-tokenizes per element inside the
+    # interpreted lambda); still zero exchanges, now two stacked
+    # codegen projections instead of one
+    pre = df.select(
+        F.col(id_col).alias("id"), _toks_or_empty(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -521,8 +535,8 @@ def quality_classifier(
         lambda s, w: s + w,
     )
     gopher = _gopher_rules(toks)["keep"]
-    base = df.select(
-        F.col(id_col).alias("id"),
+    base = pre.select(
+        "id",
         n.cast("long").alias("n_features"),
         w_sum.alias("w_sum"),
         gopher.alias("gopher_keep"),

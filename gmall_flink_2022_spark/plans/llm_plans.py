@@ -3603,10 +3603,16 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    toks = F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit(text.BPE_RE), 0
+    # r16: token array materialized before the pair lambda (the
+    # shingles()/lm._bigrams inlining trap — the regex expression inside
+    # the lambda re-tokenizes per element)
+    pre = docs.select(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(text.BPE_RE), 0
+        ).alias("__toks")
     )
-    pairs = docs.select(
+    toks = F.col("__toks")
+    pairs = pre.select(
         F.explode(
             F.when(
                 F.size(toks) >= 2,

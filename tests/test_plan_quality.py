@@ -509,12 +509,21 @@ def test_registry_wide_no_row_python(spark, sf_dir):
 
 
 def test_curation_full_plan_shape(spark, sf_dir):
-    """The flagship pipeline: one lazy plan, persisted survivors reused
-    by the digest/shingle/anti-join consumers, benchmark side broadcast,
-    nothing row-Python."""
+    """The flagship pipeline: one lazy plan, survivors materialized once
+    and reused by the digest/shingle/anti-join consumers, benchmark side
+    broadcast, nothing row-Python.
+
+    r16: the near-dup survivor set is now cachereg.stage()d (persist +
+    plan-truncating lazy localCheckpoint — guide §3.3; the analyzed tree
+    had reached 10k+ nodes and driver-side analysis dominated the
+    entry's wall), so the reuse leaf in the FINAL plan is the
+    checkpoint's `Scan ExistingRDD`, not an InMemoryTableScan — the
+    persist still backs the checkpoint's own materialization across
+    rebuilt plans. The gate now pins the truncation leaf: if a refactor
+    drops the stage(), the leaf disappears and this fails."""
     p = _plan(spark, sf_dir, "llm_curation_pipeline_full")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert "InMemoryTableScan" in p  # persisted survivor set reused
+    assert "Scan ExistingRDD" in p  # staged survivor set reused as a leaf
     assert "BroadcastHashJoin" in p  # benchmark shingles broadcast
 
 
