@@ -102,7 +102,18 @@ def cosine_hat(a: Column, b: Column) -> Column:
     # `from __future__ import annotations` stringifies inline hints,
     # which pandas_udf's type inference rejects
     hat.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
-    return pandas_udf(hat, "double")(a, b)
+    # asNondeterministic (guide §4.4): when the gated expression is
+    # consumed by BOTH a projection and a filter (gated_exact_sim), the
+    # optimizer's alias substitution otherwise duplicates the UDF into
+    # TWO stacked ArrowEvalPython nodes — a pair of chained Python
+    # runners in one stage. Besides evaluating hat twice on survivors,
+    # the chained-runner topology is where a (nondeterministic,
+    # sf1-only, observed once) Spark 4.1 single-threaded-PythonRunner
+    # read/read deadlock bit during r16 measurement. One node, one
+    # worker per task. The marking is semantic-free here: hat is a pure
+    # per-row float function; "nondeterministic" only tells the
+    # optimizer not to duplicate/reorder it.
+    return pandas_udf(hat, "double").asNondeterministic()(a, b)
 
 
 def gated_exact_sim(va: Column, vb: Column, threshold: float) -> Column:
