@@ -598,14 +598,43 @@ def prefix_jaccard_pairs(
         )
         .join(sizes, "id")
     )
-    prefix = ranked.filter(
+    # r17 (r16 VERDICT #6): PPJoin positional filter (Xiao et al. 2008)
+    # on top of the AllPairs prefix index. Both join sides now carry
+    # (rn, k) — the shingle's rank in the SHARED global (sdf, shingle)
+    # order and the doc's shingle count — so each collision can bound
+    # the pair's maximum possible overlap: common shingles all rank >=
+    # the colliding shingle in BOTH docs (per-doc order is a restriction
+    # of one global total order), hence c <= 1 + min(k_p - rn_p,
+    # k_s - rn_s). Zero recall loss: for a qualifying pair the FIRST
+    # common shingle in global order (a) lies in the larger doc's prefix
+    # whenever any common shingle does (prefix = lowest ranks, and
+    # AllPairs completeness guarantees one), and (b) has minimal ranks
+    # in both docs, so its collision row's bound >= c >= alpha and it
+    # always survives; only redundant collisions and hopeless pairs are
+    # cut before the distinct + verify join (the entry's measured wall).
+    # alpha = ceil(t*(k_a+k_b)/(1+t)) in pure integer arithmetic:
+    # ubound >= alpha  <=>  (100+t)*ubound >= t*(k_a+k_b). The length
+    # filter (J <= min/max => t*max <= 100*min) is per-pair sound and
+    # cuts collisions the positional bound alone keeps.
+    rk = _persist(ranked.select("id", "shingle", "rn", "k"))
+    prefix = rk.filter(
         F.col("rn")
         <= F.col("k") - F.expr(f"({threshold_pct} * k + 99) div 100") + 1
-    ).select("id", "shingle")
+    )
+    p_rem = F.col("p.k") - F.col("p.rn")
+    s_rem = F.col("s.k") - F.col("s.rn")
     cand = (
         prefix.alias("p")
-        .join(sh.alias("s"), "shingle")
+        .join(rk.alias("s"), "shingle")
         .filter(F.col("p.id") != F.col("s.id"))
+        .filter(
+            (100 + threshold_pct) * (1 + F.least(p_rem, s_rem))
+            >= threshold_pct * (F.col("p.k") + F.col("s.k"))
+        )
+        .filter(
+            threshold_pct * F.greatest("p.k", "s.k")
+            <= 100 * F.least("p.k", "s.k")
+        )
         .select(
             F.least("p.id", "s.id").alias("id_a"),
             F.greatest("p.id", "s.id").alias("id_b"),
@@ -1329,6 +1358,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .distinct()
         )
+        # r17 note: two cheaper-looking round shapes were implemented and
+        # measured interleaved (see OPTIMIZATION_r17.md): persist + a
+        # single signature job (one driver round-trip fewer) ran 5.2x
+        # SLOWER (columnar InMemoryRelation build cost per round), and an
+        # AQE-off lazy checkpoint + single job ran 3.1x slower (loses
+        # AQE's coalescing of the tiny per-round shuffles). The eager
+        # checkpoint + separate signature probe stays — per-round job
+        # LATENCY is not the wall; execution mode is.
         e = small.localCheckpoint(eager=True)
         # convergence signature: (count, xor of edge hashes) — xor is
         # order-independent and cannot overflow under ANSI mode (a sum of

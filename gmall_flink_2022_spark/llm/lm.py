@@ -120,6 +120,19 @@ def lm_perplexity(
     bigrams and are absent (they carry no LM evidence either way)."""
     c12, c1, v = train_bigram_lm(ref, id_col, text_col)
     bg = _bigrams(score, id_col, text_col)
+    # r17 note (r16 VERDICT #5 — implemented, measured, REJECTED at
+    # bench scale): a `groupBy(id, w1, w2)` pre-aggregation so the count
+    # tables join unique-per-doc bigrams (cost * n_occ summed after) was
+    # measured interleaved same-session at sf0.1: 1.26 s (this shape)
+    # vs 1.90 s (pre-agg), outputs byte-identical. Mechanism: at any
+    # scale where c12/c1 broadcast, this shape's ONLY exchange is the
+    # final groupBy(id), which partial-aggregates map-side to ~one row
+    # per id per partition — near-minimal shuffle bytes — while the
+    # pre-agg adds a full exchange of (id, w1, w2) rows that short
+    # documents barely reduce. The pre-agg only pays once c12 outgrows a
+    # broadcast AND occurrence/unique ratios are Zipf-heavy; an eager
+    # ratio probe can't be used to switch because lm_perplexity must
+    # stay buildable as ONE lazy plan (curate_ccnet embeds it).
     joined = (
         bg.join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")

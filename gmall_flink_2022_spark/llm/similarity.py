@@ -59,10 +59,13 @@ def cosine_hat(a: Column, b: Column) -> Column:
     output column: emitted ``sim`` values must stay the oracle-exact
     sequential fold.
 
-    Null rows, ragged pairs and zero-norm vectors yield NaN, which never
-    passes a ``>=`` predicate — exactly the rows the exact fold nulls
-    out (try_divide / null-propagating zip_with), so the prefilter
-    cannot resurrect them."""
+    Null rows, ragged pairs and zero-norm vectors yield NaN. NOTE (r17,
+    ADVICE fix): Spark SQL orders NaN GREATER than every numeric, so
+    these rows PASS the ``>=`` prefilter — safety comes from the
+    downstream exact verify, where the fold nulls them out (try_divide /
+    null-propagating zip_with) and the NULL fails the exact ``>=``. A
+    caller relying on the prefilter ALONE to drop null/zero-norm rows
+    would be wrong; every call site must keep the exact verify."""
     import pandas as pd  # noqa: PLC0415 — executor-side import shape
     from pyspark.sql.functions import pandas_udf
 
@@ -777,12 +780,23 @@ def embedding_near_dups_lsh(
     # symmetric; dropDuplicates collapses multi-table collisions.
     from .dedup import _cell_self_join
 
-    # r16: the cosine_hat prefilter runs BEFORE dropDuplicates — it is a
-    # deterministic symmetric function of the (identical-per-pair)
-    # vectors, so every multi-table copy of a pair passes or fails
-    # together and the surviving pair set is unchanged; filtering first
-    # also means only survivors' vectors cross the dedup exchange
-    # (guide §2.3: shuffle fewer bytes).
+    # Prefilter placement, re-adjudicated at r17 (r16 VERDICT #1 asked
+    # for dedup-first "or an A/B table justifying the reverse"; this is
+    # that table, plans/r17 + OPTIMIZATION_r17.md). The cosine_hat
+    # prefilter runs BEFORE dropDuplicates: it is a deterministic
+    # symmetric function of the (identical-per-pair) vectors, so every
+    # multi-table copy of a pair passes or fails together and the
+    # surviving pair set is unchanged — and only survivors' ~2 k vector
+    # payloads cross the dedup exchange (guide §2.3). The dedup-FIRST
+    # alternative (one UDF eval per unique pair) was implemented and
+    # measured same-host/same-minute at r17: it ships EVERY candidate
+    # pair's 2x64-double payload through the exchange and lost decisively
+    # (warm 3-rep medians, sf0.1: entry 2.0 -> 4.28 s, contract 3.87 ->
+    # 16.47 s). Per-copy UDF evals are vectorized flops; per-copy
+    # exchange rows are serialized bytes — the flops are cheaper. The
+    # r16 driver-bench "regression" (1.94 -> 4.16 s) was host
+    # contention: the same tree's uncontended c8 run shows 2.34 s
+    # (BENCH_r16_c8.json), matching the warm wall of this shape.
     cands = (
         _cell_self_join(bucketed, bucket_block_cap)
         .select("id_a", "vec_a", "id_b", "vec_b")

@@ -199,8 +199,16 @@ class DimStore:
         # empty guard (the DDL-on-demand first write must not create a
         # schema-less table dir that poisons later pruned reads) and the
         # merge pruning set.
+        # r17 (r16 VERDICT #7): the staged write's own committed
+        # partition dirs ARE the touched-bucket list — read it from the
+        # directory listing (the same move compact() already makes)
+        # instead of a distinct().collect() Spark job over the staged
+        # parquet. One driver action fewer per upsert, and the lifecycle
+        # entries run N sequential upserts.
         affected = [
-            r["__bucket"] for r in staged.select("__bucket").distinct().collect()
+            int(e.split("=", 1)[1])
+            for e in os.listdir(stage)
+            if e.startswith("__bucket=")
         ]
         if not affected:
             shutil.rmtree(stage, ignore_errors=True)

@@ -2782,6 +2782,67 @@ def test_cachereg_scope_and_release(spark):
         cachereg.release_all()
 
 
+def test_cachereg_stage_is_lazy(spark):
+    """r17 (r16 ADVICE, medium): stage() must not run any job at BUILD
+    time. Under AQE, localCheckpoint(eager=False) was not lazy —
+    AdaptiveSparkPlanExec.execute() materializes every upstream shuffle
+    stage — so merely constructing a staged pipeline executed most of
+    it. stage() now plans the checkpoint subtree with AQE off (a
+    non-adaptive plan's execute() just assembles the RDD DAG). Proof:
+    stage a frame whose computation raises BELOW a shuffle — if staging
+    executed upstream stages, the build itself would raise."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.llm import cachereg
+
+    cachereg.release_all()
+    boom = F.udf(lambda x: 1 // 0, "int")  # raises on ANY evaluated row
+    df = (
+        spark.range(64)
+        .select(boom("id").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    try:
+        staged = cachereg.stage(df)  # must not raise: nothing executes
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            staged.count()  # the action DOES evaluate the udf
+    finally:
+        cachereg.release_all()
+    # the conf flip is restored even on the non-raising path
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_cachereg_stage_blocks_released(spark):
+    """r17 (r16 VERDICT #5): checkpoint RDD blocks are RDD-level cache,
+    invisible to Dataset.unpersist/catalog.clearCache; release_all()
+    must free them promptly instead of leaving them to driver GC +
+    ContextCleaner."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2022_spark.llm import cachereg
+
+    cachereg.release_all()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cached_rdd_ids():
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
+    base = cached_rdd_ids()
+    staged = cachereg.stage(
+        spark.range(1000).groupBy((F.col("id") % 7).alias("g")).count()
+    )
+    assert staged.count() == 7  # materializes checkpoint + persist blocks
+    added = cached_rdd_ids() - base
+    assert added, "materialized stage() left no cached blocks to test"
+    cachereg.release_all()
+    assert not (cached_rdd_ids() & added), (
+        "release_all() left checkpoint/persist blocks live"
+    )
+
+
 def test_prefix_jaccard_pre_dedup_releases_via_registry(spark):
     """prefix_jaccard_pairs' pre-collapse persist is tracked in the
     shared registry, so release_caches() drops it (r9 ADVICE #4)."""
