@@ -49,6 +49,37 @@ def test_upsert_create_then_update(spark, tmp_path):
     assert got == {"1": "F", "2": "F", "3": "M"}
 
 
+def test_upsert_runs_no_driver_collect(spark, tmp_path, monkeypatch):
+    """r17 (r16 VERDICT #7 'done' criterion): upsert derives the
+    touched-bucket list from the staged write's own committed partition
+    dirs, so the per-upsert driver action count drops by one — there is
+    no distinct().collect() job left anywhere in upsert. Guard: ANY
+    DataFrame.collect during either upsert path (first write and merge)
+    fails loudly, so a refactor cannot silently reintroduce the action."""
+    from pyspark.sql import DataFrame
+
+    store = DimStore(spark, str(tmp_path / "dims"))
+
+    def boom(self):
+        raise AssertionError(
+            "DataFrame.collect() ran inside DimStore.upsert — the "
+            "touched-bucket list must come from the staged dir listing"
+        )
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    b1 = spark.createDataFrame(
+        [("1", "F"), ("2", "M")], "id string, gender string"
+    )
+    store.upsert("dim_probe", b1)  # first write (DDL-on-demand path)
+    b2 = spark.createDataFrame(
+        [("2", "F"), ("3", "M")], "id string, gender string"
+    )
+    store.upsert("dim_probe", b2)  # merge path (pruned read + swap)
+    monkeypatch.undo()
+    got = {r["id"]: r["gender"] for r in store.read("dim_probe").collect()}
+    assert got == {"1": "F", "2": "F", "3": "M"}
+
+
 def test_streaming_cdc_to_dim_store_to_join(spark, tmp_path):
     events = [
         {"database": "g", "tableName": "user_info", "before": {},
